@@ -1,0 +1,47 @@
+"""Scalar helper expressions (SURVEY.md §2.8).
+
+All pure Column expressions — JVM-side, whole-stage-codegen friendly. No
+Python UDFs here; the reference's row-wise Python scalar work
+(/root/reference/utils/__init__.py, zabbix_getter.py:125-131) becomes
+vectorized expressions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def safe_div(num: Column, den: Column, default: float = 0.0) -> Column:
+    """num/den with 0-denominator → default (reference guards std>0,
+    detector.py:202,306 — here the guard is an expression, not a filter)."""
+    return F.coalesce(F.try_divide(num, den), F.lit(default))
+
+
+def clean_float(c: Column, default: float = 0.0) -> Column:
+    """NaN/±inf/null → default (reference stats.py:133-139 replaces inf/NaN
+    with 0 after the closed-form std)."""
+    bad = F.isnull(c) | F.isnan(c) | (F.abs(c) == float("inf"))
+    return F.when(bad, F.lit(default)).otherwise(c)
+
+
+def epoch_bucket(clock: Column, interval: int) -> Column:
+    """Tumbling time bucket: clock - clock % interval (reference
+    normalizer.py:12-13, logan_getter.py:252)."""
+    return (clock - clock % F.lit(interval)).cast("long")
+
+
+def wildcard_to_like(pattern: str) -> str:
+    """'*'→'%' LIKE rewriting (reference zabbix_getter.py:125-131)."""
+    return pattern.replace("%", r"\%").replace("*", "%")
+
+
+def zscore(value: Column, mean: Column, std: Column) -> Column:
+    """(x-mean)/std with zero-variance guard (reference
+    classifiers/__init__.py:14-34)."""
+    return safe_div(value - mean, std)
+
+
+def z_indicator(value: Column, mean: Column, std: Column, sigma: float) -> Column:
+    """Binary |z| > sigma indicator column (reference W6)."""
+    return (F.abs(zscore(value, mean, std)) > F.lit(sigma)).cast("int")

@@ -1,0 +1,140 @@
+"""Mergeable per-key moment statistics — the engine's central structure.
+
+Re-expression of the reference's stats algebra (A1/A2 in SURVEY.md §2.4):
+/root/reference/data_processing/stats.py:75-135 maintains per-item
+``(sum, sqr_sum, cnt)`` and finalizes ``mean = sum/cnt``,
+``std = sqrt((sqr_sum - sum^2/cnt)/(cnt-1))`` (Bessel), inf/NaN→0.
+
+That triple is associative + commutative, i.e. exactly Spark's partial/final
+aggregation algebra — ``groupBy().agg(sum, sum(x^2), count)`` gives the same
+mergeability Catalyst-native, map-side combined, whole-stage-codegen'd. The
+reference's incremental add/subtract windows (stats.py:88-124) become
+``merge_moments`` / ``subtract_moments`` over the persisted stats table.
+
+At 100 TB: one shuffle on the group key, partial agg on the map side reduces
+each input partition to |distinct keys| rows before the exchange; no per-row
+Python anywhere.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from pyanomalydetector2_spark.functions import clean_float
+
+MOMENT_COLS = ("sum", "sqr_sum", "cnt")
+
+
+def moment_aggs(value_col: str = "value") -> list[Column]:
+    """The partial-agg expressions for one pass."""
+    v = F.col(value_col)
+    return [
+        F.sum(v).alias("sum"),
+        F.sum(v * v).alias("sqr_sum"),
+        F.count(v).alias("cnt"),
+    ]
+
+
+def finalize_moments(df: DataFrame) -> DataFrame:
+    """Closed-form mean/std from the (sum, sqr_sum, cnt) triple.
+
+    Matches reference stats.py:130-139 exactly: Bessel's correction,
+    inf/NaN→0 (covers cnt<=1 and zero-variance keys).
+    """
+    # try_divide: ANSI-safe (Spark 4 default) — cnt<=1 → null → cleaned to 0,
+    # matching the reference's inf/NaN→0 behavior.
+    mean = F.try_divide(F.col("sum"), F.col("cnt"))
+    var = F.try_divide(
+        F.col("sqr_sum") - F.try_divide(F.col("sum") * F.col("sum"), F.col("cnt")),
+        F.col("cnt") - 1,
+    )
+    return df.withColumn("mean", clean_float(mean)).withColumn(
+        "std", clean_float(F.sqrt(var))
+    )
+
+
+def moment_stats(
+    df: DataFrame, keys: Sequence[str], value_col: str = "value"
+) -> DataFrame:
+    """Single-pass per-key moment stats (A1): one shuffle, map-side combine."""
+    return finalize_moments(df.groupBy(*keys).agg(*moment_aggs(value_col)))
+
+
+def merge_moments(a: DataFrame, b: DataFrame, keys: Sequence[str]) -> DataFrame:
+    """Union-merge two moment tables (reference J2, stats.py:90-98).
+
+    Full outer semantics: keys on one side only pass through. Implemented as
+    union + re-aggregate (cheaper than outer join + coalesce: a single
+    shuffle, and AQE coalesces the tiny result).
+    """
+    cols = list(keys) + list(MOMENT_COLS)
+    merged = (
+        a.select(*cols)
+        .unionByName(b.select(*cols))
+        .groupBy(*keys)
+        .agg(
+            F.sum("sum").alias("sum"),
+            F.sum("sqr_sum").alias("sqr_sum"),
+            F.sum("cnt").alias("cnt"),
+        )
+    )
+    return finalize_moments(merged)
+
+
+def subtract_moments(cur: DataFrame, old: DataFrame, keys: Sequence[str]) -> DataFrame:
+    """Expire a window by subtracting its moments (reference J3,
+    stats.py:119-124, outer-join + fillna(0) semantics). Keys whose cnt
+    drops to 0 are removed. Negation + union-merge keeps it one shuffle."""
+    neg = old.select(
+        *keys,
+        (-F.col("sum")).alias("sum"),
+        (-F.col("sqr_sum")).alias("sqr_sum"),
+        (-F.col("cnt")).alias("cnt"),
+    )
+    return merge_moments(cur, neg, keys).filter(F.col("cnt") > 0)
+
+
+def column_profile(
+    df: DataFrame,
+    columns: Sequence[str],
+    group_cols: Sequence[str] = (),
+    quantiles: Sequence[float] = (0.25, 0.5, 0.75),
+) -> DataFrame:
+    """Full single-pass column-stats profile for the validation engine
+    (north_rule: count, null-rate, min/max, mean/stddev via the moment
+    algebra, approx quantiles via the built-in KLL-style sketch).
+
+    Emits one row per (group, column): long/tidy layout so verdict joins are
+    uniform. All aggregates ride one shuffle (or zero when group_cols is
+    empty — partial aggs collapse to a single row).
+    """
+    total = F.count(F.lit(1))
+    pieces = []
+    for c in columns:
+        v = F.col(c)
+        num = v.cast("double")
+        aggs = [
+            total.alias("row_cnt"),
+            F.count(v).alias("cnt"),
+            (total - F.count(v)).alias("null_cnt"),
+            F.min(num).alias("min"),
+            F.max(num).alias("max"),
+            F.sum(num).alias("sum"),
+            F.sum(num * num).alias("sqr_sum"),
+            F.approx_count_distinct(v).alias("approx_distinct"),
+            F.percentile_approx(num, list(quantiles), 10000).alias("quantiles"),
+        ]
+        g = df.groupBy(*group_cols) if group_cols else df.groupBy()
+        piece = g.agg(*aggs).withColumn("column", F.lit(c))
+        pieces.append(piece)
+    out = pieces[0]
+    for p in pieces[1:]:
+        out = out.unionByName(p)
+    out = finalize_moments(out).withColumn(
+        "null_rate", F.try_divide(F.col("null_cnt"), F.col("row_cnt"))
+    )
+    front = list(group_cols) + ["column"]
+    return out.select(*front, *[c for c in out.columns if c not in front])
