@@ -1,0 +1,154 @@
+"""Constraint DSL: declarative specs compiled to Column expressions.
+
+The reference drives per-item threshold conditions from YAML
+(``item_conds``: {filter, condition: {operator, value}},
+samples/zabbix.yml:26-81) interpreted row-by-row in Python
+(detector.py:169-185 ``_evaluate_cond``). Here each spec compiles ONCE to a
+Column expression / DataFrame plan; there is no per-row Python anywhere.
+
+Five constraint kinds cover the north_rule surface:
+- RowCheck     per-row predicate (schema invariants, audio/transcript
+               invariants) — violations are rows.
+- StatCheck    per-bucket column-stat threshold (null-rate, mean, std, …)
+               over the single-pass column profile.
+- UniqueCheck  key uniqueness (HLL screen → exact confirm).
+- RefCheck     referential integrity vs a dimension table.
+- DriftCheck   PSI/KS distribution drift vs the baseline snapshot.
+"""
+
+from __future__ import annotations
+
+import operator
+from dataclasses import dataclass, field
+
+_OPS = {
+    "<": operator.lt,
+    "<=": operator.le,
+    ">": operator.gt,
+    ">=": operator.ge,
+    "==": operator.eq,
+}
+
+
+@dataclass(frozen=True)
+class RowCheck:
+    constraint_id: str
+    predicate: str  # SQL expr; row passes when TRUE
+    observed: str  # SQL expr → string shown in the violation row
+    expected: str  # human-readable expectation
+    requires_audio: bool = False  # needs the decoded-PCM invariant columns
+
+
+@dataclass(frozen=True)
+class StatCheck:
+    constraint_id: str
+    column: str
+    stat: str  # a column_profile output: null_rate, mean, std, min, max, cnt…
+    op: str  # < <= > >= ==
+    threshold: float
+
+    def passes(self, value: float) -> bool:
+        return bool(_OPS[self.op](value, self.threshold))
+
+
+@dataclass(frozen=True)
+class UniqueCheck:
+    constraint_id: str
+    column: str
+
+
+@dataclass(frozen=True)
+class RefCheck:
+    constraint_id: str
+    column: str
+    dim_name: str  # key into the dims dict passed to run_suite
+
+
+@dataclass(frozen=True)
+class DriftCheck:
+    constraint_id: str
+    column: str
+    lo: float
+    hi: float
+    nbins: int = 20
+    psi_max: float = 0.2
+    ks_max: float = 0.15
+
+
+@dataclass(frozen=True)
+class Suite:
+    row_checks: tuple[RowCheck, ...] = ()
+    stat_checks: tuple[StatCheck, ...] = ()
+    unique_checks: tuple[UniqueCheck, ...] = ()
+    ref_checks: tuple[RefCheck, ...] = ()
+    drift_checks: tuple[DriftCheck, ...] = ()
+
+    def all_ids(self) -> list[str]:
+        return [
+            c.constraint_id
+            for group in (
+                self.row_checks,
+                self.stat_checks,
+                self.unique_checks,
+                self.ref_checks,
+                self.drift_checks,
+            )
+            for c in group
+        ]
+
+
+def default_clips_suite() -> Suite:
+    """The full constraint suite for the clips table (north_rule surface).
+    SNR threshold per input_hint: decoded-PCM allclose ⇔ SNR ≥ 30 dB."""
+    return Suite(
+        row_checks=(
+            RowCheck(
+                "transcript_not_null",
+                "transcript IS NOT NULL AND length(transcript) > 0",
+                "coalesce(transcript, 'NULL')",
+                "non-empty transcript",
+            ),
+            RowCheck(
+                "dur_ms_positive",
+                "dur_ms IS NOT NULL AND dur_ms > 0 AND dur_ms <= 600000",
+                "cast(dur_ms as string)",
+                "0 < dur_ms <= 600000",
+            ),
+            RowCheck(
+                "clip_id_format",
+                "clip_id rlike '^clip-[0-9]{12}$'",
+                "clip_id",
+                "clip-############",
+            ),
+            RowCheck(
+                "pcm_snr_30db",
+                "decode_ok AND snr >= 30.0",
+                "concat('decode_ok=', cast(decode_ok as string), ' snr=', cast(round(snr,1) as string))",
+                "decodable PCM with SNR >= 30 dB vs reference decode",
+                requires_audio=True,
+            ),
+            RowCheck(
+                "transcript_matches_reference",
+                "transcript_ok",
+                "coalesce(transcript, 'NULL')",
+                "transcript equals reference transcript",
+                requires_audio=True,
+            ),
+        ),
+        stat_checks=(
+            StatCheck("transcript_null_rate", "transcript", "null_rate", "<=", 0.02),
+            StatCheck("dur_ms_mean_sane", "dur_ms", "mean", "<=", 10000.0),
+            StatCheck("sr_hz_min", "sr_hz", "min", ">=", 4000.0),
+        ),
+        unique_checks=(UniqueCheck("clip_id_unique", "clip_id"),),
+        ref_checks=(
+            RefCheck("codec_in_dim", "codec", "dim_codec"),
+            RefCheck("sr_hz_in_dim", "sr_hz", "dim_sr"),
+        ),
+        drift_checks=(
+            DriftCheck("dur_ms_drift", "dur_ms", 0.0, 20000.0, nbins=25),
+            DriftCheck(
+                "sr_hz_drift", "sr_hz", 0.0, 50000.0, nbins=50, psi_max=0.1, ks_max=0.1
+            ),
+        ),
+    )

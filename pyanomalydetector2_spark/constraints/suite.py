@@ -1,0 +1,322 @@
+"""Constraint-suite runner: one distributed pass per check family, verdicts +
+violation rows out, checkpoint/resume at partition-bucket granularity.
+
+Execution shape (the scale story):
+- ALL row checks ride ONE scan: each predicate compiles to a struct-in-array
+  element, failures explode into violation rows. The decoded-PCM invariant
+  columns are attached by a single Arrow-batched UDF pass; ``bytes`` is never
+  read by any other family (column pruning).
+- Stat/drift/uniqueness/referential checks are independent aggregates over
+  the (cached, bytes-free) frame; each is one map-side-combined shuffle.
+- Verdict assembly happens on the driver over TINY frames (buckets ×
+  constraints rows) — the same driver-side funnel the reference uses for
+  survivor sets (detect_anomalies.py:79-96); all heavy lifting stays
+  distributed.
+
+Violation rows mirror the reference's anomalies upsert contract
+(models/anomalies.py:9,59-79 → FIXTURES.md §B3).
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from pyanomalydetector2_spark.constraints.dsl import Suite
+from pyanomalydetector2_spark.operators.audio import with_audio_invariants
+from pyanomalydetector2_spark.operators.drift import HistSpec, drift_scores_multi
+from pyanomalydetector2_spark.operators.integrity import referential_violations
+from pyanomalydetector2_spark.operators.stats import column_profile
+from pyanomalydetector2_spark.operators.uniqueness import (
+    duplicate_rows,
+    hll_unique_screen,
+)
+from pyanomalydetector2_spark.streaming.checkpoint import CheckpointLedger
+
+VIOLATION_SCHEMA = T.StructType(
+    [
+        T.StructField("run_id", T.StringType()),
+        T.StructField("bucket", T.IntegerType()),
+        T.StructField("clip_id", T.StringType()),
+        T.StructField("constraint_id", T.StringType()),
+        T.StructField("observed", T.StringType()),
+        T.StructField("expected", T.StringType()),
+    ]
+)
+
+VERDICT_SCHEMA = T.StructType(
+    [
+        T.StructField("run_id", T.StringType()),
+        T.StructField("bucket", T.IntegerType()),
+        T.StructField("constraint_id", T.StringType()),
+        T.StructField("metric", T.StringType()),
+        T.StructField("observed", T.DoubleType()),
+        T.StructField("threshold", T.DoubleType()),
+        T.StructField("passed", T.BooleanType()),
+        T.StructField("violation_cnt", T.LongType()),
+    ]
+)
+
+
+@dataclass
+class SuiteResult:
+    run_id: str
+    verdicts: DataFrame
+    violations: DataFrame
+    processed_buckets: list[int]
+    skipped_buckets: list[int]
+    row_count: int
+    wall_sec: float
+
+    def passed(self) -> bool:
+        return self.verdicts.filter(~F.col("passed")).isEmpty()
+
+
+def _row_check_violations(
+    base: DataFrame, suite: Suite, run_id: str, key_col: str, bucket_col: str
+) -> DataFrame | None:
+    if not suite.row_checks:
+        return None
+    elems = []
+    for c in suite.row_checks:
+        fails = ~F.coalesce(F.expr(c.predicate), F.lit(False))  # NULL pred → fail
+        elems.append(
+            F.when(
+                fails,
+                F.struct(
+                    F.lit(c.constraint_id).alias("constraint_id"),
+                    F.coalesce(F.expr(c.observed).cast("string"), F.lit("NULL")).alias(
+                        "observed"
+                    ),
+                    F.lit(c.expected).alias("expected"),
+                ),
+            )
+        )
+    return (
+        base.select(
+            F.col(bucket_col).alias("bucket"),
+            F.col(key_col).alias("clip_id"),
+            F.array_compact(F.array(*elems)).alias("_fails"),
+        )
+        .filter(F.size("_fails") > 0)
+        .select(
+            F.lit(run_id).alias("run_id"),
+            F.col("bucket").cast("int"),
+            "clip_id",
+            F.explode("_fails").alias("_f"),
+        )
+        .select(
+            "run_id",
+            "bucket",
+            "clip_id",
+            F.col("_f.constraint_id").alias("constraint_id"),
+            F.col("_f.observed").alias("observed"),
+            F.col("_f.expected").alias("expected"),
+        )
+    )
+
+
+def run_suite(
+    current: DataFrame,
+    baseline: DataFrame,
+    dims: dict[str, DataFrame],
+    suite: Suite,
+    run_id: str,
+    key_col: str = "clip_id",
+    bucket_col: str = "bucket",
+    checkpoint: CheckpointLedger | None = None,
+    cache: bool = True,
+    verbose: bool = False,
+) -> SuiteResult:
+    """Run the full suite over ``current`` (minus already-committed buckets
+    when resuming), emit verdicts + violations, commit the ledger."""
+    t0 = time.time()
+    _last = [t0]
+
+    def _tick(label: str) -> None:
+        now = time.time()
+        if verbose:
+            print(f"[suite] {label}: {now - _last[0]:.1f}s", flush=True)
+        _last[0] = now
+
+    spark = current.sparkSession
+
+    skipped: list[int] = []
+    if checkpoint is not None:
+        skipped = checkpoint.committed_buckets(run_id)
+        if skipped:
+            current = current.filter(~F.col(bucket_col).isin(skipped))
+
+    needs_audio = any(c.requires_audio for c in suite.row_checks)
+    base = with_audio_invariants(current) if needs_audio else current
+    if cache:
+        base = base.cache()  # bytes-free frame reused by every family
+
+    buckets = [
+        r[0] for r in base.select(bucket_col).distinct().collect()
+    ]
+    row_count = base.count()
+    _tick(f"materialize base ({row_count} rows)")
+    if not buckets:  # everything committed already — idempotent no-op
+        empty_ver = spark.createDataFrame([], VERDICT_SCHEMA)
+        empty_vio = spark.createDataFrame([], VIOLATION_SCHEMA)
+        return SuiteResult(run_id, empty_ver, empty_vio, [], skipped, 0, 0.0)
+
+    violation_frames: list[DataFrame] = []
+    verdict_rows: list[tuple] = []  # assembled driver-side from tiny frames
+
+    # ---- row checks: one scan, all predicates -----------------------------
+    rc_viol = _row_check_violations(base, suite, run_id, key_col, bucket_col)
+    if rc_viol is not None:
+        violation_frames.append(rc_viol)
+    _tick("row checks (lazy)")
+
+    # ---- uniqueness: HLL screen (recorded metric) + exact confirm ---------
+    # The HLL estimate is recorded per run (the cheap observability signal,
+    # and at 10^12 rows the early-exit for grossly-duplicated inputs), but
+    # pass/fail truth always comes from the exact pass: HLL's relative error
+    # (~2%) cannot certify uniqueness at realistic dup rates.
+    for c in suite.unique_checks:
+        screen = hll_unique_screen(base, c.column)
+        verdict_rows.append(
+            (
+                run_id,
+                -1,  # whole-table metric, not per-bucket
+                c.constraint_id,
+                "hll_approx_distinct",
+                float(screen["approx_distinct"]),
+                float(screen["cnt"]),
+                True,  # informational; exact pass decides
+                0,
+            )
+        )
+        dup_rows = duplicate_rows(base, c.column, [bucket_col]).select(
+            F.lit(run_id).alias("run_id"),
+            F.col(bucket_col).cast("int").alias("bucket"),
+            F.col(c.column).cast("string").alias("clip_id"),
+            F.lit(c.constraint_id).alias("constraint_id"),
+            F.concat(F.lit("dup_cnt="), F.col("dup_cnt")).alias("observed"),
+            F.lit(f"unique {c.column}").alias("expected"),
+        )
+        violation_frames.append(dup_rows)
+    _tick("uniqueness")
+
+    # ---- referential integrity: broadcast anti-joins ----------------------
+    for c in suite.ref_checks:
+        dim = dims[c.dim_name]
+        viol = referential_violations(
+            base, c.column, dim, keep_cols=[key_col, bucket_col]
+        ).select(
+            F.lit(run_id).alias("run_id"),
+            F.col(bucket_col).cast("int").alias("bucket"),
+            F.col(key_col).alias("clip_id"),
+            F.lit(c.constraint_id).alias("constraint_id"),
+            F.col(c.column).cast("string").alias("observed"),
+            F.lit(f"{c.column} in {c.dim_name}").alias("expected"),
+        )
+        violation_frames.append(viol)
+
+    # ---- materialize violations once, derive per-bucket counts ------------
+    if violation_frames:
+        violations = violation_frames[0]
+        for vf in violation_frames[1:]:
+            violations = violations.unionByName(vf)
+    else:
+        violations = spark.createDataFrame([], VIOLATION_SCHEMA)
+    violations = violations.cache()
+    counts = {
+        (r["bucket"], r["constraint_id"]): r["cnt"]
+        for r in violations.groupBy("bucket", "constraint_id")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    }
+    _tick("violations materialized + counted")
+    counted_ids = (
+        [c.constraint_id for c in suite.row_checks]
+        + [c.constraint_id for c in suite.unique_checks]
+        + [c.constraint_id for c in suite.ref_checks]
+    )
+    for cid in counted_ids:
+        for b in buckets:
+            n = counts.get((b, cid), 0)
+            verdict_rows.append(
+                (run_id, int(b), cid, "violation_cnt", float(n), 0.0, n == 0, n)
+            )
+
+    # ---- stat checks: single-pass per-bucket column profile ---------------
+    if suite.stat_checks:
+        stat_cols = sorted({c.column for c in suite.stat_checks})
+        prof = column_profile(base, stat_cols, group_cols=[bucket_col])
+        pmap = {
+            (r[bucket_col], r["column"]): r.asDict() for r in prof.collect()
+        }
+        _tick("stat profile")
+        for c in suite.stat_checks:
+            for b in buckets:
+                row = pmap.get((b, c.column))
+                val = float(row[c.stat]) if row and row[c.stat] is not None else float("nan")
+                ok = row is not None and c.passes(val)
+                verdict_rows.append(
+                    (
+                        run_id,
+                        int(b),
+                        c.constraint_id,
+                        f"{c.column}.{c.stat}",
+                        val,
+                        float(c.threshold),
+                        bool(ok),
+                        0,
+                    )
+                )
+
+    # ---- drift checks: ONE histogram pass per side for ALL columns --------
+    if suite.drift_checks:
+        specs = [HistSpec(c.column, c.lo, c.hi, c.nbins) for c in suite.drift_checks]
+        scores = drift_scores_multi(base, baseline, specs, group_col=bucket_col)
+        _tick("drift (all columns)")
+        by_col = {c.column: c for c in suite.drift_checks}
+        for s in scores:
+            c = by_col[s["column"]]
+            b = int(s["group"])
+            psi, ks = s["psi"], s["ks"]
+            verdict_rows.append(
+                (run_id, b, c.constraint_id, "psi", psi, c.psi_max, psi <= c.psi_max, 0)
+            )
+            verdict_rows.append(
+                (run_id, b, c.constraint_id, "ks", ks, c.ks_max, ks <= c.ks_max, 0)
+            )
+
+    verdicts = spark.createDataFrame(verdict_rows, VERDICT_SCHEMA)
+
+    if checkpoint is not None:
+        per_bucket_fail = {
+            b: sum(
+                1
+                for v in verdict_rows
+                if v[1] == b and not v[6]
+            )
+            for b in buckets
+        }
+        for b in buckets:
+            checkpoint.mark_committed(
+                run_id,
+                int(b),
+                metrics={
+                    "rows": row_count,
+                    "failed_constraints": per_bucket_fail[b],
+                },
+            )
+
+    return SuiteResult(
+        run_id,
+        verdicts,
+        violations,
+        sorted(int(b) for b in buckets),
+        skipped,
+        row_count,
+        time.time() - t0,
+    )

@@ -1,0 +1,217 @@
+"""Deterministic synthetic audio clips + transcript table (FIXTURES.md §B1).
+
+Schema per BASELINE.json input_hint:
+    (clip_id string, bytes binary, sr_hz int, dur_ms int, codec string,
+     transcript string)
+plus a derived ``bucket`` partition column = crc32(clip_id) % n_buckets (the
+parquet stand-in for Iceberg's ``bucket(clip_id, B)`` partition transform).
+
+Generation is DISTRIBUTED (mapInPandas over spark.range) and keyed purely by
+the numeric row id through a splitmix64 hash, so:
+- any executor/partitioning produces identical rows (resume-safe),
+- a pandas/DuckDB oracle can recompute every value exactly (test pattern 2
+  in SURVEY §5 — independent recomputation),
+- the per-row invariant UDF can re-derive the REFERENCE decode from the
+  clip_id alone (the SNR>=30dB allclose target).
+
+Audio payload: a seeded sine wave quantized to int16 LE ("pcm_s16le"). For
+non-PCM codecs the payload is the same PCM prefixed with a 4-byte magic tag —
+a clearly-marked deterministic fake (real flac/opus/mp3 codecs aren't in this
+container); the Spark-side plumbing (binary column, Arrow batches, decode UDF
+signature) is real. Payload length is fixed at PCM_SAMPLES regardless of
+dur_ms (clip "head" — engines store full audio in object storage; the
+validation engine only needs a decodable prefix).
+
+Planted violations (current snapshot only), each on its own prime stride so
+tests can count them in closed form:
+- duplicate clip_id        id % 97  == 1  (takes the id of the previous row)
+- unknown codec            id % 101 == 2  → "amr_nb"
+- sr_hz not in dim         id % 103 == 3  → 12345
+- null transcript          id % 107 == 4
+- empty transcript         id % 109 == 5
+- corrupted PCM (SNR<30)   id % 113 == 6  (additive seeded noise)
+- transcript mismatch      id % 127 == 7  (tokens shifted vs reference)
+- dur_ms drift             current dur_ms *= 1.25 (distribution shift vs
+                           baseline → PSI/KS target)
+"""
+
+from __future__ import annotations
+
+import zlib
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+
+CLIPS_SCHEMA = (
+    "clip_id string, bytes binary, sr_hz int, dur_ms int, codec string, "
+    "transcript string, bucket int"
+)
+
+CODECS = ("pcm_s16le", "flac", "opus", "mp3")
+SAMPLE_RATES = (8000, 16000, 22050, 44100, 48000)
+CODEC_MAGIC = {"flac": b"fLaC", "opus": b"OggS", "mp3": b"ID3\x03"}
+PCM_SAMPLES = 512
+PCM_AMP = 26000.0
+VOCAB = (
+    "the quick brown fox jumps over lazy dog audio clip speech sample "
+    "hello world test data sound wave noise signal".split()
+)
+
+# violation strides (prime, offset)
+V_DUP = (97, 1)
+V_CODEC = (101, 2)
+V_SR = (103, 3)
+V_NULL_T = (107, 4)
+V_EMPTY_T = (109, 5)
+V_PCM = (113, 6)
+V_MISMATCH = (127, 7)
+
+
+def _splitmix64(x: np.ndarray) -> np.ndarray:
+    """Vectorized splitmix64 — the engine-independent RNG core."""
+    x = (x + np.uint64(0x9E3779B97F4A7C15)) & np.uint64(0xFFFFFFFFFFFFFFFF)
+    x = ((x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)) & np.uint64(
+        0xFFFFFFFFFFFFFFFF
+    )
+    x = ((x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)) & np.uint64(
+        0xFFFFFFFFFFFFFFFF
+    )
+    return x ^ (x >> np.uint64(31))
+
+
+def u01(ids: np.ndarray, stream: int) -> np.ndarray:
+    """Deterministic uniform[0,1) per (id, stream)."""
+    h = _splitmix64(ids.astype(np.uint64) * np.uint64(2654435761) + np.uint64(stream))
+    return (h >> np.uint64(11)).astype(np.float64) / float(1 << 53)
+
+
+def clip_id_of(ids: np.ndarray) -> np.ndarray:
+    return np.char.add("clip-", np.char.zfill(ids.astype("int64").astype(str), 12))
+
+
+def numeric_id(clip_id: str) -> int:
+    return int(clip_id.rsplit("-", 1)[1])
+
+
+def reference_pcm(num_id: int) -> np.ndarray:
+    """The reference decode for a clip: seeded sine, float in [-1,1]*AMP."""
+    f = 100.0 + 400.0 * u01(np.array([num_id]), 5)[0]
+    t = np.arange(PCM_SAMPLES, dtype=np.float64)
+    return np.sin(2.0 * np.pi * f * t / 8000.0) * PCM_AMP
+
+
+def reference_transcript(num_id: int) -> str:
+    n_tok = 5 + int(u01(np.array([num_id]), 7)[0] * 10)
+    idx = (u01(np.arange(num_id, num_id + n_tok), 11) * len(VOCAB)).astype(int)
+    return " ".join(VOCAB[i] for i in idx)
+
+
+def _dur_ms(ids: np.ndarray, drift: float) -> np.ndarray:
+    """Log-normal-ish duration via Box-Muller on two hash streams."""
+    u1 = np.clip(u01(ids, 21), 1e-12, 1.0)
+    u2 = u01(ids, 22)
+    z = np.sqrt(-2.0 * np.log(u1)) * np.cos(2.0 * np.pi * u2)
+    return (np.exp(8.0 + 0.35 * z) * drift).astype(np.int64).clip(50, 120_000)
+
+
+def _hits(ids: np.ndarray, stride: tuple[int, int]) -> np.ndarray:
+    p, off = stride
+    return (ids % p) == off
+
+
+def _gen_batch(ids: np.ndarray, planted: bool) -> pd.DataFrame:
+    n = len(ids)
+    # duplicates are FULL row copies of the previous id (a true duplicate
+    # record — it must trip only the uniqueness check, nothing else), so all
+    # content derives from the effective id
+    if planted:
+        dup = _hits(ids, V_DUP) & (ids > 0)
+        eff = ids.copy()
+        eff[dup] = ids[dup] - 1
+    else:
+        eff = ids
+    cids = clip_id_of(eff)
+    sr = np.array(SAMPLE_RATES)[(u01(eff, 31) * len(SAMPLE_RATES)).astype(int)]
+    codec = np.array(CODECS)[(u01(eff, 32) * len(CODECS)).astype(int)]
+    dur = _dur_ms(eff, 1.25 if planted else 1.0)
+
+    if planted:
+        codec = codec.copy()
+        codec[_hits(eff, V_CODEC)] = "amr_nb"
+        sr = sr.copy()
+        sr[_hits(eff, V_SR)] = 12345
+
+    payloads: list[bytes] = []
+    t = np.arange(PCM_SAMPLES, dtype=np.float64)
+    freqs = 100.0 + 400.0 * u01(eff, 5)
+    noise_mask = _hits(eff, V_PCM) if planted else np.zeros(n, dtype=bool)
+    for i in range(n):
+        wave = np.sin(2.0 * np.pi * freqs[i] * t / 8000.0) * PCM_AMP
+        if noise_mask[i]:
+            nz = (u01(eff[i] * PCM_SAMPLES + np.arange(PCM_SAMPLES), 41) - 0.5) * PCM_AMP
+            wave = wave + nz
+        raw = np.round(wave).astype("<i2").tobytes()
+        payloads.append(CODEC_MAGIC.get(codec[i], b"") + raw)
+
+    trans: list[str | None] = []
+    null_m = _hits(eff, V_NULL_T) if planted else np.zeros(n, dtype=bool)
+    empty_m = _hits(eff, V_EMPTY_T) if planted else np.zeros(n, dtype=bool)
+    mism_m = _hits(eff, V_MISMATCH) if planted else np.zeros(n, dtype=bool)
+    for i in range(n):
+        if null_m[i]:
+            trans.append(None)
+        elif empty_m[i]:
+            trans.append("")
+        elif mism_m[i]:
+            trans.append(reference_transcript(int(eff[i])) + " corrupted")
+        else:
+            trans.append(reference_transcript(int(eff[i])))
+
+    bucket = np.array(
+        [zlib.crc32(c.encode()) for c in cids], dtype=np.int64
+    )
+    return pd.DataFrame(
+        {
+            "clip_id": cids,
+            "bytes": payloads,
+            "sr_hz": sr.astype(np.int32),
+            "dur_ms": dur.astype(np.int32),
+            "codec": codec,
+            "transcript": trans,
+            "bucket": bucket,
+        }
+    )
+
+
+def clips_table(
+    spark: SparkSession,
+    n: int,
+    planted: bool = True,
+    n_buckets: int = 16,
+    partitions: int | None = None,
+) -> DataFrame:
+    """Distributed deterministic clips DataFrame.
+
+    ``planted=False`` → baseline snapshot (no violations, no drift);
+    ``planted=True``  → current snapshot with violations + dur_ms drift.
+    """
+
+    def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids = pdf["id"].to_numpy()
+            out = _gen_batch(ids, planted)
+            out["bucket"] = (out["bucket"] % n_buckets).astype(np.int32)
+            yield out
+
+    rng = spark.range(0, n, 1, partitions or spark.sparkContext.defaultParallelism)
+    return rng.mapInPandas(gen, schema=CLIPS_SCHEMA)
+
+
+def dim_codec(spark: SparkSession) -> DataFrame:
+    return spark.createDataFrame([(c,) for c in CODECS], "codec string")
+
+
+def dim_sr(spark: SparkSession) -> DataFrame:
+    return spark.createDataFrame([(s,) for s in SAMPLE_RATES], "sr_hz int")

@@ -1,0 +1,167 @@
+"""Distribution-drift validation: PSI + binned KS vs a baseline snapshot.
+
+The Spark re-expression of the reference's "compare recent window to
+long-window trend" semantics (detect2/detect3, detector.py:262-345/395-474):
+instead of per-item mean/std deltas, whole-distribution comparison per
+partition bucket against the baseline snapshot's global distribution
+(north_rule: "distribution drift on dur_ms/sr_hz histograms via PSI/KS
+against a baseline Iceberg snapshot").
+
+Execution shape: the ONLY full-table work is the binned counts — one scan +
+one map-side-combined shuffle per side covering ALL drift columns at once
+(explode of per-column width_bucket bins). The resulting histograms are
+O(groups × columns × bins) rows regardless of table size — at 10^12 rows
+they are a few thousand numbers — so the PSI/KS arithmetic runs on the
+driver in numpy (the same tiny-survivor-set funnel the reference uses,
+detect_anomalies.py:79-96), not as a cascade of micro-joins.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+EPS = 1e-6
+
+
+@dataclass(frozen=True)
+class HistSpec:
+    column: str
+    lo: float
+    hi: float
+    nbins: int
+
+
+def binned_counts(
+    df: DataFrame,
+    column: str,
+    lo: float,
+    hi: float,
+    nbins: int,
+    group_col: str | None = None,
+) -> DataFrame:
+    """Histogram counts per (group?, bin) for one column. width_bucket
+    semantics: bin 0 = underflow, nbins+1 = overflow. Nulls excluded
+    (null-rate is a separate stat constraint)."""
+    binc = F.width_bucket(
+        F.col(column).cast("double"), F.lit(lo), F.lit(hi), F.lit(nbins)
+    )
+    keys = ([group_col] if group_col else []) + ["bin"]
+    return (
+        df.filter(F.col(column).isNotNull())
+        .select(*(([group_col] if group_col else []) + [binc.alias("bin")]))
+        .groupBy(*keys)
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def histogram_counts(
+    df: DataFrame, specs: list[HistSpec], group_col: str | None = None
+) -> dict[tuple, np.ndarray]:
+    """ONE pass for all drift columns: explode per-column bins, one groupBy.
+    Returns {(group, column): counts[nbins+2]} (group is None when global).
+    """
+    entries = [
+        F.struct(
+            F.lit(s.column).alias("c"),
+            F.when(
+                F.col(s.column).isNotNull(),
+                F.width_bucket(
+                    F.col(s.column).cast("double"),
+                    F.lit(s.lo),
+                    F.lit(s.hi),
+                    F.lit(s.nbins),
+                ),
+            ).alias("b"),
+        )
+        for s in specs
+    ]
+    gsel = [F.col(group_col).alias("g")] if group_col else [F.lit(None).cast("int").alias("g")]
+    rows = (
+        df.select(*gsel, F.explode(F.array(*entries)).alias("e"))
+        .filter(F.col("e.b").isNotNull())
+        .groupBy("g", F.col("e.c").alias("c"), F.col("e.b").alias("b"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    nb = {s.column: s.nbins for s in specs}
+    out: dict[tuple, np.ndarray] = {}
+    for r in rows:
+        key = (r["g"], r["c"])
+        if key not in out:
+            out[key] = np.zeros(nb[r["c"]] + 2, dtype=np.int64)
+        out[key][int(r["b"])] = r["n"]
+    return out
+
+
+def psi_ks(cur: np.ndarray, base: np.ndarray) -> tuple[float, float]:
+    """PSI = Σ (p−q)·ln(p/q) over ε-smoothed shares; KS = max |CDF_p − CDF_q|
+    (the ε terms cancel in the CDF difference, so KS is unbiased)."""
+    p = cur / max(cur.sum(), 1) + EPS
+    q = base / max(base.sum(), 1) + EPS
+    psi = float(np.sum((p - q) * np.log(p / q)))
+    ks = float(np.max(np.abs(np.cumsum(p) - np.cumsum(q))))
+    return psi, ks
+
+
+def drift_scores_multi(
+    current: DataFrame,
+    baseline: DataFrame,
+    specs: list[HistSpec],
+    group_col: str | None = None,
+) -> list[dict]:
+    """Per (group, column) PSI/KS of current vs the GLOBAL baseline
+    distribution. Two table passes total (one per side), all columns."""
+    cur_h = histogram_counts(current, specs, group_col)
+    base_h = histogram_counts(baseline, specs, None)
+    out = []
+    for (g, c), counts in sorted(cur_h.items(), key=lambda kv: (str(kv[0][0]), kv[0][1])):
+        b = base_h.get((None, c))
+        if b is None:
+            continue
+        psi, ks = psi_ks(counts, b)
+        out.append(
+            {
+                "group": g,
+                "column": c,
+                "psi": psi,
+                "ks": ks,
+                "cur_n": int(counts.sum()),
+                "base_n": int(b.sum()),
+            }
+        )
+    return out
+
+
+def drift_scores(
+    current: DataFrame,
+    baseline: DataFrame,
+    column: str,
+    lo: float,
+    hi: float,
+    nbins: int = 20,
+    group_col: str | None = None,
+) -> DataFrame:
+    """Single-column convenience wrapper returning a (local) DataFrame with
+    the same shape as before: (group?, psi, ks, cur_n, base_n).
+
+    Binned KS is exact for discrete columns (sr_hz) and resolution-limited
+    by nbins for continuous ones.
+    """
+    spark = current.sparkSession
+    scores = drift_scores_multi(current, baseline, [HistSpec(column, lo, hi, nbins)], group_col)
+    schema = (
+        (f"{group_col} int, " if group_col else "")
+        + "psi double, ks double, cur_n long, base_n long"
+    )
+    rows = [
+        tuple(
+            ([int(s["group"])] if group_col else [])
+            + [s["psi"], s["ks"], s["cur_n"], s["base_n"]]
+        )
+        for s in scores
+    ]
+    return spark.createDataFrame(rows, schema)

@@ -1,0 +1,103 @@
+"""spark-submit entry point for the clips validation suite (north_rule:
+"run via spark-submit --py-files on a multi-executor cluster").
+
+    spark-submit --py-files pyanomalydetector2_spark.zip \
+        -m pyanomalydetector2_spark.run_suite --rows 1000000 --buckets 64
+or locally:
+    python -m pyanomalydetector2_spark.run_suite --rows 100000 --cpus 32
+
+Generates (or reads) the current + baseline clips snapshots, runs the full
+constraint suite, writes verdicts + violations to the results catalog, and
+prints a one-line JSON summary (clips/sec throughput — the BASELINE.md
+metric).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import time
+
+from pyanomalydetector2_spark.constraints import default_clips_suite, run_suite
+from pyanomalydetector2_spark.datagen.clips import clips_table, dim_codec, dim_sr
+from pyanomalydetector2_spark.session import get_spark
+from pyanomalydetector2_spark.sources.catalog import SnapshotTable
+from pyanomalydetector2_spark.streaming.checkpoint import CheckpointLedger
+
+
+def main(argv: list[str] | None = None) -> dict:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--rows", type=int, default=100_000)
+    ap.add_argument("--buckets", type=int, default=32)
+    ap.add_argument("--cpus", type=int, default=int(os.environ.get("SPARK_GRAFT_CPUS", 32)))
+    ap.add_argument("--run-id", default="run-local")
+    ap.add_argument("--warehouse", default="/tmp/pyad2_warehouse")
+    ap.add_argument("--resume", action="store_true", help="resume from ledger")
+    ap.add_argument(
+        "--no-materialize",
+        dest="materialize",
+        action="store_false",
+        help="validate the generated frames directly instead of writing "
+        "snapshots to the catalog first (default materializes: the engine's "
+        "real input is a table, and throughput should not charge datagen)",
+    )
+    args = ap.parse_args(argv)
+
+    # local parquet inputs are tiny vs the 128m cluster default split size;
+    # keep scan splits small so every core gets work (a real cluster reading
+    # 100 TB never hits this — file count >> slots)
+    spark = get_spark(
+        cpus=args.cpus,
+        app_name="pyad2-suite",
+        extra_conf={
+            "spark.sql.files.maxPartitionBytes": "4m",
+            "spark.sql.files.openCostInBytes": "512k",
+        },
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    cur = clips_table(spark, args.rows, planted=True, n_buckets=args.buckets)
+    base = clips_table(spark, args.rows, planted=False, n_buckets=args.buckets)
+    if args.materialize:
+        cur_t = SnapshotTable(os.path.join(args.warehouse, "clips_current"))
+        base_t = SnapshotTable(os.path.join(args.warehouse, "clips_baseline"))
+        cur_t.write_snapshot(cur, partition_by=["bucket"])
+        base_t.write_snapshot(base, partition_by=["bucket"])
+        cur, base = cur_t.read(spark), base_t.read(spark)
+
+    dims = {"dim_codec": dim_codec(spark), "dim_sr": dim_sr(spark)}
+    ledger = CheckpointLedger(os.path.join(args.warehouse, "ledger")) if args.resume else None
+
+    t0 = time.time()
+    res = run_suite(cur, base, dims, default_clips_suite(), args.run_id, checkpoint=ledger)
+    # persist results (FIXTURES.md §B3/§B4 output contract)
+    results_t = SnapshotTable(os.path.join(args.warehouse, "results"))
+    verdicts_t = SnapshotTable(os.path.join(args.warehouse, "verdicts"))
+    results_t.merge_upsert(
+        res.violations, ["run_id", "bucket", "clip_id", "constraint_id"],
+        partition_by=["bucket"],
+    )
+    verdicts_t.merge_upsert(res.verdicts, ["run_id", "bucket", "constraint_id", "metric"])
+    wall = time.time() - t0
+
+    n_viol = res.violations.count()
+    n_fail = res.verdicts.filter("NOT passed").count()
+    summary = {
+        "metric": "clips_per_sec",
+        "value": round(args.rows / wall, 1),
+        "unit": "clips/sec",
+        "rows": args.rows,
+        "wall_sec": round(wall, 2),
+        "violations": n_viol,
+        "failed_verdicts": n_fail,
+        "buckets": len(res.processed_buckets),
+        "skipped_buckets": len(res.skipped_buckets),
+        "cpus": args.cpus,
+    }
+    print(json.dumps(summary))
+    return summary
+
+
+if __name__ == "__main__":
+    main()

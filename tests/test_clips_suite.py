@@ -1,0 +1,167 @@
+"""End-to-end clips validation suite tests (SURVEY §5 carry-over: planted
+violations, pandas-oracle recomputation, checkpoint/resume)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from pyanomalydetector2_spark.constraints import default_clips_suite, run_suite
+from pyanomalydetector2_spark.datagen.clips import (
+    V_CODEC,
+    V_DUP,
+    V_EMPTY_T,
+    V_MISMATCH,
+    V_NULL_T,
+    V_PCM,
+    V_SR,
+    _gen_batch,
+    clips_table,
+    dim_codec,
+    dim_sr,
+)
+from pyanomalydetector2_spark.streaming.checkpoint import CheckpointLedger
+
+N = 3000
+BUCKETS = 8
+
+
+def oracle_pdf(n: int, planted: bool) -> pd.DataFrame:
+    """Independent recomputation of the clips table in pure pandas."""
+    pdf = _gen_batch(np.arange(n, dtype=np.int64), planted)
+    pdf["bucket"] = (pdf["bucket"] % BUCKETS).astype("int32")
+    return pdf
+
+
+@pytest.fixture(scope="module")
+def clips(spark):
+    cur = clips_table(spark, N, planted=True, n_buckets=BUCKETS).cache()
+    base = clips_table(spark, N, planted=False, n_buckets=BUCKETS).cache()
+    dims = {"dim_codec": dim_codec(spark), "dim_sr": dim_sr(spark)}
+    return cur, base, dims
+
+
+def test_datagen_deterministic_and_matches_pandas_oracle(spark, clips):
+    cur, _, _ = clips
+    got = cur.drop("bytes").toPandas().sort_values("clip_id", kind="stable")
+    exp = oracle_pdf(N, True).drop(columns=["bytes"]).sort_values(
+        "clip_id", kind="stable"
+    )
+    # duplicates share clip_id; include a secondary sort for stability
+    got = got.sort_values(list(got.columns)).reset_index(drop=True)
+    exp = exp.sort_values(list(exp.columns)).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+def test_suite_violation_counts_match_oracle(spark, clips):
+    cur, base, dims = clips
+    res = run_suite(cur, base, dims, default_clips_suite(), "run_counts")
+    got = {
+        r["constraint_id"]: r["cnt"]
+        for r in res.violations.groupBy("constraint_id")
+        .count()
+        .withColumnRenamed("count", "cnt")
+        .collect()
+    }
+
+    o = oracle_pdf(N, True)
+    ids = np.arange(N, dtype=np.int64)
+    eff = ids.copy()
+    dup = (ids % V_DUP[0] == V_DUP[1]) & (ids > 0)
+    eff[dup] = ids[dup] - 1
+
+    null_m = (eff % V_NULL_T[0]) == V_NULL_T[1]
+    empty_m = (eff % V_EMPTY_T[0]) == V_EMPTY_T[1]
+    mism_m = (eff % V_MISMATCH[0]) == V_MISMATCH[1]
+    pcm_hit = (eff % V_PCM[0]) == V_PCM[1]
+    codec_hit = (eff % V_CODEC[0]) == V_CODEC[1]
+    exp_null = int(null_m.sum())
+    exp_empty = int(empty_m.sum())
+    exp_codec = int(codec_hit.sum())
+    exp_sr = int(((eff % V_SR[0]) == V_SR[1]).sum())
+    # snr check fails on corrupted PCM and on undecodable (unknown codec) rows
+    exp_snr = int((pcm_hit | codec_hit).sum())
+    # transcript match fails on mismatch ∪ null ∪ empty (strides can overlap)
+    exp_tmatch = int((mism_m | null_m | empty_m).sum())
+    # every row participating in a duplicated key is a violation row
+    dup_keys = o.loc[dup, "clip_id"]
+    exp_dup_rows = int(o["clip_id"].isin(set(dup_keys)).sum())
+
+    assert got.get("transcript_not_null", 0) == exp_null + exp_empty
+    assert got.get("codec_in_dim", 0) == exp_codec
+    assert got.get("sr_hz_in_dim", 0) == exp_sr
+    assert got.get("pcm_snr_30db", 0) == exp_snr
+    assert got.get("transcript_matches_reference", 0) == exp_tmatch
+    assert got.get("clip_id_unique", 0) == exp_dup_rows
+    assert "dur_ms_positive" not in got
+    assert "clip_id_format" not in got
+
+    # drift: planted dur_ms shift must fail, per-bucket
+    drift = {
+        (r["constraint_id"], r["metric"]): r["passed"]
+        for r in res.verdicts.filter("constraint_id = 'dur_ms_drift'").collect()
+    }
+    assert not any(drift.values())  # ×1.25 shift fails psi and ks in all buckets
+
+
+def test_clean_baseline_passes_everything(spark, clips):
+    _, base, dims = clips
+    res = run_suite(base, base, dims, default_clips_suite(), "run_clean")
+    assert res.violations.isEmpty()
+    assert res.passed()
+
+
+def test_snr_separation(spark, clips):
+    """Corrupted PCM sits far below 30 dB; clean PCM far above (quantization
+    noise only) — the threshold has real margin on both sides."""
+    from pyanomalydetector2_spark.operators.audio import with_audio_invariants
+
+    cur, _, _ = clips
+    inv = with_audio_invariants(cur).select("clip_id", "snr", "decode_ok").toPandas()
+    o = oracle_pdf(N, True)
+    ids = np.arange(N, dtype=np.int64)
+    eff = ids.copy()
+    dup = (ids % V_DUP[0] == V_DUP[1]) & (ids > 0)
+    eff[dup] = ids[dup] - 1
+    corrupted_ids = set(o.loc[(eff % V_PCM[0]) == V_PCM[1], "clip_id"])
+    decodable = inv[inv.decode_ok]
+    bad = decodable[decodable.clip_id.isin(corrupted_ids)]
+    good = decodable[~decodable.clip_id.isin(corrupted_ids)]
+    assert (bad.snr < 15).all(), bad.snr.describe()
+    assert (good.snr > 45).all(), good.snr.describe()
+
+
+def test_checkpoint_resume_skips_committed(spark, clips, tmp_path):
+    cur, base, dims = clips
+    suite = default_clips_suite()
+    ledger = CheckpointLedger(str(tmp_path / "ledger"))
+
+    # simulate a run killed after committing buckets {0,1,2}
+    part1 = cur.filter("bucket IN (0,1,2)")
+    r1 = run_suite(part1, base, dims, suite, "run_resume", checkpoint=ledger)
+    assert sorted(r1.processed_buckets) == [0, 1, 2]
+    assert ledger.committed_buckets("run_resume") == [0, 1, 2]
+
+    # resume over the FULL table: committed buckets must be pruned
+    r2 = run_suite(cur, base, dims, suite, "run_resume", checkpoint=ledger)
+    assert r2.skipped_buckets == [0, 1, 2]
+    assert sorted(r2.processed_buckets) == list(range(3, BUCKETS))
+    assert r2.violations.filter("bucket IN (0,1,2)").isEmpty()
+
+    # combined runs cover every bucket exactly once; a third run is a no-op
+    full = run_suite(cur, base, dims, suite, "run_full")
+    v_combined = r1.violations.unionByName(r2.violations).count()
+    assert v_combined == full.violations.count()
+    r3 = run_suite(cur, base, dims, suite, "run_resume", checkpoint=ledger)
+    assert r3.processed_buckets == [] and r3.row_count == 0
+
+
+def test_hll_metric_recorded(spark, clips):
+    cur, base, dims = clips
+    res = run_suite(cur, base, dims, default_clips_suite(), "run_hll")
+    row = res.verdicts.filter("metric = 'hll_approx_distinct'").first()
+    assert row is not None
+    # estimate within 5% of the true distinct count
+    true_distinct = cur.select("clip_id").distinct().count()
+    assert abs(row["observed"] - true_distinct) / true_distinct < 0.05

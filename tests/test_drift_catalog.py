@@ -1,0 +1,102 @@
+"""Unit tests: PSI/KS drift kernel vs a hand-rolled numpy oracle, and the
+snapshot catalog (Iceberg-shaped semantics on parquet)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from pyanomalydetector2_spark.operators.drift import EPS, drift_scores
+from pyanomalydetector2_spark.sources.catalog import SnapshotTable
+
+
+def numpy_psi_ks(cur: np.ndarray, base: np.ndarray, lo, hi, nbins):
+    edges = np.linspace(lo, hi, nbins + 1)
+    # width_bucket semantics: bin 0 underflow, nbins+1 overflow
+    cb = np.digitize(cur, edges, right=False)
+    bb = np.digitize(base, edges, right=False)
+    p = np.array([(cb == i).sum() for i in range(nbins + 2)]) / len(cur) + EPS
+    q = np.array([(bb == i).sum() for i in range(nbins + 2)]) / len(base) + EPS
+    psi = float(np.sum((p - q) * np.log(p / q)))
+    ks = float(np.max(np.abs(np.cumsum(p) - np.cumsum(q))))
+    return psi, ks
+
+
+def test_drift_matches_numpy_oracle(spark):
+    rng = np.random.default_rng(11)
+    base_v = rng.normal(100, 15, 4000)
+    cur_v = rng.normal(115, 15, 3000)  # shifted
+    cur = spark.createDataFrame(pd.DataFrame({"x": cur_v}))
+    base = spark.createDataFrame(pd.DataFrame({"x": base_v}))
+    row = drift_scores(cur, base, "x", 50.0, 150.0, nbins=20).first()
+    psi, ks = numpy_psi_ks(cur_v, base_v, 50.0, 150.0, 20)
+    assert row["psi"] == pytest.approx(psi, rel=1e-9)
+    assert row["ks"] == pytest.approx(ks, rel=1e-9)
+    assert row["cur_n"] == 3000 and row["base_n"] == 4000
+
+
+def test_drift_identical_distributions_near_zero(spark):
+    rng = np.random.default_rng(12)
+    v = rng.normal(0, 1, 5000)
+    df = spark.createDataFrame(pd.DataFrame({"x": v}))
+    row = drift_scores(df, df, "x", -4.0, 4.0, nbins=20).first()
+    assert row["psi"] == pytest.approx(0.0, abs=1e-12)
+    assert row["ks"] == pytest.approx(0.0, abs=1e-12)
+
+
+def test_drift_per_group(spark):
+    rng = np.random.default_rng(13)
+    base_v = rng.normal(0, 1, 4000)
+    g0 = rng.normal(0, 1, 2000)  # no drift
+    g1 = rng.normal(2, 1, 2000)  # drifted
+    cur = spark.createDataFrame(
+        pd.DataFrame({"g": [0] * 2000 + [1] * 2000, "x": np.concatenate([g0, g1])})
+    )
+    base = spark.createDataFrame(pd.DataFrame({"x": base_v}))
+    rows = {
+        r["g"]: r for r in drift_scores(cur, base, "x", -5.0, 5.0, 20, "g").collect()
+    }
+    assert rows[0]["psi"] < 0.05 and rows[1]["psi"] > 0.5
+    p0, k0 = numpy_psi_ks(g0, base_v, -5.0, 5.0, 20)
+    assert rows[0]["psi"] == pytest.approx(p0, rel=1e-9)
+    assert rows[0]["ks"] == pytest.approx(k0, rel=1e-9)
+
+
+def test_snapshot_catalog_roundtrip(spark, tmp_path):
+    t = SnapshotTable(str(tmp_path / "t"))
+    df1 = spark.createDataFrame([(1, "a"), (2, "b")], "id int, v string")
+    s1 = t.write_snapshot(df1)
+    df2 = spark.createDataFrame([(2, "B"), (3, "c")], "id int, v string")
+    s2 = t.merge_upsert(df2, ["id"])
+    assert t.snapshots() == [s1, s2]
+
+    # time travel: snapshot 1 unchanged; current has upserted rows
+    old = {r["id"]: r["v"] for r in t.read(spark, s1).collect()}
+    new = {r["id"]: r["v"] for r in t.read(spark).collect()}
+    assert old == {1: "a", 2: "b"}
+    assert new == {1: "a", 2: "B", 3: "c"}
+
+    # row-level delete (retention, reference S18)
+    t.delete_where("id = 1")
+    assert {r["id"] for r in t.read(spark).collect()} == {2, 3}
+
+    # snapshot expiry keeps the newest
+    dropped = t.expire_snapshots(keep_last=1)
+    assert s1 in dropped
+    assert {r["id"] for r in t.read(spark).collect()} == {2, 3}
+
+
+def test_catalog_partitioned_write_prunes(spark, tmp_path):
+    import os
+
+    t = SnapshotTable(str(tmp_path / "p"))
+    df = spark.range(0, 100).selectExpr("id", "cast(id % 4 as int) as bucket")
+    t.write_snapshot(df, partition_by=["bucket"])
+    snap_dir = t._snap_dir(t.current_snapshot())
+    assert sorted(
+        d for d in os.listdir(snap_dir) if d.startswith("bucket=")
+    ) == ["bucket=0", "bucket=1", "bucket=2", "bucket=3"]
+    # bucket filter prunes to one partition dir at the file-source level
+    plan = t.read(spark).filter("bucket = 2")._jdf.queryExecution().executedPlan().toString()
+    assert t.read(spark).filter("bucket = 2").count() == 25
