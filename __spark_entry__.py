@@ -1,12 +1,16 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-Each ``queries()`` entry re-expresses an operator from SURVEY.md §2 over the
-driver testdata tables; ``oracle_sql()`` gives the DuckDB-equivalent ANSI SQL.
-The events table is projected onto the reference's canonical series shape
+Each ``queries()`` entry re-expresses an operator from SURVEY.md §2 (or a
+training-data-pipeline operator: dedup / similarity / text analysis) over the
+driver testdata tables; ``oracle_sql()`` gives the DuckDB-equivalent ANSI
+SQL. The events table doubles as the reference's canonical series shape
 ``(itemid, clock, value)`` (models/history.py:10 → user_id/ts/value).
 
-All float outputs are rounded to 6 dp on BOTH sides so the driver's
-value-hash compare is stable across engines' summation orders.
+Portability rules (so the driver's value-hash compare is exact):
+- float outputs rounded to 6 dp on BOTH sides, computed with the SAME algebra
+- hashing via md5 (bit-identical in Spark + DuckDB); h60(s) = first 15 hex
+  chars of md5 as a long
+- ranking always on ROUNDED values with explicit id tie-breaks
 """
 
 from __future__ import annotations
@@ -16,7 +20,16 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from pyanomalydetector2_spark.operators.dedup import (
+    exact_dup_groups,
+    jaccard_pairs,
+    lsh_candidate_pairs,
+    minhash_signatures,
+    simhash,
+)
+from pyanomalydetector2_spark.operators.similarity import brute_force_topk
 from pyanomalydetector2_spark.operators.stats import moment_stats
+from pyanomalydetector2_spark.operators.text import doc_fingerprint, lang_id, token_metrics
 from pyanomalydetector2_spark.operators.windows import top_n_per_group
 from pyanomalydetector2_spark.sources.tables import events_as_series, load_table
 
@@ -28,12 +41,16 @@ _LAMBDA1 = 0.5
 _IGNORE_DIFF_RATE = 0.05
 _TRENDS_MIN_COUNT = 3
 
+_STOPWORDS = ("the", "a", "of", "and", "to", "in", "is")
+_LANGS = {"en": ("the", "a", "of", "and", "to"), "fr": ("le", "la", "de", "et", "un"),
+          "de": ("der", "die", "das", "und", "ein"), "es": ("el", "la", "de", "y", "un")}
+
 
 def _r(c, n=6):
     return F.round(c, n)
 
 
-# ---------------------------------------------------------------- queries --
+# ============================================================ §2 reference ==
 def q_stats_moment(spark: SparkSession, sf: str) -> DataFrame:
     """A1 — per-item moment sketch (reference stats.py:75-135)."""
     ev = events_as_series(spark, sf)
@@ -89,14 +106,11 @@ def q_time_bucket_rollup(spark: SparkSession, sf: str) -> DataFrame:
     ev = load_table(spark, sf, "events")
     epoch = F.unix_timestamp("ts").cast("long")
     bucket = (epoch - epoch % 86400).alias("clock")
-    return (
-        ev.groupBy("event_type", bucket)
-        .agg(
-            F.count("value").cast("long").alias("cnt"),
-            _r(F.avg("value")).alias("value_avg"),
-            _r(F.min("value")).alias("value_min"),
-            _r(F.max("value")).alias("value_max"),
-        )
+    return ev.groupBy("event_type", bucket).agg(
+        F.count("value").cast("long").alias("cnt"),
+        _r(F.avg("value")).alias("value_avg"),
+        _r(F.min("value")).alias("value_min"),
+        _r(F.max("value")).alias("value_max"),
     )
 
 
@@ -136,9 +150,7 @@ def q_topn_per_group(spark: SparkSession, sf: str) -> DataFrame:
         "event_type", "event_id", "user_id", "value"
     )
     top = top_n_per_group(ev, ["event_type"], "value", 3, tiebreak=["event_id"])
-    return top.select(
-        "event_type", "event_id", "user_id", _r("value").alias("value")
-    )
+    return top.select("event_type", "event_id", "user_id", _r("value").alias("value"))
 
 
 def q_star_join_agg(spark: SparkSession, sf: str) -> DataFrame:
@@ -161,9 +173,8 @@ def q_star_join_agg(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def q_anti_join_ids(spark: SparkSession, sf: str) -> DataFrame:
-    """P10/U5/J9 — anti-membership: items with 'error' events but no
-    'purchase' events (reference detector.py:527, models/model.py:44-59);
-    broadcast left-anti join."""
+    """P10/U5/J9 — anti-membership (reference detector.py:527,
+    models/model.py:44-59); broadcast left-anti join."""
     ev = load_table(spark, sf, "events")
     err = (
         ev.filter((F.col("event_type") == "error") & (F.col("value") > 95))
@@ -189,6 +200,290 @@ def q_union_distinct(spark: SparkSession, sf: str) -> DataFrame:
     return a.union(b).distinct()
 
 
+# ==================================================== training-data ops ====
+def q_dedup_exact_prefix(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact dedup via hash-groupBy on a normalized key (3-token prefix) —
+    the hash/shuffle shape of full exact dedup on md5(text)."""
+    docs = load_table(spark, sf, "documents")
+    toks = F.split(F.lower(F.trim("text")), r"\s+")
+    prefixed = docs.withColumn("prefix", F.concat_ws(" ", F.slice(toks, 1, 3)))
+    return exact_dup_groups(prefixed, "doc_id", ["prefix"])
+
+
+def q_minhash_lsh_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """MinHash (k=8, 3-gram shingles) + LSH banding (4 bands × 2 rows) →
+    candidate near-dup pairs."""
+    docs = load_table(spark, sf, "documents")
+    sigs = minhash_signatures(docs, "doc_id", "text", k=8, n=3)
+    return lsh_candidate_pairs(sigs, bands=4, rows_per_band=2)
+
+
+def q_ngram_jaccard_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact 3-gram Jaccard over the LSH candidate pairs, thresholded."""
+    docs = load_table(spark, sf, "documents")
+    sigs = minhash_signatures(docs, "doc_id", "text", k=8, n=3)
+    pairs = lsh_candidate_pairs(sigs, bands=4, rows_per_band=2)
+    j = jaccard_pairs(docs, "doc_id", "text", pairs, n=3)
+    return j.filter(F.col("jaccard") >= 0.1).select(
+        "id_a", "id_b", _r("jaccard").alias("jaccard")
+    )
+
+
+def q_simhash(spark: SparkSession, sf: str) -> DataFrame:
+    """16-bit SimHash signatures over tokens."""
+    docs = load_table(spark, sf, "documents")
+    return simhash(docs, "doc_id", "text", bits=16).withColumnRenamed("id", "doc_id")
+
+
+def q_embedding_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """Brute-force cosine top-5 for query vectors vec_id < 20 (ANN baseline)."""
+    emb = load_table(spark, sf, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
+    )
+    q = emb.filter(F.col("vec_id") < 20)
+    out = brute_force_topk(emb, q, k=5)
+    return out.select("query_id", "match_id", "cosine", F.col("rank").cast("int").alias("rank"))
+
+
+def q_text_quality(spark: SparkSession, sf: str) -> DataFrame:
+    """Token counting + quality scoring per document."""
+    docs = load_table(spark, sf, "documents")
+    m = token_metrics(docs, "text")
+    return m.select(
+        "doc_id",
+        F.col("n_tokens").cast("int").alias("n_tokens"),
+        _r("avg_token_len").alias("avg_token_len"),
+        _r("stopword_ratio").alias("stopword_ratio"),
+        _r("alpha_ratio").alias("alpha_ratio"),
+        _r("quality_score").alias("quality_score"),
+    )
+
+
+def q_lang_id(spark: SparkSession, sf: str) -> DataFrame:
+    """Stopword-marker language-ID heuristic with stable-argmax prediction."""
+    docs = load_table(spark, sf, "documents")
+    out = lang_id(docs, "text")
+    return out.select(
+        "doc_id",
+        *[_r(f"lang_{code}").alias(f"lang_{code}") for code in _LANGS],
+        "lang_pred",
+    )
+
+
+def q_doc_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
+    """Winnowing-style fingerprint: 3 smallest 3-gram shingle hashes."""
+    docs = load_table(spark, sf, "documents")
+    return doc_fingerprint(docs, "doc_id", "text", k=3, n=3).withColumnRenamed(
+        "id", "doc_id"
+    )
+
+
+# ======================================= §2 windows / detect / regularize ==
+def q_local_peak(spark: SparkSession, sf: str) -> DataFrame:
+    """W2 — sliding local-peak window means (reference detector.py:424-446):
+    running extremes of trailing-2h window means per item."""
+    from pyanomalydetector2_spark.operators.windows import local_peak
+
+    ev = events_as_series(spark, sf)
+    p = local_peak(ev, 7200)
+    return p.select("itemid", _r("peak_up").alias("peak_up"), _r("peak_dn").alias("peak_dn"))
+
+
+def q_minmax_normalize(spark: SparkSession, sf: str) -> DataFrame:
+    """W4 — per-item (x−min)/(max−min) (reference normalizer.py:74-91)."""
+    from pyanomalydetector2_spark.operators.windows import minmax_normalize
+
+    ev = load_table(spark, sf, "events").select(
+        "event_id", F.col("user_id").alias("itemid"), "value"
+    )
+    return minmax_normalize(ev, key="itemid").select(
+        "event_id", "itemid", _r("norm").alias("norm")
+    )
+
+
+def q_zscore_indicator(spark: SparkSession, sf: str) -> DataFrame:
+    """W6 — binary |z| > σ indicator per sample (reference
+    classifiers/__init__.py:21-34)."""
+    from pyanomalydetector2_spark.functions import z_indicator
+
+    ev = load_table(spark, sf, "events").select(
+        "event_id", F.col("user_id").alias("itemid"), "value"
+    )
+    stats = moment_stats(ev, ["itemid"]).select("itemid", "mean", "std")
+    j = ev.join(F.broadcast(stats), "itemid")
+    return j.select(
+        "event_id",
+        "itemid",
+        z_indicator(F.col("value"), F.col("mean"), F.col("std"), 2.0).alias("zind"),
+    )
+
+
+def q_first_per_group(spark: SparkSession, sf: str) -> DataFrame:
+    """A15 — deterministic first row per (item, day) (reference reporter.py:25)."""
+    ev = load_table(spark, sf, "events")
+    epoch = F.unix_timestamp("ts").cast("long")
+    day = (epoch - epoch % 86400).alias("day")
+    w = Window.partitionBy("user_id", "day").orderBy("ts", "event_id")
+    return (
+        ev.select(F.col("user_id").alias("itemid"), day, "ts", "event_id", "value")
+        .withColumn("rn", F.row_number().over(Window.partitionBy("itemid", "day").orderBy("ts", "event_id")))
+        .filter(F.col("rn") == 1)
+        .select("itemid", "day", "event_id", _r("value").alias("value"))
+    )
+
+
+def q_group_min_size(spark: SparkSession, sf: str) -> DataFrame:
+    """A14 — keep groups with ≥ N members (reference reporter.py:28-32)."""
+    ev = load_table(spark, sf, "events")
+    return (
+        ev.groupBy(F.col("user_id").alias("itemid"))
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .filter(F.col("cnt") >= 80)
+    )
+
+
+def q_like_wildcard(spark: SparkSession, sf: str) -> DataFrame:
+    """P9 — '*'→'%' wildcard name resolution (reference zabbix_getter.py:114-160)."""
+    from pyanomalydetector2_spark.functions import wildcard_to_like
+
+    docs = load_table(spark, sf, "documents")
+    return docs.filter(
+        F.col("source").like(wildcard_to_like("src1*")) & (F.col("lang") == "en")
+    ).select("doc_id", "source")
+
+
+def q_union_all_counts(spark: SparkSession, sf: str) -> DataFrame:
+    """U1 — UNION ALL of two source scans then rollup (reference
+    zabbix_getter.py:36-47 history ∪ history_uint)."""
+    ev = load_table(spark, sf, "events")
+    a = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("itemid"), "value"
+    )
+    b = ev.filter(F.col("event_type") == "error").select(
+        F.col("user_id").alias("itemid"), "value"
+    )
+    return (
+        a.unionAll(b)
+        .groupBy("itemid")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"), _r(F.sum("value")).alias("sum_v"))
+    )
+
+
+def q_incremental_merge(spark: SparkSession, sf: str) -> DataFrame:
+    """A2/J2 — incremental moment merge: stats(half1) ⊕ stats(half2) must
+    equal whole-table stats (reference stats.py:88-124); oracle computes the
+    whole-table stats directly."""
+    from pyanomalydetector2_spark.operators.stats import merge_moments
+
+    ev = load_table(spark, sf, "events").select(
+        F.col("user_id").alias("itemid"), "ts", "value"
+    )
+    a = moment_stats(ev.filter(F.col("ts") < _CUT), ["itemid"])
+    b = moment_stats(ev.filter(F.col("ts") >= _CUT), ["itemid"])
+    m = merge_moments(a, b, ["itemid"])
+    return m.select(
+        "itemid",
+        F.col("cnt").cast("long").alias("cnt"),
+        _r("sum").alias("sum_v"),
+        _r("mean").alias("mean_v"),
+        _r("std").alias("std_v"),
+    )
+
+
+_GRID_S, _GRID_E, _GRID_U = 1704067200, 1706659200, 86400  # Jan 2024, daily
+
+
+def q_fit_base_clocks(spark: SparkSession, sf: str) -> DataFrame:
+    """W3 — regularize irregular series onto the base-clock grid (reference
+    normalizer.py:31-72): bucket-average, forward-fill, leading back-fill."""
+    from pyanomalydetector2_spark.operators.windows import fit_to_base_clocks
+
+    ev = events_as_series(spark, sf).filter(F.col("itemid") < 20)
+    out = fit_to_base_clocks(ev, _GRID_S, _GRID_E, _GRID_U)
+    return out.select("itemid", "clock", _r("value").alias("value"))
+
+
+def q_detect2_screen(spark: SparkSession, sf: str) -> DataFrame:
+    """detect2 — jump screen: recent extremes vs trend adjacent-diff
+    distribution (reference detector.py:262-345), verbose output."""
+    ev = load_table(spark, sf, "events").select(
+        F.col("user_id").alias("itemid"), "ts", "event_id", "value"
+    )
+    trend = ev.filter(F.col("ts") < _CUT)
+    w = Window.partitionBy("itemid").orderBy("ts", "event_id")
+    diffs = trend.withColumn(
+        "diff", F.col("value") - F.lag("value").over(w)
+    ).filter(F.col("diff").isNotNull() & (F.col("diff") != 0))
+    dstats = moment_stats(diffs, ["itemid"], "diff").select(
+        "itemid", F.col("mean").alias("dmean"), F.col("std").alias("dstd")
+    )
+    last_t = trend.groupBy("itemid").agg(
+        F.max_by("value", F.struct("ts", "event_id")).alias("last_t")
+    )
+    recent = (
+        ev.filter(F.col("ts") >= _CUT)
+        .groupBy("itemid")
+        .agg(F.max("value").alias("max_h"), F.min("value").alias("min_h"))
+    )
+    j = recent.join(dstats, "itemid").join(last_t, "itemid").filter(F.col("dstd") > 0)
+    up = (F.col("max_h") - F.col("last_t")) > (F.col("dmean") + 2.0 * F.col("dstd"))
+    dn = (F.col("min_h") - F.col("last_t")) < (F.col("dmean") - 2.0 * F.col("dstd"))
+    return j.filter(up | dn).select(
+        "itemid",
+        _r("max_h").alias("max_h"),
+        _r("min_h").alias("min_h"),
+        _r("last_t").alias("last_t"),
+        _r("dmean").alias("dmean"),
+        _r("dstd").alias("dstd"),
+    )
+
+
+def q_detect3_support(spark: SparkSession, sf: str) -> DataFrame:
+    """detect3 phase (a) — sustained deviation: share of recent samples
+    beyond mean±λ·std of the trend ≥ rate (reference detector.py:395-421)."""
+    ev = load_table(spark, sf, "events").select(
+        F.col("user_id").alias("itemid"), "ts", "value"
+    )
+    tstats = moment_stats(ev.filter(F.col("ts") < _CUT), ["itemid"]).select(
+        "itemid", F.col("mean").alias("mean_t"), F.col("std").alias("std_t")
+    )
+    h = ev.filter(F.col("ts") >= _CUT).join(F.broadcast(tstats), "itemid")
+    beyond = (
+        F.abs(F.col("value") - F.col("mean_t")) > 0.5 * F.col("std_t")
+    ).cast("int")
+    sup = (
+        h.filter(F.col("std_t") > 0)
+        .groupBy("itemid")
+        .agg(F.avg(beyond).alias("anom_rate"), F.avg("value").alias("mean_h"))
+        .filter(F.col("anom_rate") >= 0.6)
+    )
+    return sup.select(
+        "itemid", _r("anom_rate").alias("anom_rate"), _r("mean_h").alias("mean_h")
+    )
+
+
+def q_embedding_near_dup(spark: SparkSession, sf: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: exact all-pairs via broadcast
+    matrix + Arrow-batched numpy matmul (the LSH bucketed variant is the
+    10^12-scale path, see ann_lsh_topk)."""
+    from pyanomalydetector2_spark.operators.similarity import cosine_near_dup_pairs_bf
+
+    emb = load_table(spark, sf, "embeddings")
+    return cosine_near_dup_pairs_bf(emb, threshold=0.4)
+
+
+def q_ann_lsh_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """ANN scale path: random-hyperplane LSH buckets + in-bucket exact
+    re-rank (recall < 1 by construction → no SQL oracle; rows-only check)."""
+    from pyanomalydetector2_spark.operators.similarity import lsh_bucketed_topk
+
+    emb = load_table(spark, sf, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
+    )
+    q = emb.filter(F.col("vec_id") < 20)
+    return lsh_bucketed_topk(emb, q, dims=64, k=5, planes=6)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the detect1-style z-score screen on sf0.001."""
     return q_zscore_screen(spark, "/root/testdata/sf0.001")
@@ -205,6 +500,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "star_join_agg": q_star_join_agg,
         "anti_join_ids": q_anti_join_ids,
         "union_distinct": q_union_distinct,
+        "dedup_exact_prefix": q_dedup_exact_prefix,
+        "minhash_lsh_pairs": q_minhash_lsh_pairs,
+        "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+        "simhash": q_simhash,
+        "embedding_topk": q_embedding_topk,
+        "text_quality": q_text_quality,
+        "lang_id": q_lang_id,
+        "doc_fingerprint": q_doc_fingerprint,
+        "local_peak": q_local_peak,
+        "minmax_normalize": q_minmax_normalize,
+        "zscore_indicator": q_zscore_indicator,
+        "first_per_group": q_first_per_group,
+        "group_min_size": q_group_min_size,
+        "like_wildcard": q_like_wildcard,
+        "union_all_counts": q_union_all_counts,
+        "incremental_merge": q_incremental_merge,
+        "fit_base_clocks": q_fit_base_clocks,
+        "detect2_screen": q_detect2_screen,
+        "detect3_support": q_detect3_support,
+        "embedding_near_dup": q_embedding_near_dup,
+        "ann_lsh_topk": q_ann_lsh_topk,
     }
 
 
@@ -214,10 +530,69 @@ _STD_CLOSED = (
     " / (count({v}) - 1)) ELSE 0 END"
 )
 
+_H60 = "('0x' || substr(md5({x}), 1, 15))::BIGINT"
+
+_SHINGLE_CTES = """
+            toks AS (
+              SELECT doc_id, string_split(lower(trim(text)), ' ') AS t
+              FROM documents
+            ),
+            sh AS (
+              SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS shingle
+              FROM toks, UNNEST(range(1, greatest(len(t) - 2, 0) + 1)) AS u(i)
+            )"""
+
+_MINHASH_CTES = (
+    _SHINGLE_CTES
+    + """,
+            mh AS (
+              SELECT doc_id,
+                     """
+    + ",\n                     ".join(
+        f"min({_H60.format(x=repr(str(i)+ ':') + ' || shingle')}) AS mh{i}"
+        for i in range(8)
+    )
+    + """
+              FROM sh GROUP BY doc_id
+            ),
+            bands AS (
+              """
+    + "\n              UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, mh{2*b}::VARCHAR || '_' || mh{2*b+1}::VARCHAR AS key FROM mh"
+        for b in range(4)
+    )
+    + """
+            ),
+            cand AS (
+              SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+              FROM bands a JOIN bands b USING (band, key)
+              WHERE a.doc_id < b.doc_id
+            )"""
+)
+
 
 def oracle_sql() -> dict[str, str]:
     std_v = _STD_CLOSED.format(v="value")
     std_d = _STD_CLOSED.format(v="diff")
+    sw = ", ".join(f"'{w}'" for w in _STOPWORDS)
+    simhash_sums = ",\n                     ".join(
+        f"sum(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS s{b}"
+        for b in range(16)
+    )
+    simhash_bits = " + ".join(
+        f"CASE WHEN s{b} > 0 THEN {1 << b} ELSE 0 END" for b in range(16)
+    )
+    lang_ratio = {
+        code: (
+            "len(list_filter(t, x -> list_contains(["
+            + ", ".join(f"'{m}'" for m in markers)
+            + "], x)))::DOUBLE / len(t)"
+        )
+        for code, markers in _LANGS.items()
+    }
+    lang_cases = " ".join(
+        f"WHEN lang_{code} = best THEN '{code}'" for code in _LANGS
+    )
     return {
         "stats_moment": f"""
             SELECT user_id AS itemid, count(value) AS cnt,
@@ -310,5 +685,284 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id AS itemid FROM events WHERE value > 50
             UNION
             SELECT user_id AS itemid FROM events WHERE event_type = 'click'
+        """,
+        "dedup_exact_prefix": """
+            WITH p AS (
+              SELECT doc_id,
+                     md5(array_to_string(string_split(lower(trim(text)), ' ')[1:3], ' '))
+                       AS fingerprint
+              FROM documents
+            )
+            SELECT fingerprint, count(*) AS dup_cnt, min(doc_id) AS min_id
+            FROM p GROUP BY 1 HAVING count(*) > 1
+        """,
+        "minhash_lsh_pairs": f"""
+            WITH {_MINHASH_CTES}
+            SELECT id_a, id_b FROM cand
+        """,
+        "ngram_jaccard_pairs": f"""
+            WITH {_MINHASH_CTES},
+            sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+            inter AS (
+              SELECT c.id_a, c.id_b, count(*) AS n
+              FROM cand c
+              JOIN sh a ON a.doc_id = c.id_a
+              JOIN sh b ON b.doc_id = c.id_b AND b.shingle = a.shingle
+              GROUP BY 1, 2
+            )
+            SELECT i.id_a, i.id_b,
+                   round(i.n / (sa.sz + sb.sz - i.n), 6) AS jaccard
+            FROM inter i
+            JOIN sizes sa ON sa.doc_id = i.id_a
+            JOIN sizes sb ON sb.doc_id = i.id_b
+            WHERE i.n / (sa.sz + sb.sz - i.n) >= 0.1
+        """,
+        "simhash": f"""
+            WITH tok AS (
+              SELECT doc_id, unnest(string_split(lower(trim(text)), ' ')) AS tk
+              FROM documents
+            ), th AS (
+              SELECT doc_id, {_H60.format(x='tk')} AS h FROM tok
+            ), s AS (
+              SELECT doc_id,
+                     {simhash_sums}
+              FROM th GROUP BY doc_id
+            )
+            SELECT doc_id, ({simhash_bits})::BIGINT AS simhash FROM s
+        """,
+        "embedding_topk": """
+            WITH q AS (
+              SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+              FROM embeddings WHERE vec_id < 20
+            ), sims AS (
+              SELECT q.query_id, c.vec_id AS match_id,
+                     round(list_cosine_similarity(q.qv, c.embedding::DOUBLE[]), 6)
+                       AS cosine
+              FROM q, embeddings c
+              WHERE c.vec_id <> q.query_id
+            )
+            SELECT query_id, match_id, cosine, rank::INT AS rank FROM (
+              SELECT *, row_number() OVER (PARTITION BY query_id
+                                           ORDER BY cosine DESC, match_id) AS rank
+              FROM sims
+            ) WHERE rank <= 5
+        """,
+        "text_quality": f"""
+            WITH m AS (
+              SELECT doc_id, text,
+                     string_split(lower(trim(text)), ' ') AS t
+              FROM documents
+            ), r AS (
+              SELECT doc_id,
+                     len(t) AS n_tokens,
+                     list_sum(list_transform(t, x -> length(x)))::DOUBLE / len(t)
+                       AS atl,
+                     len(list_filter(t, x -> list_contains([{sw}], x)))::DOUBLE
+                       / len(t) AS swr,
+                     length(regexp_replace(lower(text), '[^a-z]', '', 'g'))::DOUBLE
+                       / length(text) AS ar
+              FROM m
+            )
+            SELECT doc_id, n_tokens::INT AS n_tokens,
+                   round(atl, 6) AS avg_token_len,
+                   round(swr, 6) AS stopword_ratio,
+                   round(ar, 6) AS alpha_ratio,
+                   round(
+                     (CASE WHEN n_tokens BETWEEN 5 AND 1000 THEN 0.4 ELSE 0.0 END)
+                     + (CASE WHEN swr > 0.01 THEN 0.3 ELSE 0.0 END)
+                     + (CASE WHEN ar > 0.6 THEN 0.3 ELSE 0.0 END), 6)
+                     AS quality_score
+            FROM r
+        """,
+        "lang_id": f"""
+            WITH m AS (
+              SELECT doc_id, string_split(lower(trim(text)), ' ') AS t
+              FROM documents
+            ), s AS (
+              SELECT doc_id,
+                     {", ".join(f"{expr} AS lang_{code}" for code, expr in lang_ratio.items())}
+              FROM m
+            ), b AS (
+              SELECT *, greatest({", ".join(f"lang_{c}" for c in _LANGS)}) AS best
+              FROM s
+            )
+            SELECT doc_id,
+                   {", ".join(f"round(lang_{c}, 6) AS lang_{c}" for c in _LANGS)},
+                   CASE WHEN best <= 0 THEN 'und' {lang_cases} END AS lang_pred
+            FROM b
+        """,
+        "doc_fingerprint": f"""
+            WITH {_SHINGLE_CTES},
+            h AS (SELECT doc_id, {_H60.format(x='shingle')} AS h FROM sh)
+            SELECT doc_id,
+                   array_to_string((array_agg(h ORDER BY h))[1:3], '_')
+                     AS fingerprint
+            FROM h GROUP BY doc_id
+        """,
+        "local_peak": """
+            WITH s AS (
+              SELECT user_id AS itemid, CAST(floor(epoch(ts)) AS BIGINT) AS clock,
+                     value
+              FROM events
+            ), w AS (
+              SELECT itemid,
+                     avg(value) OVER (PARTITION BY itemid ORDER BY clock
+                                      RANGE BETWEEN 7200 PRECEDING AND CURRENT ROW)
+                       AS wm
+              FROM s
+            )
+            SELECT itemid, round(max(wm), 6) AS peak_up, round(min(wm), 6) AS peak_dn
+            FROM w GROUP BY 1
+        """,
+        "minmax_normalize": """
+            SELECT event_id, itemid,
+                   round(CASE WHEN mx = mn THEN 0.0
+                              ELSE (value - mn) / (mx - mn) END, 6) AS norm
+            FROM (
+              SELECT event_id, user_id AS itemid, value,
+                     min(value) OVER (PARTITION BY user_id) AS mn,
+                     max(value) OVER (PARTITION BY user_id) AS mx
+              FROM events
+            )
+        """,
+        "zscore_indicator": f"""
+            WITH st AS (
+              SELECT user_id AS itemid, sum(value)/count(value) AS m, {std_v} AS s
+              FROM events GROUP BY 1
+            )
+            SELECT event_id, e.user_id AS itemid,
+                   (CASE WHEN s <> 0 AND abs((value - m)/s) > 2.0
+                         THEN 1 ELSE 0 END)::INT AS zind
+            FROM events e JOIN st ON e.user_id = st.itemid
+        """,
+        "first_per_group": """
+            WITH s AS (
+              SELECT user_id AS itemid,
+                     CAST(floor(epoch(ts)) AS BIGINT)
+                       - CAST(floor(epoch(ts)) AS BIGINT) % 86400 AS day,
+                     ts, event_id, value
+              FROM events
+            )
+            SELECT itemid, day, event_id, round(value, 6) AS value FROM (
+              SELECT *, row_number() OVER (PARTITION BY itemid, day
+                                           ORDER BY ts, event_id) AS rn
+              FROM s
+            ) WHERE rn = 1
+        """,
+        "group_min_size": """
+            SELECT user_id AS itemid, count(*) AS cnt
+            FROM events GROUP BY 1 HAVING count(*) >= 80
+        """,
+        "like_wildcard": """
+            SELECT doc_id, source FROM documents
+            WHERE source LIKE 'src1%' AND lang = 'en'
+        """,
+        "union_all_counts": """
+            WITH u AS (
+              SELECT user_id AS itemid, value FROM events WHERE event_type = 'click'
+              UNION ALL
+              SELECT user_id AS itemid, value FROM events WHERE event_type = 'error'
+            )
+            SELECT itemid, count(*) AS cnt, round(sum(value), 6) AS sum_v
+            FROM u GROUP BY 1
+        """,
+        "incremental_merge": f"""
+            SELECT user_id AS itemid, count(value) AS cnt,
+                   round(sum(value), 6) AS sum_v,
+                   round(sum(value)/count(value), 6) AS mean_v,
+                   round({std_v}, 6) AS std_v
+            FROM events GROUP BY 1
+        """,
+        "fit_base_clocks": f"""
+            WITH grid AS (
+              SELECT range AS clock FROM range({_GRID_S}, {_GRID_E}, {_GRID_U})
+            ), users AS (
+              SELECT DISTINCT user_id AS itemid FROM events WHERE user_id < 20
+            ), s AS (
+              SELECT user_id AS itemid, CAST(floor(epoch(ts)) AS BIGINT) AS clock,
+                     value
+              FROM events WHERE user_id < 20
+            ), b AS (
+              SELECT itemid,
+                     {_GRID_S} + CAST(ceil((clock - {_GRID_S}) / {_GRID_U}.0)
+                                      AS BIGINT) * {_GRID_U} AS gclock,
+                     avg(value) AS v
+              FROM s
+              WHERE clock > {_GRID_S} - {_GRID_U} AND clock < {_GRID_E}
+              GROUP BY 1, 2
+            ), g AS (
+              SELECT itemid, clock FROM users, grid
+            ), f AS (
+              SELECT g.itemid, g.clock, b.v
+              FROM g ASOF LEFT JOIN b
+                ON g.itemid = b.itemid AND g.clock >= b.gclock
+            ), fb AS (
+              SELECT itemid, min(gclock) AS g0 FROM b GROUP BY 1
+            ), fv AS (
+              SELECT b.itemid, b.v AS v0
+              FROM b JOIN fb ON b.itemid = fb.itemid AND b.gclock = fb.g0
+            )
+            SELECT f.itemid, f.clock, round(coalesce(f.v, fv.v0, 0.0), 6) AS value
+            FROM f LEFT JOIN fv ON f.itemid = fv.itemid
+        """,
+        "detect2_screen": f"""
+            WITH t AS (
+              SELECT user_id AS itemid, ts, event_id, value
+              FROM events WHERE ts < TIMESTAMP '{_CUT}'
+            ), d AS (
+              SELECT itemid, value - lag(value) OVER (PARTITION BY itemid
+                                                      ORDER BY ts, event_id) AS diff
+              FROM t
+            ), ds AS (
+              SELECT itemid, sum(diff)/count(diff) AS dmean, {std_d} AS dstd
+              FROM d WHERE diff IS NOT NULL AND diff <> 0 GROUP BY 1
+            ), lt AS (
+              SELECT itemid, value AS last_t FROM (
+                SELECT itemid, value,
+                       row_number() OVER (PARTITION BY itemid
+                                          ORDER BY ts DESC, event_id DESC) AS rn
+                FROM t
+              ) WHERE rn = 1
+            ), r AS (
+              SELECT user_id AS itemid, max(value) AS max_h, min(value) AS min_h
+              FROM events WHERE ts >= TIMESTAMP '{_CUT}' GROUP BY 1
+            )
+            SELECT r.itemid, round(max_h, 6) AS max_h, round(min_h, 6) AS min_h,
+                   round(last_t, 6) AS last_t, round(dmean, 6) AS dmean,
+                   round(dstd, 6) AS dstd
+            FROM r JOIN ds USING (itemid) JOIN lt USING (itemid)
+            WHERE dstd > 0
+              AND ((max_h - last_t) > dmean + 2.0*dstd
+                   OR (min_h - last_t) < dmean - 2.0*dstd)
+        """,
+        "detect3_support": f"""
+            WITH tr AS (
+              SELECT user_id AS itemid, sum(value)/count(value) AS mean_t,
+                     {std_v} AS std_t
+              FROM events WHERE ts < TIMESTAMP '{_CUT}' GROUP BY 1
+            ), h AS (
+              SELECT user_id AS itemid, value
+              FROM events WHERE ts >= TIMESTAMP '{_CUT}'
+            ), sup AS (
+              SELECT h.itemid,
+                     avg(CASE WHEN abs(value - mean_t) > 0.5*std_t
+                              THEN 1 ELSE 0 END) AS anom_rate,
+                     avg(value) AS mean_h
+              FROM h JOIN tr ON h.itemid = tr.itemid
+              WHERE std_t > 0 GROUP BY 1
+            )
+            SELECT itemid, round(anom_rate, 6) AS anom_rate,
+                   round(mean_h, 6) AS mean_h
+            FROM sup WHERE anom_rate >= 0.6
+        """,
+        "embedding_near_dup": """
+            SELECT id_a, id_b, cosine FROM (
+              SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                     round(list_cosine_similarity(a.embedding::DOUBLE[],
+                                                  b.embedding::DOUBLE[]), 6)
+                       AS cosine
+              FROM embeddings a, embeddings b
+              WHERE a.vec_id < b.vec_id
+            ) WHERE cosine >= 0.4
         """,
     }

@@ -1,0 +1,171 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+All hashing uses md5 (available and bit-identical in Spark, DuckDB, and
+Python) so every operator is oracle-checkable: h(s) = first 60 bits of
+md5(s) as a signed long.
+
+Scale notes:
+- exact dedup: one shuffle on the fingerprint (map-side combine).
+- MinHash: one explode+groupBy pass computes ALL k signature slots
+  (k min-aggregates, no per-hash passes); LSH banding turns the O(N²)
+  pair search into a per-(band, key) bucket self-join where buckets are
+  tiny by construction. Hot buckets (degenerate texts) are the skew risk —
+  cap bucket size upstream or salt.
+- SimHash: one explode+groupBy pass with one signed sum per bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def h60(c: Column) -> Column:
+    """Portable 60-bit hash: first 15 hex chars of md5 → long.
+    DuckDB equivalent: ('0x' || substr(md5(x),1,15))::BIGINT."""
+    return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
+
+
+def norm_tokens(text: Column) -> Column:
+    """lower + whitespace tokenize (the shared normalization)."""
+    return F.split(F.lower(F.trim(text)), r"\s+")
+
+
+def exact_dup_groups(df: DataFrame, id_col: str, cols: list[str]) -> DataFrame:
+    """Exact duplicates on the md5 fingerprint of the given columns:
+    (fingerprint, dup_cnt, min_id) for groups with >1 member."""
+    fp = F.md5(F.concat_ws("", *[F.coalesce(F.col(c).cast("string"), F.lit("")) for c in cols]))
+    return (
+        df.select(F.col(id_col), fp.alias("fingerprint"))
+        .groupBy("fingerprint")
+        .agg(F.count(F.lit(1)).alias("dup_cnt"), F.min(id_col).alias("min_id"))
+        .filter(F.col("dup_cnt") > 1)
+    )
+
+
+def shingle_frame(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3
+) -> DataFrame:
+    """(id, shingle) exploded distinct-shingle frame — the shared input of
+    MinHash and exact-Jaccard."""
+    toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    # guard: sequence(0, -1) would DESCEND in Spark — short docs get no shingles
+    grams = F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - n),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.array_distinct(grams)).alias("shingle"),
+    )
+
+
+def minhash_signatures(
+    df: DataFrame, id_col: str, text_col: str, k: int = 8, n: int = 3
+) -> DataFrame:
+    """Per-doc MinHash signature: k slots, slot i = min over shingles of
+    h60(i || ':' || shingle). ONE explode + ONE groupBy for all k slots."""
+    sh = shingle_frame(df, id_col, text_col, n)
+    aggs = [
+        F.min(h60(F.concat(F.lit(f"{i}:"), F.col("shingle")))).alias(f"mh{i}")
+        for i in range(k)
+    ]
+    return sh.groupBy("id").agg(*aggs)
+
+
+def lsh_candidate_pairs(
+    sigs: DataFrame, bands: int = 4, rows_per_band: int = 2
+) -> DataFrame:
+    """Band the signature (bands × rows_per_band slots) and emit candidate
+    pairs (id_a < id_b) sharing any band key. Bucket self-join — the scale
+    path vs O(N²) all-pairs."""
+    entries = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.concat_ws(
+                "_",
+                *[
+                    F.col(f"mh{b * rows_per_band + r}")
+                    for r in range(rows_per_band)
+                ],
+            ).alias("key"),
+        )
+        for b in range(bands)
+    ]
+    banded = sigs.select(
+        "id", F.explode(F.array(*entries)).alias("e")
+    ).select("id", F.col("e.band").alias("band"), F.col("e.key").alias("key"))
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(b, ["band", "key"])
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    pairs: DataFrame,
+    n: int = 3,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity for the given candidate pairs:
+    |A ∩ B| / |A ∪ B| over distinct shingle sets."""
+    sh = shingle_frame(df, id_col, text_col, n)
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
+    common = (
+        pairs.join(sh.withColumnRenamed("id", "id_a"), "id_a")
+        .join(
+            sh.select(
+                F.col("id").alias("id_b"), F.col("shingle").alias("shingle")
+            ),
+            ["id_b", "shingle"],
+        )
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    return (
+        common.join(sizes.select(F.col("id").alias("id_a"), F.col("sz").alias("sz_a")), "id_a")
+        .join(sizes.select(F.col("id").alias("id_b"), F.col("sz").alias("sz_b")), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.col("inter")
+                / (F.col("sz_a") + F.col("sz_b") - F.col("inter"))
+            ).alias("jaccard"),
+        )
+    )
+
+
+def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 16) -> DataFrame:
+    """Per-doc SimHash over tokens: bit b = sign of Σ_tokens (±1 by token
+    hash bit b). One explode + one groupBy with ``bits`` signed sums."""
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(norm_tokens(F.col(text_col))).alias("tok"),
+    ).withColumn("th", h60(F.col("tok")))
+    aggs = [
+        F.sum(
+            F.when(F.shiftright("th", b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"s{b}")
+        for b in range(bits)
+    ]
+    sums = toks.groupBy("id").agg(*aggs)
+    sig = sums.select(
+        "id",
+        sum(
+            [
+                F.when(F.col(f"s{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
+                for b in range(bits)
+            ],
+            F.lit(0),
+        ).cast("long").alias("simhash"),
+    )
+    return sig

@@ -1,0 +1,103 @@
+"""Text-analysis operators for training-data pipelines: token counting,
+quality scoring, language-ID heuristic, document fingerprinting.
+
+Everything is built-in Column expressions (JVM, codegen) — tokenization is
+split/regex, no Python in the data path. All formulas are deliberately
+oracle-expressible in ANSI SQL.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from pyanomalydetector2_spark.operators.dedup import h60, shingle_frame
+
+# tiny per-language marker sets (stopword-style language ID)
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and", "to"),
+    "fr": ("le", "la", "de", "et", "un"),
+    "de": ("der", "die", "das", "und", "ein"),
+    "es": ("el", "la", "de", "y", "un"),
+}
+
+STOPWORDS = ("the", "a", "of", "and", "to", "in", "is")
+
+
+def token_metrics(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-row token/char metrics + a quality score:
+    n_tokens (whitespace), n_bpe_ish (regex sub-word pieces), avg token len,
+    punct ratio, stopword ratio, alpha ratio, quality_score ∈ [0,1]."""
+    t = F.col(text_col)
+    toks = F.split(F.lower(F.trim(t)), r"\s+")
+    n_tok = F.size(toks)
+    n_chars = F.length(t)
+    # BPE-ish: alternating letter-runs / digit-runs / single punct marks
+    bpe = F.size(
+        F.filter(
+            F.split(F.lower(t), r"(?<=[a-z])(?=[^a-z\s])|(?<=[^a-z\s])(?=[a-z])|\s+"),
+            lambda x: F.length(x) > 0,
+        )
+    )
+    punct = F.length(F.regexp_replace(t, r"[^\.,;:!\?]", ""))
+    alpha = F.length(F.regexp_replace(F.lower(t), r"[^a-z]", ""))
+    sw_hits = F.size(F.filter(toks, lambda x: x.isin(*STOPWORDS)))
+    punct_ratio = F.try_divide(punct, n_chars)
+    stop_ratio = F.try_divide(sw_hits, n_tok)
+    alpha_ratio = F.try_divide(alpha, n_chars)
+    # quality: length window + some stopwords + mostly alphabetic
+    quality = (
+        F.when((n_tok >= 5) & (n_tok <= 1000), F.lit(0.4)).otherwise(F.lit(0.0))
+        + F.when(stop_ratio > 0.01, F.lit(0.3)).otherwise(F.lit(0.0))
+        + F.when(alpha_ratio > 0.6, F.lit(0.3)).otherwise(F.lit(0.0))
+    )
+    return df.withColumns(
+        {
+            "n_tokens": n_tok,
+            "n_bpe_ish": bpe,
+            "avg_token_len": F.try_divide(
+                F.aggregate(toks, F.lit(0), lambda acc, x: acc + F.length(x)), n_tok
+            ),
+            "punct_ratio": punct_ratio,
+            "stopword_ratio": stop_ratio,
+            "alpha_ratio": alpha_ratio,
+            "quality_score": quality,
+        }
+    )
+
+
+def lang_scores(text_col: str = "text") -> list[Column]:
+    """Per-language marker-hit-rate columns (lang_<code>)."""
+    toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    cols = []
+    for lang, markers in LANG_MARKERS.items():
+        hits = F.size(F.filter(toks, lambda x: x.isin(*markers)))
+        cols.append(F.try_divide(hits, F.size(toks)).alias(f"lang_{lang}"))
+    return cols
+
+
+def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Heuristic language ID: argmax marker hit rate, 'und' when all zero.
+    Deterministic tie-break by language code order."""
+    scored = df.select("*", *lang_scores(text_col))
+    langs = list(LANG_MARKERS)
+    best = F.greatest(*[F.col(f"lang_{code}") for code in langs])
+    pred = F.when(best <= 0, F.lit("und"))
+    for code in langs:  # first max wins (stable order)
+        pred = pred.when(F.col(f"lang_{code}") == best, F.lit(code))
+    return scored.withColumn("lang_pred", pred)
+
+
+def doc_fingerprint(
+    df: DataFrame, id_col: str, text_col: str, k: int = 3, n: int = 3
+) -> DataFrame:
+    """Winnowing-style content fingerprint: the k smallest shingle hashes,
+    concatenated (robust to local edits, oracle-expressible)."""
+    sh = shingle_frame(df, id_col, text_col, n).withColumn(
+        "h", h60(F.col("shingle"))
+    )
+    return sh.groupBy("id").agg(
+        F.concat_ws(
+            "_", F.slice(F.array_sort(F.collect_list("h")), 1, k)
+        ).alias("fingerprint")
+    )

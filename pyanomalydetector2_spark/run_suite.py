@@ -42,6 +42,13 @@ def main(argv: list[str] | None = None) -> dict:
         "snapshots to the catalog first (default materializes: the engine's "
         "real input is a table, and throughput should not charge datagen)",
     )
+    ap.add_argument(
+        "--skip-datagen",
+        action="store_true",
+        help="expect the warehouse already materialized (scaling runs: "
+        "identical input, different parallelism)",
+    )
+    ap.add_argument("--json-out", default=None, help="also append summary JSON to this file")
     args = ap.parse_args(argv)
 
     # local parquet inputs are tiny vs the 128m cluster default split size;
@@ -57,14 +64,17 @@ def main(argv: list[str] | None = None) -> dict:
     )
     spark.sparkContext.setLogLevel("ERROR")
 
-    cur = clips_table(spark, args.rows, planted=True, n_buckets=args.buckets)
-    base = clips_table(spark, args.rows, planted=False, n_buckets=args.buckets)
-    if args.materialize:
-        cur_t = SnapshotTable(os.path.join(args.warehouse, "clips_current"))
-        base_t = SnapshotTable(os.path.join(args.warehouse, "clips_baseline"))
-        cur_t.write_snapshot(cur, partition_by=["bucket"])
-        base_t.write_snapshot(base, partition_by=["bucket"])
+    cur_t = SnapshotTable(os.path.join(args.warehouse, "clips_current"))
+    base_t = SnapshotTable(os.path.join(args.warehouse, "clips_baseline"))
+    if args.skip_datagen:
         cur, base = cur_t.read(spark), base_t.read(spark)
+    else:
+        cur = clips_table(spark, args.rows, planted=True, n_buckets=args.buckets)
+        base = clips_table(spark, args.rows, planted=False, n_buckets=args.buckets)
+        if args.materialize:
+            cur_t.write_snapshot(cur, partition_by=["bucket"])
+            base_t.write_snapshot(base, partition_by=["bucket"])
+            cur, base = cur_t.read(spark), base_t.read(spark)
 
     dims = {"dim_codec": dim_codec(spark), "dim_sr": dim_sr(spark)}
     ledger = CheckpointLedger(os.path.join(args.warehouse, "ledger")) if args.resume else None
@@ -96,6 +106,9 @@ def main(argv: list[str] | None = None) -> dict:
         "cpus": args.cpus,
     }
     print(json.dumps(summary))
+    if args.json_out:
+        with open(args.json_out, "a") as f:
+            f.write(json.dumps(summary) + "\n")
     return summary
 
 

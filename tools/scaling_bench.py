@@ -1,0 +1,128 @@
+"""Two-cluster-size scaling evidence (BASELINE.md / north_rule).
+
+No real cluster in this sandbox, so the same suite runs at two local
+parallelism levels on IDENTICAL materialized input:
+  throughput_N  = rows / wall_N
+  efficiency    = (throughput_4N / throughput_N) / 4      (ideal = 1.0)
+
+Each parallelism level runs in its own subprocess (a JVM's master is fixed
+at startup). Results go to BENCH/scaling.jsonl + a markdown table on stdout.
+
+Usage: python tools/scaling_bench.py [--rows 400000] [--small 8] [--large 32]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def run_level(cpus: int, warehouse: str, rows: int, out: str, repeat: int) -> dict:
+    best = None
+    for i in range(repeat):
+        ledger = os.path.join(warehouse, "ledger")
+        shutil.rmtree(ledger, ignore_errors=True)
+        for t in ("results", "verdicts"):
+            shutil.rmtree(os.path.join(warehouse, t), ignore_errors=True)
+        r = subprocess.run(
+            [
+                sys.executable,
+                "-m",
+                "pyanomalydetector2_spark.run_suite",
+                "--rows",
+                str(rows),
+                "--cpus",
+                str(cpus),
+                "--skip-datagen",
+                "--warehouse",
+                warehouse,
+                "--run-id",
+                f"scale-{cpus}-{i}",
+                "--json-out",
+                out,
+            ],
+            cwd=REPO,
+            capture_output=True,
+            text=True,
+            timeout=3600,
+        )
+        if r.returncode != 0:
+            print(r.stdout[-2000:], r.stderr[-2000:], file=sys.stderr)
+            raise SystemExit(f"run at cpus={cpus} failed")
+        summary = json.loads(r.stdout.strip().splitlines()[-1])
+        if best is None or summary["wall_sec"] < best["wall_sec"]:
+            best = summary
+    return best
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--rows", type=int, default=400_000)
+    ap.add_argument("--buckets", type=int, default=32)
+    ap.add_argument("--small", type=int, default=8)
+    ap.add_argument("--large", type=int, default=32)
+    ap.add_argument("--repeat", type=int, default=2)
+    ap.add_argument("--warehouse", default="/tmp/pyad2_scaling_wh")
+    args = ap.parse_args()
+
+    os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+    out = os.path.join(REPO, "BENCH", "scaling.jsonl")
+
+    # materialize the input ONCE (both levels read the same files)
+    shutil.rmtree(args.warehouse, ignore_errors=True)
+    r = subprocess.run(
+        [
+            sys.executable,
+            "-m",
+            "pyanomalydetector2_spark.run_suite",
+            "--rows",
+            str(args.rows),
+            "--buckets",
+            str(args.buckets),
+            "--cpus",
+            "32",
+            "--warehouse",
+            args.warehouse,
+            "--run-id",
+            "materialize",
+        ],
+        cwd=REPO,
+        capture_output=True,
+        text=True,
+        timeout=3600,
+    )
+    if r.returncode != 0:
+        print(r.stdout[-2000:], r.stderr[-2000:], file=sys.stderr)
+        raise SystemExit("materialize run failed")
+
+    small = run_level(args.small, args.warehouse, args.rows, out, args.repeat)
+    large = run_level(args.large, args.warehouse, args.rows, out, args.repeat)
+
+    thr_s, thr_l = small["value"], large["value"]
+    factor = args.large / args.small
+    eff = (thr_l / thr_s) / factor
+    result = {
+        "rows": args.rows,
+        "small_cpus": args.small,
+        "large_cpus": args.large,
+        "small_clips_per_sec": thr_s,
+        "large_clips_per_sec": thr_l,
+        "small_wall_sec": small["wall_sec"],
+        "large_wall_sec": large["wall_sec"],
+        "scaling_efficiency": round(eff, 3),
+        "target": 0.8,
+        "meets_target": eff >= 0.8,
+    }
+    with open(out, "a") as f:
+        f.write(json.dumps({"final": result}) + "\n")
+    print(json.dumps(result, indent=2))
+
+
+if __name__ == "__main__":
+    main()
