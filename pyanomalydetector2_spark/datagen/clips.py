@@ -95,6 +95,34 @@ def numeric_id(clip_id: str) -> int:
     return int(clip_id.rsplit("-", 1)[1])
 
 
+_SCRATCH: dict[str, np.ndarray] = {}
+
+
+def _scratch(name: str, shape: tuple[int, ...]) -> np.ndarray:
+    """Reusable float64 work buffer (this VM pays ~100 ms per fresh-touched
+    40 MB allocation; reuse makes repeat batches allocation-free)."""
+    buf = _SCRATCH.get(name)
+    need = int(np.prod(shape))
+    if buf is None or buf.size < need:
+        buf = np.empty(need, dtype=np.float64)
+        _SCRATCH[name] = buf
+    return buf[:need].reshape(shape)
+
+
+def synth_waves(ids: np.ndarray, freqs: np.ndarray) -> np.ndarray:
+    """(n × PCM_SAMPLES) reference waveforms, in-place ops on a reused
+    buffer. Element-for-element identical to
+    ``sin(2π·f·t/8000)·PCM_AMP`` computed per row."""
+    n = len(ids)
+    t = np.arange(PCM_SAMPLES, dtype=np.float64)
+    m = _scratch("waves", (n, PCM_SAMPLES))
+    np.multiply((2.0 * np.pi * freqs)[:, None], t[None, :], out=m)
+    np.divide(m, 8000.0, out=m)
+    np.sin(m, out=m)
+    np.multiply(m, PCM_AMP, out=m)
+    return m
+
+
 def reference_pcm(num_id: int) -> np.ndarray:
     """The reference decode for a clip: seeded sine, float in [-1,1]*AMP."""
     f = 100.0 + 400.0 * u01(np.array([num_id]), 5)[0]
@@ -106,6 +134,20 @@ def reference_transcript(num_id: int) -> str:
     n_tok = 5 + int(u01(np.array([num_id]), 7)[0] * 10)
     idx = (u01(np.arange(num_id, num_id + n_tok), 11) * len(VOCAB)).astype(int)
     return " ".join(VOCAB[i] for i in idx)
+
+
+def reference_transcripts_batch(num_ids: np.ndarray) -> list[str]:
+    """Vectorized batch variant of :func:`reference_transcript` — identical
+    output per id (hash math batched, only the final join is per row)."""
+    n = len(num_ids)
+    n_tok = 5 + (u01(num_ids, 7) * 10).astype(int)
+    idx = (
+        u01((num_ids[:, None] + np.arange(15)[None, :]).ravel(), 11) * len(VOCAB)
+    ).astype(int).reshape(n, 15)
+    vocab = VOCAB
+    return [
+        " ".join(vocab[j] for j in idx[i, : n_tok[i]]) for i in range(n)
+    ]
 
 
 def _dur_ms(ids: np.ndarray, drift: float) -> np.ndarray:
@@ -143,31 +185,36 @@ def _gen_batch(ids: np.ndarray, planted: bool) -> pd.DataFrame:
         sr = sr.copy()
         sr[_hits(eff, V_SR)] = 12345
 
-    payloads: list[bytes] = []
+    # batch-vectorized wave synthesis: one (n × samples) matrix, in-place ops
+    # (this VM pays heavily for fresh large allocations — buffers are touched
+    # once). Formula identical per element to the scalar form, so payloads
+    # are bit-identical to a per-row synthesis.
     t = np.arange(PCM_SAMPLES, dtype=np.float64)
     freqs = 100.0 + 400.0 * u01(eff, 5)
+    waves = synth_waves(eff, freqs)
     noise_mask = _hits(eff, V_PCM) if planted else np.zeros(n, dtype=bool)
+    for i in np.nonzero(noise_mask)[0]:
+        nz = (u01(eff[i] * PCM_SAMPLES + np.arange(PCM_SAMPLES), 41) - 0.5) * PCM_AMP
+        waves[i] = waves[i] + nz
+    quant = np.round(waves).astype("<i2")
+    payloads: list[bytes] = []
     for i in range(n):
-        wave = np.sin(2.0 * np.pi * freqs[i] * t / 8000.0) * PCM_AMP
-        if noise_mask[i]:
-            nz = (u01(eff[i] * PCM_SAMPLES + np.arange(PCM_SAMPLES), 41) - 0.5) * PCM_AMP
-            wave = wave + nz
-        raw = np.round(wave).astype("<i2").tobytes()
-        payloads.append(CODEC_MAGIC.get(codec[i], b"") + raw)
+        payloads.append(CODEC_MAGIC.get(codec[i], b"") + quant[i].tobytes())
 
     trans: list[str | None] = []
     null_m = _hits(eff, V_NULL_T) if planted else np.zeros(n, dtype=bool)
     empty_m = _hits(eff, V_EMPTY_T) if planted else np.zeros(n, dtype=bool)
     mism_m = _hits(eff, V_MISMATCH) if planted else np.zeros(n, dtype=bool)
+    ref_t = reference_transcripts_batch(eff)
     for i in range(n):
         if null_m[i]:
             trans.append(None)
         elif empty_m[i]:
             trans.append("")
         elif mism_m[i]:
-            trans.append(reference_transcript(int(eff[i])) + " corrupted")
+            trans.append(ref_t[i] + " corrupted")
         else:
-            trans.append(reference_transcript(int(eff[i])))
+            trans.append(ref_t[i])
 
     bucket = np.array(
         [zlib.crc32(c.encode()) for c in cids], dtype=np.int64

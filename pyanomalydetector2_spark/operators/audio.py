@@ -83,27 +83,62 @@ _INV_TYPE = T.StructType(
 def audio_invariants(
     clip_id: pd.Series, payload: pd.Series, codec: pd.Series, transcript: pd.Series
 ) -> pd.DataFrame:
-    """Arrow-batched invariant kernel. numpy per clip inside the batch; the
-    per-clip loop is the decode itself (inherently per-payload), everything
-    else is vectorized."""
+    """Arrow-batched invariant kernel. The reference waveforms for the WHOLE
+    batch are synthesized into a reused scratch matrix (fresh large
+    allocations are expensive on some hosts) and the SNR is one vectorized
+    reduction; only payload decode and the final string compare are per-row
+    (inherently so)."""
+    from pyanomalydetector2_spark.datagen.clips import (
+        _scratch,
+        reference_transcripts_batch,
+        synth_waves,
+        u01,
+    )
+
     n = len(clip_id)
     snrs = np.full(n, np.nan)
     dec_ok = np.zeros(n, dtype=bool)
     t_ok = np.zeros(n, dtype=bool)
+
+    nums = np.full(n, -1, dtype=np.int64)
     for i in range(n):
         cid = clip_id.iat[i]
         if cid is None:
             continue
         try:
-            num = int(cid.rsplit("-", 1)[1])
+            nums[i] = int(cid.rsplit("-", 1)[1])
         except (ValueError, IndexError):
+            continue
+    valid = nums >= 0
+    nums_safe = np.where(valid, nums, 0)
+
+    decs = _scratch("udf_decs", (n, PCM_SAMPLES))
+    decs[:] = 0.0
+    for i in range(n):
+        if not valid[i]:
             continue
         dec = decode_pcm_batch(payload.iat[i], codec.iat[i])
         if dec is not None:
             dec_ok[i] = True
-            snrs[i] = snr_db(dec, reference_pcm(num))
-        t = transcript.iat[i]
-        t_ok[i] = t is not None and t == reference_transcript(num)
+            decs[i] = dec
+
+    freqs = 100.0 + 400.0 * u01(nums_safe, 5)
+    refs = synth_waves(nums_safe, freqs)
+    ps = np.einsum("ij,ij->i", refs, refs)
+    np.subtract(decs, refs, out=decs)  # decs becomes the error matrix
+    pe = np.einsum("ij,ij->i", decs, decs)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        s = 10.0 * np.log10(ps / pe)
+    s = np.where(pe == 0.0, SNR_CAP_DB, np.minimum(s, SNR_CAP_DB))
+    mask = valid & dec_ok
+    snrs[mask] = s[mask]
+
+    ref_t = reference_transcripts_batch(nums_safe)
+    for i in range(n):
+        if not valid[i]:
+            continue
+        tr = transcript.iat[i]
+        t_ok[i] = tr is not None and tr == ref_t[i]
     return pd.DataFrame({"snr": snrs, "decode_ok": dec_ok, "transcript_ok": t_ok})
 
 

@@ -1,0 +1,121 @@
+"""Multimodal column plumbing: image/audio/video as opaque binary columns
+with typed metadata, processed by Arrow-batched ``mapInPandas`` kernels.
+
+The audio decode path is REAL for pcm_s16le (operators/audio.py); image /
+video / compressed-audio decodes are STUBBED behind ``NotImplementedError``
+or a deterministic fake (the codec libraries are not in this container) —
+the Spark-side plumbing (schemas, batch iteration, column pruning, output
+shapes) is real and tested, and each ``*_kernel`` function is the single
+seam where a real library (PIL / pyav / ffmpeg) plugs in.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+
+AUDIO_FEATURE_SCHEMA = (
+    "clip_id string, rms double, peak double, zero_cross_rate double, "
+    "n_samples int"
+)
+
+IMAGE_META_SCHEMA = "img_id string, width int, height int, channels int, ok boolean"
+
+FRAME_SAMPLE_SCHEMA = "vid_id string, frame_idx int, frame_bytes binary"
+
+
+# --------------------------------------------------------------- kernels --
+def decode_image_kernel(payload: bytes) -> np.ndarray:
+    """Seam for a real image decoder (PIL/libjpeg). Not available here."""
+    raise NotImplementedError("image codecs not available in this container")
+
+
+def fake_image_meta(payload: bytes) -> tuple[int, int, int]:
+    """Deterministic fake decode: derive (w, h, c) from the payload header —
+    stands in for reading the real image header."""
+    if payload is None or len(payload) < 4:
+        return (0, 0, 0)
+    return (64 + payload[0] % 64, 64 + payload[1] % 64, 1 + payload[2] % 4)
+
+
+# ------------------------------------------------------------ operators ---
+def audio_features(clips: DataFrame) -> DataFrame:
+    """REAL feature extraction over decoded PCM: RMS energy, peak, zero
+    crossing rate. One Arrow batch per partition chunk; only (clip_id,
+    bytes, codec) are read (column pruning keeps the rest out)."""
+    from pyanomalydetector2_spark.operators.audio import decode_pcm_batch
+
+    def extract(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = []
+            for cid, payload, codec in zip(
+                pdf["clip_id"], pdf["bytes"], pdf["codec"]
+            ):
+                dec = decode_pcm_batch(payload, codec)
+                if dec is None or len(dec) == 0:
+                    out.append((cid, None, None, None, 0))
+                    continue
+                rms = float(np.sqrt(np.mean(dec * dec)))
+                peak = float(np.max(np.abs(dec)))
+                zc = float(np.mean(np.abs(np.diff(np.sign(dec))) > 0))
+                out.append((cid, rms, peak, zc, len(dec)))
+            yield pd.DataFrame(
+                out,
+                columns=["clip_id", "rms", "peak", "zero_cross_rate", "n_samples"],
+            )
+
+    return clips.select("clip_id", "bytes", "codec").mapInPandas(
+        extract, schema=AUDIO_FEATURE_SCHEMA
+    )
+
+
+def image_metadata(images: DataFrame, id_col: str = "img_id", bytes_col: str = "bytes") -> DataFrame:
+    """Image decode plumbing (STUB decode): batch shape, schema, and null
+    handling are real; swap ``fake_image_meta`` for a real header reader."""
+
+    def meta(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for iid, payload in zip(pdf[id_col], pdf[bytes_col]):
+                w, h, c = fake_image_meta(payload)
+                rows.append((iid, w, h, c, w > 0))
+            yield pd.DataFrame(
+                rows, columns=["img_id", "width", "height", "channels", "ok"]
+            )
+
+    return images.select(
+        images[id_col].alias(id_col), images[bytes_col].alias(bytes_col)
+    ).mapInPandas(meta, schema=IMAGE_META_SCHEMA)
+
+
+def sample_frames(
+    videos: DataFrame,
+    every_n: int = 10,
+    id_col: str = "vid_id",
+    bytes_col: str = "bytes",
+) -> DataFrame:
+    """Video frame-sampling plumbing (STUB decode): emits every Nth 'frame'
+    as a fixed-size byte slice of the container payload — a real build
+    replaces the slicing with pyav frame iteration. Demonstrates the 1→N
+    row fan-out shape of frame sampling under mapInPandas."""
+    frame_sz = 256
+
+    def frames(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for vid, payload in zip(pdf[id_col], pdf[bytes_col]):
+                if payload is None:
+                    continue
+                n_frames = max(len(payload) // frame_sz, 1)
+                for idx in range(0, n_frames, every_n):
+                    rows.append(
+                        (vid, idx, bytes(payload[idx * frame_sz : (idx + 1) * frame_sz]))
+                    )
+            yield pd.DataFrame(rows, columns=["vid_id", "frame_idx", "frame_bytes"])
+
+    return videos.select(
+        videos[id_col].alias(id_col), videos[bytes_col].alias(bytes_col)
+    ).mapInPandas(frames, schema=FRAME_SAMPLE_SCHEMA)

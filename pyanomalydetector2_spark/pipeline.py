@@ -1,0 +1,154 @@
+"""The reference's top-level pipelines re-expressed (SURVEY §3.1/§3.2):
+
+- ``update_trends_stats`` = trends_stats.update_stats (trends_stats.py:15-68 +
+  data_processing/stats.py:69-160): incremental moment maintenance — add the
+  new slice, subtract the expired slice, advance the watermark, with the
+  gap-truncate rebuild of detector.py:88-97. The reference's 100-id batch
+  loops and per-row upserts disappear: one merge per increment, one MERGE
+  INTO the stats snapshot.
+
+- ``detect`` = detect_anomalies.run (detect_anomalies.py:37-105): the
+  three-stage funnel with driver-side early exit, then result enrichment
+  with the items dimension (J7, detector.py:575-618) and an idempotent
+  upsert into the anomalies results table (S16).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pyanomalydetector2_spark.operators.detect import (
+    DetectParams,
+    detect1,
+    detect2,
+    detect3,
+)
+from pyanomalydetector2_spark.operators.stats import (
+    merge_moments,
+    moment_stats,
+    subtract_moments,
+)
+from pyanomalydetector2_spark.sources.catalog import SnapshotTable
+from pyanomalydetector2_spark.streaming.watermark import WatermarkLedger
+
+STATS_COLS = ["itemid", "sum", "sqr_sum", "cnt", "mean", "std"]
+
+
+class SeriesPipeline:
+    """One pipeline instance per data source (the reference's per-source
+    table-set, models/models_set.py:25-42)."""
+
+    def __init__(
+        self,
+        warehouse: str,
+        source_name: str = "default",
+        trends_interval: int = 86400,
+        trends_retention: int = 14,
+        params: DetectParams | None = None,
+    ):
+        root = os.path.join(warehouse, source_name)
+        self.stats_table = SnapshotTable(os.path.join(root, "trends_stats"))
+        self.anomalies_table = SnapshotTable(os.path.join(root, "anomalies"))
+        self.watermark = WatermarkLedger(os.path.join(root, "trends_updates.jsonl"))
+        self.trends_interval = trends_interval
+        self.trends_retention = trends_retention
+        self.params = params or DetectParams()
+
+    # -- incremental stats maintenance (SURVEY §3.2) -------------------------
+    def update_trends_stats(self, trends: DataFrame, endep: int) -> DataFrame:
+        """Maintain per-item moment stats over the sliding
+        [endep − interval·retention, endep] window incrementally."""
+        spark = trends.sparkSession
+        startep = endep - self.trends_interval * self.trends_retention
+        last_endep = self.watermark.get_endep()
+        last_startep = self.watermark.get_startep()
+
+        gap = (
+            last_endep is not None
+            and endep - last_endep > 2 * self.trends_interval
+        )
+        if last_endep is None or gap:
+            # full (re)build — reference detector.py:88-97 truncates on gap
+            stats = moment_stats(
+                trends.filter(
+                    (F.col("clock") > startep) & (F.col("clock") <= endep)
+                ),
+                ["itemid"],
+            )
+        else:
+            stored = self.stats_table.read(spark)
+            delta = moment_stats(
+                trends.filter(
+                    (F.col("clock") > last_endep) & (F.col("clock") <= endep)
+                ),
+                ["itemid"],
+            )
+            merged = merge_moments(stored, delta, ["itemid"])
+            expired = moment_stats(
+                trends.filter(
+                    (F.col("clock") > last_startep) & (F.col("clock") <= startep)
+                ),
+                ["itemid"],
+            )
+            stats = subtract_moments(merged, expired, ["itemid"])
+
+        self.stats_table.write_snapshot(stats.select(*STATS_COLS))
+        self.watermark.upsert(startep, endep)
+        return self.stats_table.read(spark)
+
+    # -- detection funnel (SURVEY §3.1) --------------------------------------
+    def detect(
+        self,
+        history: DataFrame,
+        trends: DataFrame,
+        items_dim: DataFrame | None = None,
+        endep: int | None = None,
+    ) -> DataFrame:
+        """detect1 → detect2 → detect3 with driver-side early exit
+        (reference detect_anomalies.py:79-96), then enrichment + upsert."""
+        spark = history.sparkSession
+        tstats = self.stats_table.read(spark)
+
+        s1 = detect1(history, tstats, self.params)
+        s1 = s1.cache()
+        if s1.isEmpty():  # early exit — survivor sets are tiny by design
+            return self._empty_anomalies(spark)
+
+        h2 = history.join(s1, "itemid", "left_semi")
+        t2 = trends.join(s1, "itemid", "left_semi")
+        s2 = detect2(h2, t2, self.params).cache()
+        if s2.isEmpty():
+            return self._empty_anomalies(spark)
+
+        h3 = history.join(s2, "itemid", "left_semi")
+        t3 = trends.join(s2, "itemid", "left_semi")
+        s3 = detect3(h3, tstats, t3, self.params)
+
+        created = endep or int(time.time())
+        out = (
+            s3.join(tstats.select("itemid", "mean", "std"), "itemid")
+            .select(
+                "itemid",
+                F.lit(created).alias("created"),
+                F.col("mean").alias("trend_mean"),
+                F.col("std").alias("trend_std"),
+            )
+        )
+        if items_dim is not None:  # J7 metadata star join — broadcast dim
+            out = out.join(F.broadcast(items_dim), "itemid", "left")
+        self.anomalies_table.merge_upsert(out, ["itemid", "created"])
+        return self.anomalies_table.read(spark).filter(F.col("created") == created)
+
+    def expire_anomalies(self, keep_secs: int, now_ep: int) -> None:
+        """S18 retention delete (reference detector.py:621-625)."""
+        self.anomalies_table.delete_where(f"created < {now_ep - keep_secs}")
+
+    @staticmethod
+    def _empty_anomalies(spark: SparkSession) -> DataFrame:
+        return spark.createDataFrame(
+            [], "itemid long, created long, trend_mean double, trend_std double"
+        )

@@ -72,8 +72,18 @@ def main(argv: list[str] | None = None) -> dict:
         cur = clips_table(spark, args.rows, planted=True, n_buckets=args.buckets)
         base = clips_table(spark, args.rows, planted=False, n_buckets=args.buckets)
         if args.materialize:
-            cur_t.write_snapshot(cur, partition_by=["bucket"])
-            base_t.write_snapshot(base, partition_by=["bucket"])
+            # cluster rows into their bucket partition before writing: ONE
+            # file per bucket instead of (write-tasks × buckets) shards —
+            # otherwise every downstream stage schedules thousands of
+            # micro-tasks and the driver becomes the bottleneck
+            from pyspark.sql import functions as F
+
+            cur_t.write_snapshot(
+                cur.repartition(F.col("bucket")), partition_by=["bucket"]
+            )
+            base_t.write_snapshot(
+                base.repartition(F.col("bucket")), partition_by=["bucket"]
+            )
             cur, base = cur_t.read(spark), base_t.read(spark)
 
     dims = {"dim_codec": dim_codec(spark), "dim_sr": dim_sr(spark)}
@@ -109,6 +119,7 @@ def main(argv: list[str] | None = None) -> dict:
     if args.json_out:
         with open(args.json_out, "a") as f:
             f.write(json.dumps(summary) + "\n")
+    spark.stop()
     return summary
 
 

@@ -1,0 +1,96 @@
+"""CSV sources/sinks (SURVEY §2.1 S1-S4, S20).
+
+The reference's CsvGetter (data_getter/csv_getter.py:25-112) hand-rolls:
+gzip read, dtype coercion, malformed-row drops, repeated-header filtering,
+time+id filters, global sorts. Here: ``spark.read.csv`` with an explicit
+schema + DROPMALFORMED does the coercion/drop in the scan (headers that
+repeat mid-file coerce to null → dropped), filters push down, and sorting
+moves into downstream window specs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+HISTORY_SCHEMA = T.StructType(
+    [
+        T.StructField("itemid", T.LongType()),
+        T.StructField("clock", T.LongType()),
+        T.StructField("value", T.DoubleType()),
+    ]
+)
+
+TRENDS_SCHEMA = T.StructType(
+    [
+        T.StructField("itemid", T.LongType()),
+        T.StructField("clock", T.LongType()),
+        T.StructField("value_min", T.DoubleType()),
+        T.StructField("value_avg", T.DoubleType()),
+        T.StructField("value_max", T.DoubleType()),
+    ]
+)
+
+ITEMS_SCHEMA = T.StructType(
+    [
+        T.StructField("group_name", T.StringType()),
+        T.StructField("hostid", T.IntegerType()),
+        T.StructField("host_name", T.StringType()),
+        T.StructField("itemid", T.LongType()),
+        T.StructField("item_name", T.StringType()),
+    ]
+)
+
+
+def read_history_csv(
+    spark: SparkSession,
+    path: str,
+    startep: int | None = None,
+    endep: int | None = None,
+    item_ids: list[int] | None = None,
+) -> DataFrame:
+    """S1 — history scan with coercion + filters (csv_getter.py:25-69).
+    Gzip is handled transparently by the .gz extension."""
+    df = spark.read.csv(path, header=True, schema=HISTORY_SCHEMA, mode="DROPMALFORMED")
+    df = df.filter(F.col("itemid").isNotNull() & F.col("clock").isNotNull())
+    if startep is not None:
+        df = df.filter(F.col("clock") >= startep)
+    if endep is not None:
+        df = df.filter(F.col("clock") <= endep)
+    if item_ids:
+        df = df.filter(F.col("itemid").isin(item_ids))
+    return df
+
+
+def read_trends_csv(spark: SparkSession, path: str, **kw) -> DataFrame:
+    """S2 — trends scan, 5 columns (csv_getter.py:80-112)."""
+    df = spark.read.csv(path, header=True, schema=TRENDS_SCHEMA, mode="DROPMALFORMED")
+    df = df.filter(F.col("itemid").isNotNull() & F.col("clock").isNotNull())
+    if kw.get("startep") is not None:
+        df = df.filter(F.col("clock") >= kw["startep"])
+    if kw.get("endep") is not None:
+        df = df.filter(F.col("clock") <= kw["endep"])
+    return df
+
+
+def trends_as_value(trends: DataFrame) -> DataFrame:
+    """S3 — trends→value projection: value := value_avg (csv_getter.py:71-77)."""
+    return trends.select("itemid", "clock", F.col("value_avg").alias("value"))
+
+
+def read_items_csv(
+    spark: SparkSession, path: str, item_ids: list[int] | None = None
+) -> DataFrame:
+    """S4 — items dimension scan (csv_getter.py:150-158)."""
+    df = spark.read.csv(path, header=True, schema=ITEMS_SCHEMA, mode="DROPMALFORMED")
+    if item_ids:
+        df = df.filter(F.col("itemid").isin(item_ids))
+    return df
+
+
+def export_gzip_csv(df: DataFrame, path: str) -> None:
+    """S20 — gzip CSV exporter (tools/get_zabbix_data.py:36-59)."""
+    df.write.mode("overwrite").option("header", True).option(
+        "compression", "gzip"
+    ).csv(path)

@@ -1,0 +1,121 @@
+"""End-to-end SeriesPipeline tests — incremental stats maintenance against a
+full-recompute oracle across successive loads (reference
+tests/test_trends_stats.py:31-92 pattern) and the detection funnel with
+planted anomalies + metadata enrichment."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from pyanomalydetector2_spark.operators.detect import DetectParams
+from pyanomalydetector2_spark.operators.stats import moment_stats
+from pyanomalydetector2_spark.pipeline import SeriesPipeline
+from pyspark.sql import functions as F
+
+T0 = 1_700_000_000
+INTERVAL = 3600
+RETENTION = 24  # 24h sliding window
+
+
+def gen_trends(spark, n_items: int, upto_ep: int, anomaly_items=()):
+    rng = np.random.default_rng(5)
+    rows = []
+    for item in range(1, n_items + 1):
+        base = 50.0 + item
+        k = T0
+        while k <= upto_ep:
+            rows.append((item, k, float(base + rng.normal(0, 1.0))))
+            k += INTERVAL
+    return spark.createDataFrame(
+        pd.DataFrame(rows, columns=["itemid", "clock", "value"])
+    )
+
+
+def test_incremental_stats_match_full_recompute(spark, tmp_path):
+    p = SeriesPipeline(
+        str(tmp_path), trends_interval=INTERVAL, trends_retention=RETENTION
+    )
+    end1 = T0 + 40 * INTERVAL
+    trends1 = gen_trends(spark, 10, end1)
+    s1 = p.update_trends_stats(trends1, end1)
+
+    def oracle(trends, endep):
+        lo = endep - INTERVAL * RETENTION
+        return (
+            moment_stats(
+                trends.filter((F.col("clock") > lo) & (F.col("clock") <= endep)),
+                ["itemid"],
+            )
+            .toPandas()
+            .set_index("itemid")
+            .sort_index()
+        )
+
+    got1 = s1.toPandas().set_index("itemid").sort_index()
+    exp1 = oracle(trends1, end1)
+    np.testing.assert_allclose(got1["mean"], exp1["mean"], rtol=1e-9)
+    np.testing.assert_allclose(got1["std"], exp1["std"], rtol=1e-6)
+
+    # second incremental load: 6 more hours of data (delta + expiry path)
+    end2 = end1 + 6 * INTERVAL
+    trends2 = gen_trends(spark, 10, end2)
+    s2 = p.update_trends_stats(trends2, end2)
+    got2 = s2.toPandas().set_index("itemid").sort_index()
+    exp2 = oracle(trends2, end2)
+    np.testing.assert_allclose(got2["cnt"], exp2["cnt"])
+    np.testing.assert_allclose(got2["mean"], exp2["mean"], rtol=1e-9)
+    np.testing.assert_allclose(got2["std"], exp2["std"], rtol=1e-6)
+    assert p.watermark.get_endep() == end2
+
+    # third load after a LONG gap → truncate-and-rebuild path
+    end3 = end2 + 10 * INTERVAL
+    trends3 = gen_trends(spark, 10, end3)
+    s3 = p.update_trends_stats(trends3, end3)
+    got3 = s3.toPandas().set_index("itemid").sort_index()
+    exp3 = oracle(trends3, end3)
+    np.testing.assert_allclose(got3["mean"], exp3["mean"], rtol=1e-9)
+    np.testing.assert_allclose(got3["std"], exp3["std"], rtol=1e-6)
+
+
+def test_detect_funnel_with_enrichment(spark, tmp_path):
+    rng = np.random.default_rng(6)
+    p = SeriesPipeline(
+        str(tmp_path),
+        trends_interval=INTERVAL,
+        trends_retention=14 * 24,
+        params=DetectParams(),
+    )
+    endep = T0 + 14 * 24 * INTERVAL
+    trends = gen_trends(spark, 15, endep)
+    p.update_trends_stats(trends, endep)
+
+    hist_rows = []
+    for item in range(1, 16):
+        base = 50.0 + item
+        shift = 25.0 if item in (2, 5) else 0.0
+        for k in range(18):
+            hist_rows.append(
+                (item, endep + k * 600, float(base + shift + rng.normal(0, 1.0)))
+            )
+    history = spark.createDataFrame(
+        pd.DataFrame(hist_rows, columns=["itemid", "clock", "value"])
+    )
+    items_dim = spark.createDataFrame(
+        [(i, f"host{i % 3}", f"item{i}", "grp") for i in range(1, 16)],
+        "itemid long, host_name string, item_name string, group_name string",
+    )
+    out = p.detect(history, trends, items_dim, endep=endep + 18 * 600)
+    rows = {r["itemid"]: r for r in out.collect()}
+    assert set(rows) == {2, 5}
+    assert rows[2]["host_name"] == "host2"
+    assert rows[2]["trend_std"] > 0
+
+    # idempotent re-run (MERGE semantics): same keys, no duplicates
+    out2 = p.detect(history, trends, items_dim, endep=endep + 18 * 600)
+    assert out2.count() == 2
+
+    # retention expiry removes old rows
+    p.expire_anomalies(keep_secs=1, now_ep=endep + 18 * 600 + 10)
+    assert p.anomalies_table.read(spark).count() == 0

@@ -19,6 +19,7 @@ import os
 import shutil
 import subprocess
 import sys
+import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
@@ -101,7 +102,9 @@ def main() -> None:
         print(r.stdout[-2000:], r.stderr[-2000:], file=sys.stderr)
         raise SystemExit("materialize run failed")
 
+    time.sleep(10)  # let page-cache writeback settle between measurements
     small = run_level(args.small, args.warehouse, args.rows, out, args.repeat)
+    time.sleep(10)
     large = run_level(args.large, args.warehouse, args.rows, out, args.repeat)
 
     thr_s, thr_l = small["value"], large["value"]
