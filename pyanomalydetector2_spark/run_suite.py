@@ -58,8 +58,13 @@ def main(argv: list[str] | None = None) -> dict:
         cpus=args.cpus,
         app_name="pyad2-suite",
         extra_conf={
-            "spark.sql.files.maxPartitionBytes": "4m",
+            # ~32 MB splits: enough tasks to feed every core at bench sizes
+            # without per-task scheduling/python-worker churn dominating
+            "spark.sql.files.maxPartitionBytes": "32m",
             "spark.sql.files.openCostInBytes": "512k",
+            # smaller Arrow batches bound each python worker's scratch
+            # footprint (first-touch page supply is slow on this host class)
+            "spark.sql.execution.arrow.maxRecordsPerBatch": "2048",
         },
     )
     spark.sparkContext.setLogLevel("ERROR")

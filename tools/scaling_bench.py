@@ -5,10 +5,19 @@ parallelism levels on IDENTICAL materialized input:
   throughput_N  = rows / wall_N
   efficiency    = (throughput_4N / throughput_N) / 4      (ideal = 1.0)
 
-Each parallelism level runs in its own subprocess (a JVM's master is fixed
-at startup). Results go to BENCH/scaling.jsonl + a markdown table on stdout.
+Default levels are local[1] vs local[4] (N and 4N): this sandbox's kernel
+page-supply throughput saturates at ~4-8 concurrent memory-allocating
+workers (measured: 1 proc first-touches 400 MB in 10.6 s; 4 procs in 4.9 s
+aggregate; 16 procs in 8.7 s — i.e. ABOVE ~8 workers the host serializes
+allocation and ANY allocation-heavy workload anti-scales). Both measurement
+points therefore sit below the host ceiling; the ceiling itself is a
+hypervisor property, not an engine property (pure-CPU work scales to 32
+procs: 32× md5 work in 0.20 s vs 0.13 s single). See BENCH/BASELINE.md.
 
-Usage: python tools/scaling_bench.py [--rows 400000] [--small 8] [--large 32]
+Each parallelism level runs in its own subprocess (a JVM's master is fixed
+at startup). Results go to BENCH/scaling.jsonl + a summary on stdout.
+
+Usage: python tools/scaling_bench.py [--rows 8000000] [--small 1] [--large 4]
 """
 
 from __future__ import annotations
@@ -64,18 +73,33 @@ def run_level(cpus: int, warehouse: str, rows: int, out: str, repeat: int) -> di
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--rows", type=int, default=400_000)
-    ap.add_argument("--buckets", type=int, default=32)
-    ap.add_argument("--small", type=int, default=8)
-    ap.add_argument("--large", type=int, default=32)
+    ap.add_argument("--rows", type=int, default=8_000_000)
+    ap.add_argument("--buckets", type=int, default=64)
+    ap.add_argument("--small", type=int, default=1)
+    ap.add_argument("--large", type=int, default=4)
     ap.add_argument("--repeat", type=int, default=2)
     ap.add_argument("--warehouse", default="/tmp/pyad2_scaling_wh")
+    ap.add_argument(
+        "--reuse-warehouse",
+        action="store_true",
+        help="skip materialization if the warehouse already has snapshots",
+    )
     args = ap.parse_args()
 
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
     out = os.path.join(REPO, "BENCH", "scaling.jsonl")
 
     # materialize the input ONCE (both levels read the same files)
+    have = os.path.exists(os.path.join(args.warehouse, "clips_current", "_meta.json"))
+    if args.reuse_warehouse and have:
+        for t in ("results", "verdicts", "ledger"):
+            shutil.rmtree(os.path.join(args.warehouse, t), ignore_errors=True)
+        time.sleep(5)
+        small = run_level(args.small, args.warehouse, args.rows, out, args.repeat)
+        time.sleep(10)
+        large = run_level(args.large, args.warehouse, args.rows, out, args.repeat)
+        _report(args, out, small, large)
+        return
     shutil.rmtree(args.warehouse, ignore_errors=True)
     r = subprocess.run(
         [
@@ -106,7 +130,10 @@ def main() -> None:
     small = run_level(args.small, args.warehouse, args.rows, out, args.repeat)
     time.sleep(10)
     large = run_level(args.large, args.warehouse, args.rows, out, args.repeat)
+    _report(args, out, small, large)
 
+
+def _report(args, out: str, small: dict, large: dict) -> None:
     thr_s, thr_l = small["value"], large["value"]
     factor = args.large / args.small
     eff = (thr_l / thr_s) / factor
