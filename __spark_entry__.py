@@ -484,6 +484,110 @@ def q_ann_lsh_topk(spark: SparkSession, sf: str) -> DataFrame:
     return lsh_bucketed_topk(emb, q, dims=64, k=5, planes=6)
 
 
+def q_item_conds(spark: SparkSession, sf: str) -> DataFrame:
+    """P8 — declarative item_conds: a metadata filter selects an item subset
+    (broadcast), then a {operator, value} condition applies to the item's
+    aggregate (reference detector.py:169-257 + samples/zabbix.yml:26-81).
+    Spec is compiled to Column expressions, not evaluated row-by-row."""
+    spec = {"filter": "c_nationkey < 5", "condition": {"operator": ">", "value": 30000.0}}
+    customer = load_table(spark, sf, "customer")
+    orders = load_table(spark, sf, "orders")
+    selected = customer.filter(F.expr(spec["filter"])).select(
+        F.col("c_custkey").alias("itemid")
+    )
+    stats = (
+        orders.join(F.broadcast(selected), orders.o_custkey == F.col("itemid"))
+        .groupBy("itemid")
+        .agg(F.avg("o_totalprice").alias("mean_v"))
+    )
+    cond = spec["condition"]
+    return stats.filter(
+        F.expr(f"mean_v {cond['operator']} {cond['value']}")
+    ).select("itemid", _r("mean_v").alias("mean_v"))
+
+
+def q_detect3_phase2(spark: SparkSession, sf: str) -> DataFrame:
+    """detect3 phase 2 — items failing the phase-1 sustained screen get a
+    second chance on their last-6-sample mean with λ3_2 scaled to this
+    data (reference detector.py:519-546); output = phase1 ∪ rescued ids."""
+    ev = load_table(spark, sf, "events").select(
+        F.col("user_id").alias("itemid"), "ts", "event_id", "value"
+    )
+    tstats = moment_stats(ev.filter(F.col("ts") < _CUT), ["itemid"]).select(
+        "itemid", F.col("mean").alias("mean_t"), F.col("std").alias("std_t")
+    )
+    h = ev.filter(F.col("ts") >= _CUT).join(F.broadcast(tstats), "itemid")
+    beyond = (F.abs(F.col("value") - F.col("mean_t")) > 0.5 * F.col("std_t")).cast("int")
+    phase1 = (
+        h.filter(F.col("std_t") > 0)
+        .groupBy("itemid")
+        .agg(F.avg(beyond).alias("anom_rate"))
+        .filter(F.col("anom_rate") >= 0.6)
+        .select("itemid")
+    )
+    failed = h.join(phase1, "itemid", "left_anti")
+    w = Window.partitionBy("itemid").orderBy(F.col("ts").desc(), F.col("event_id").desc())
+    recent = failed.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") <= 6)
+    rescued = (
+        recent.groupBy("itemid")
+        .agg(F.avg("value").alias("mean_r"), F.first("mean_t").alias("mean_t"), F.first("std_t").alias("std_t"))
+        .filter(F.abs(F.col("mean_r") - F.col("mean_t")) > 0.5 * F.col("std_t"))
+        .select("itemid")
+    )
+    return phase1.union(rescued).distinct()
+
+
+def q_tpch_q1(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q1 pricing summary — the canonical scan→filter→agg shape
+    (predicate pushdown + map-side combine)."""
+    li = load_table(spark, sf, "lineitem").filter(
+        F.col("l_shipdate") <= "1998-12-01 00:00:00"
+    )
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        _r(F.sum("l_quantity"), 2).alias("sum_qty"),
+        _r(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+        _r(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            "sum_disc_price"
+        ),
+        _r(
+            F.sum(
+                F.col("l_extendedprice")
+                * (1 - F.col("l_discount"))
+                * (1 + F.col("l_tax"))
+            ),
+            2,
+        ).alias("sum_charge"),
+        _r(F.avg("l_quantity"), 6).alias("avg_qty"),
+        _r(F.avg("l_extendedprice"), 6).alias("avg_price"),
+        _r(F.avg("l_discount"), 6).alias("avg_disc"),
+        F.count(F.lit(1)).cast("long").alias("count_order"),
+    )
+
+
+def q_tpch_q3(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q3 shipping priority — selective star join + top-10 with
+    deterministic tie-break; dims broadcast."""
+    cust = load_table(spark, sf, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = load_table(spark, sf, "orders").filter(
+        F.col("o_orderdate") < "1998-03-15 00:00:00"
+    )
+    li = load_table(spark, sf, "lineitem").filter(
+        F.col("l_shipdate") > "1998-03-15 00:00:00"
+    )
+    sel_orders = orders.join(
+        F.broadcast(cust), orders.o_custkey == cust.c_custkey
+    ).select("o_orderkey", "o_orderdate")
+    j = li.join(sel_orders, li.l_orderkey == F.col("o_orderkey"))
+    agg = j.groupBy("l_orderkey", "o_orderdate").agg(
+        _r(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            "revenue"
+        )
+    )
+    return agg.orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc()).limit(10)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the detect1-style z-score screen on sf0.001."""
     return q_zscore_screen(spark, "/root/testdata/sf0.001")
@@ -521,6 +625,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "detect3_support": q_detect3_support,
         "embedding_near_dup": q_embedding_near_dup,
         "ann_lsh_topk": q_ann_lsh_topk,
+        "item_conds": q_item_conds,
+        "detect3_phase2": q_detect3_phase2,
+        "tpch_q1": q_tpch_q1,
+        "tpch_q3": q_tpch_q3,
     }
 
 
@@ -964,5 +1072,66 @@ def oracle_sql() -> dict[str, str]:
               FROM embeddings a, embeddings b
               WHERE a.vec_id < b.vec_id
             ) WHERE cosine >= 0.4
+        """,
+        "item_conds": """
+            SELECT c_custkey AS itemid,
+                   round(avg(o_totalprice), 6) AS mean_v
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            WHERE c_nationkey < 5
+            GROUP BY 1 HAVING avg(o_totalprice) > 30000.0
+        """,
+        "detect3_phase2": f"""
+            WITH tr AS (
+              SELECT user_id AS itemid, sum(value)/count(value) AS mean_t,
+                     {std_v} AS std_t
+              FROM events WHERE ts < TIMESTAMP '{_CUT}' GROUP BY 1
+            ), h AS (
+              SELECT e.user_id AS itemid, e.ts, e.event_id, e.value,
+                     tr.mean_t, tr.std_t
+              FROM events e JOIN tr ON e.user_id = tr.itemid
+              WHERE e.ts >= TIMESTAMP '{_CUT}' AND tr.std_t > 0
+            ), phase1 AS (
+              SELECT itemid
+              FROM h GROUP BY 1
+              HAVING avg(CASE WHEN abs(value - mean_t) > 0.5*std_t
+                              THEN 1 ELSE 0 END) >= 0.6
+            ), failed AS (
+              SELECT h.*, row_number() OVER (PARTITION BY h.itemid
+                                             ORDER BY ts DESC, event_id DESC) AS rn
+              FROM h WHERE h.itemid NOT IN (SELECT itemid FROM phase1)
+            ), rescued AS (
+              SELECT itemid FROM failed WHERE rn <= 6
+              GROUP BY itemid, mean_t, std_t
+              HAVING abs(avg(value) - mean_t) > 0.5 * std_t
+            )
+            SELECT itemid FROM phase1 UNION SELECT itemid FROM rescued
+        """,
+        "tpch_q1": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 2) AS sum_qty,
+                   round(sum(l_extendedprice), 2) AS sum_base_price,
+                   round(sum(l_extendedprice*(1-l_discount)), 2) AS sum_disc_price,
+                   round(sum(l_extendedprice*(1-l_discount)*(1+l_tax)), 2)
+                     AS sum_charge,
+                   round(avg(l_quantity), 6) AS avg_qty,
+                   round(avg(l_extendedprice), 6) AS avg_price,
+                   round(avg(l_discount), 6) AS avg_disc,
+                   count(*) AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '1998-12-01 00:00:00'
+            GROUP BY 1, 2
+        """,
+        "tpch_q3": """
+            SELECT l_orderkey, o_orderdate,
+                   round(sum(l_extendedprice*(1-l_discount)), 2) AS revenue
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            WHERE c_mktsegment = 'BUILDING'
+              AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+              AND l_shipdate > TIMESTAMP '1998-03-15 00:00:00'
+            GROUP BY 1, 2
+            ORDER BY revenue DESC, l_orderkey ASC
+            LIMIT 10
         """,
     }

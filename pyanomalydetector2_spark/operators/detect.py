@@ -169,3 +169,45 @@ def detect3(
     return j.filter(
         (F.col("mean_h") > F.col("peak_up")) | (F.col("mean_h") < F.col("peak_dn"))
     ).select(key)
+
+
+def detect3_phase2(
+    history: DataFrame,
+    trends_stats: DataFrame,
+    phase1_survivors: DataFrame,
+    params: DetectParams = DetectParams(),
+    key: str = "itemid",
+    recent_count: int = 6,
+) -> DataFrame:
+    """Stage-3 phase 2 (reference detector.py:519-546): items that FAILED
+    phase 1 get a second chance on the recent sub-window (last
+    ``recent_count`` samples per item, reference history_recent_count
+    default.yml:36) with the stricter λ3_2 threshold.
+
+    Returns the union of phase-1 survivors and phase-2 rescues — the
+    reference's list(set(itemIds + itemIds2)) at detector.py:544-546.
+    """
+    from pyspark.sql import Window
+
+    failed = history.join(phase1_survivors, key, "left_anti")
+    w = Window.partitionBy(key).orderBy(F.col("clock").desc())
+    recent = (
+        failed.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= recent_count)
+        .drop("_rn")
+    )
+    t = trends_stats.select(
+        key, F.col("mean").alias("mean_t"), F.col("std").alias("std_t")
+    )
+    rescued = (
+        recent.groupBy(key)
+        .agg(F.avg("value").alias("mean_r"))
+        .join(t, key)
+        .filter(F.col("std_t") > 0)
+        .filter(
+            F.abs(F.col("mean_r") - F.col("mean_t"))
+            > params.lambda3_2 * F.col("std_t")
+        )
+        .select(key)
+    )
+    return phase1_survivors.select(key).union(rescued).distinct()

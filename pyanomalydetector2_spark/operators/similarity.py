@@ -16,6 +16,8 @@ functions (zip_with/aggregate), JVM-side.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -88,6 +90,38 @@ def hyperplane_signature(vec: Column, dims: int, planes: int = 8) -> Column:
     return sum(bits[1:], bits[0]).cast("int")
 
 
+def _sign_matrix(dims: int, planes: int):
+    """The deterministic ±1 hyperplane matrix (same bits as
+    hyperplane_signature: h60('p:d') even → +1)."""
+    import hashlib
+
+    m = np.empty((planes, dims))
+    for p in range(planes):
+        for d in range(dims):
+            h = int(hashlib.md5(f"{p}:{d}".encode()).hexdigest()[:15], 16)
+            m[p, d] = 1.0 if h % 2 == 0 else -1.0
+    return m
+
+
+def hyperplane_signature_udf(dims: int, planes: int):
+    """Vectorized signature kernel: one numpy matmul per Arrow batch against
+    the broadcast ±1 matrix — replaces a planes×dims-term Column expression
+    (interpreted per row) with BLAS."""
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import IntegerType
+
+    signs = _sign_matrix(dims, planes).T  # (dims × planes)
+    weights = (1 << np.arange(planes)).astype(np.int64)
+
+    @pandas_udf(IntegerType())
+    def sig(vec: pd.Series) -> pd.Series:
+        m = np.array(list(vec), dtype=np.float64)
+        proj = m @ signs
+        return pd.Series(((proj > 0) @ weights).astype(np.int32))
+
+    return sig
+
+
 def lsh_bucketed_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -99,7 +133,7 @@ def lsh_bucketed_topk(
 ) -> DataFrame:
     """ANN: bucket corpus + queries by hyperplane signature, exact re-rank
     inside the shared bucket. Recall < 1 by construction (single-probe)."""
-    sig = hyperplane_signature(F.col(vec_col), dims, planes)
+    sig = hyperplane_signature_udf(dims, planes)(F.col(vec_col))
     c = corpus.select(
         F.col(id_col).alias("match_id"), F.col(vec_col).alias("cv"), sig.alias("bucket")
     )
