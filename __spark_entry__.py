@@ -588,6 +588,27 @@ def q_tpch_q3(spark: SparkSession, sf: str) -> DataFrame:
     return agg.orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc()).limit(10)
 
 
+def q_column_profile(spark: SparkSession, sf: str) -> DataFrame:
+    """North-rule core — single-pass per-group column-stats profile
+    (count, null-rate, min/max, mean/std via the moment algebra) in long
+    layout; quantiles/HLL omitted here (sketches differ across engines)."""
+    from pyanomalydetector2_spark.operators.stats import column_profile
+
+    ev = load_table(spark, sf, "events")
+    prof = column_profile(ev, ["value", "user_id"], group_cols=["event_type"])
+    return prof.select(
+        "event_type",
+        "column",
+        F.col("row_cnt").cast("long").alias("row_cnt"),
+        F.col("cnt").cast("long").alias("cnt"),
+        F.col("null_cnt").cast("long").alias("null_cnt"),
+        _r("min").alias("min_v"),
+        _r("max").alias("max_v"),
+        _r("mean").alias("mean_v"),
+        _r("std").alias("std_v"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the detect1-style z-score screen on sf0.001."""
     return q_zscore_screen(spark, "/root/testdata/sf0.001")
@@ -629,6 +650,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "detect3_phase2": q_detect3_phase2,
         "tpch_q1": q_tpch_q1,
         "tpch_q3": q_tpch_q3,
+        "column_profile": q_column_profile,
     }
 
 
@@ -1133,5 +1155,25 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY 1, 2
             ORDER BY revenue DESC, l_orderkey ASC
             LIMIT 10
+        """,
+        "column_profile": f"""
+            WITH v AS (
+              SELECT event_type, 'value' AS column,
+                     count(*) AS row_cnt, count(value) AS cnt,
+                     count(*) - count(value) AS null_cnt,
+                     round(min(value), 6) AS min_v, round(max(value), 6) AS max_v,
+                     round(sum(value)/count(value), 6) AS mean_v,
+                     round({std_v}, 6) AS std_v
+              FROM events GROUP BY 1
+            ), u AS (
+              SELECT event_type, 'user_id' AS column,
+                     count(*) AS row_cnt, count(user_id) AS cnt,
+                     count(*) - count(user_id) AS null_cnt,
+                     round(min(user_id), 6) AS min_v, round(max(user_id), 6) AS max_v,
+                     round(sum(user_id)/count(user_id), 6) AS mean_v,
+                     round({_STD_CLOSED.format(v="user_id")}, 6) AS std_v
+              FROM events GROUP BY 1
+            )
+            SELECT * FROM v UNION ALL SELECT * FROM u
         """,
     }
