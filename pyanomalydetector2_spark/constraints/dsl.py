@@ -19,7 +19,7 @@ Five constraint kinds cover the north_rule surface:
 from __future__ import annotations
 
 import operator
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 _OPS = {
     "<": operator.lt,

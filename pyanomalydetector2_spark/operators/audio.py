@@ -31,7 +31,7 @@ from pyspark.sql.functions import pandas_udf
 from pyanomalydetector2_spark.datagen.clips import (
     CODEC_MAGIC,
     PCM_SAMPLES,
-    reference_pcm,
+    reference_pcm,  # noqa: F401 — re-exported for tests/oracles
     reference_transcript,
 )
 

@@ -14,7 +14,7 @@ two-level semantics. The distributed part is only the chart extraction:
 from __future__ import annotations
 
 import numpy as np
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from pyanomalydetector2_spark.functions import z_indicator

