@@ -136,6 +136,88 @@ def drift_scores_multi(
     return out
 
 
+def quantile_edges(
+    baseline: DataFrame, column: str, nbins: int = 20, accuracy: int = 10000
+) -> list[float]:
+    """Equi-depth bin edges from the baseline snapshot via Spark's
+    approximate-quantile sketch (percentile_approx — the built-in
+    KLL-style sketch the north_star names). One pass over baseline."""
+    qs = [i / nbins for i in range(1, nbins)]
+    row = baseline.agg(
+        F.percentile_approx(F.col(column).cast("double"), qs, accuracy).alias("q")
+    ).first()
+    # dedupe (discrete columns produce repeated edges)
+    edges: list[float] = []
+    for v in row["q"]:
+        if v is not None and (not edges or v > edges[-1]):
+            edges.append(float(v))
+    return edges
+
+
+def binned_counts_edges(
+    df: DataFrame,
+    column: str,
+    edges: list[float],
+    group_col: str | None = None,
+) -> DataFrame:
+    """Histogram counts over ARBITRARY ascending edges (equi-depth bins):
+    bin i = count of values in (edges[i-1], edges[i]]; bin 0 = ≤ edges[0],
+    bin len(edges) = > last edge. The CASE chain is small (≤ ~20 branches)
+    and whole-stage-codegen'd."""
+    v = F.col(column).cast("double")
+    binc = F.lit(len(edges))
+    for i in range(len(edges) - 1, -1, -1):
+        binc = F.when(v <= F.lit(edges[i]), F.lit(i)).otherwise(binc)
+    keys = ([group_col] if group_col else []) + ["bin"]
+    return (
+        df.filter(F.col(column).isNotNull())
+        .select(*(([group_col] if group_col else []) + [binc.alias("bin")]))
+        .groupBy(*keys)
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def drift_scores_quantile(
+    current: DataFrame,
+    baseline: DataFrame,
+    column: str,
+    nbins: int = 20,
+    group_col: str | None = None,
+) -> list[dict]:
+    """PSI/KS over EQUI-DEPTH bins derived from the baseline's quantile
+    sketch — robust to heavy tails/outliers where uniform bins waste
+    resolution. Three passes total (edges, baseline counts, current counts),
+    all map-side-combined aggregates."""
+    edges = quantile_edges(baseline, column, nbins)
+    nb = len(edges) + 1
+
+    def counts(df: DataFrame, g: str | None) -> dict[tuple, np.ndarray]:
+        rows = binned_counts_edges(df, column, edges, g).collect()
+        out: dict[tuple, np.ndarray] = {}
+        for r in rows:
+            key = (r[g] if g else None,)
+            if key not in out:
+                out[key] = np.zeros(nb, dtype=np.int64)
+            out[key][int(r["bin"])] = r["n"]
+        return out
+
+    base_h = counts(baseline, None)[(None,)]
+    out = []
+    for (g,), cur in sorted(counts(current, group_col).items(), key=lambda kv: str(kv[0])):
+        psi, ks = psi_ks(cur, base_h)
+        out.append(
+            {
+                "group": g,
+                "column": column,
+                "psi": psi,
+                "ks": ks,
+                "cur_n": int(cur.sum()),
+                "base_n": int(base_h.sum()),
+            }
+        )
+    return out
+
+
 def drift_scores(
     current: DataFrame,
     baseline: DataFrame,

@@ -100,3 +100,41 @@ def test_catalog_partitioned_write_prunes(spark, tmp_path):
     # bucket filter prunes to one partition dir at the file-source level
     plan = t.read(spark).filter("bucket = 2")._jdf.queryExecution().executedPlan().toString()
     assert t.read(spark).filter("bucket = 2").count() == 25
+
+
+def test_quantile_edge_drift(spark):
+    """Equi-depth drift: identical distributions score ~0; a shifted one
+    fires; bins match a numpy equi-depth oracle."""
+    import numpy as np
+    import pandas as pd
+
+    from pyanomalydetector2_spark.operators.drift import (
+        binned_counts_edges,
+        drift_scores_quantile,
+        quantile_edges,
+    )
+
+    rng = np.random.default_rng(17)
+    base_v = np.concatenate([rng.normal(10, 2, 4000), rng.normal(100, 5, 400)])
+    cur_same = rng.permutation(base_v)[:3000]
+    cur_shift = cur_same * 1.5
+    base = spark.createDataFrame(pd.DataFrame({"x": base_v}))
+    same = spark.createDataFrame(pd.DataFrame({"x": cur_same}))
+    shift = spark.createDataFrame(pd.DataFrame({"x": cur_shift}))
+
+    edges = quantile_edges(base, "x", nbins=10)
+    assert edges == sorted(edges) and 3 <= len(edges) <= 9 + 1
+
+    # bin counts vs numpy digitize on the same edges
+    got = {
+        int(r["bin"]): r["n"]
+        for r in binned_counts_edges(base, "x", edges).collect()
+    }
+    dig = np.digitize(base_v, np.array(edges), right=True)
+    for b in range(len(edges) + 1):
+        assert got.get(b, 0) == int((dig == b).sum())
+
+    s_same = drift_scores_quantile(same, base, "x", nbins=10)[0]
+    s_shift = drift_scores_quantile(shift, base, "x", nbins=10)[0]
+    assert s_same["psi"] < 0.02 and s_same["ks"] < 0.03
+    assert s_shift["psi"] > 0.3 and s_shift["ks"] > 0.2
