@@ -33,8 +33,12 @@ from pyanomalydetector2_spark.operators.text import doc_fingerprint, lang_id, to
 from pyanomalydetector2_spark.operators.windows import top_n_per_group
 from pyanomalydetector2_spark.sources.tables import events_as_series, load_table
 
-# recent/trend split for the detect1-style screen (events span 2024-01)
+# recent/trend split for the detect1-style screen (events span 2024-01).
+# Spark-side comparisons use the epoch value (tz-independent even if the
+# driver's session timezone is not UTC); the oracle's naive TIMESTAMP
+# literal is UTC by DuckDB convention.
 _CUT = "2024-01-28 00:00:00"
+_CUT_EP = 1706400000  # epoch seconds of _CUT (UTC)
 # thresholds scaled to the synthetic events distribution so the screen has a
 # non-trivial survivor set (semantics identical to the reference's λ1 screen)
 _LAMBDA1 = 0.5
@@ -70,14 +74,14 @@ def q_zscore_screen(spark: SparkSession, sf: str) -> DataFrame:
     ev = load_table(spark, sf, "events").select(
         F.col("user_id").alias("itemid"), "ts", "value"
     )
-    trend = moment_stats(ev.filter(F.col("ts") < _CUT), ["itemid"]).select(
+    trend = moment_stats(ev.filter(F.unix_timestamp("ts") < _CUT_EP), ["itemid"]).select(
         "itemid",
         F.col("mean").alias("mean_t"),
         F.col("std").alias("std_t"),
         F.col("cnt").alias("cnt_t"),
     )
     recent = (
-        ev.filter(F.col("ts") >= _CUT)
+        ev.filter(F.unix_timestamp("ts") >= _CUT_EP)
         .groupBy("itemid")
         .agg(F.avg("value").alias("mean_h"))
     )
@@ -378,8 +382,8 @@ def q_incremental_merge(spark: SparkSession, sf: str) -> DataFrame:
     ev = load_table(spark, sf, "events").select(
         F.col("user_id").alias("itemid"), "ts", "value"
     )
-    a = moment_stats(ev.filter(F.col("ts") < _CUT), ["itemid"])
-    b = moment_stats(ev.filter(F.col("ts") >= _CUT), ["itemid"])
+    a = moment_stats(ev.filter(F.unix_timestamp("ts") < _CUT_EP), ["itemid"])
+    b = moment_stats(ev.filter(F.unix_timestamp("ts") >= _CUT_EP), ["itemid"])
     m = merge_moments(a, b, ["itemid"])
     return m.select(
         "itemid",
@@ -409,7 +413,7 @@ def q_detect2_screen(spark: SparkSession, sf: str) -> DataFrame:
     ev = load_table(spark, sf, "events").select(
         F.col("user_id").alias("itemid"), "ts", "event_id", "value"
     )
-    trend = ev.filter(F.col("ts") < _CUT)
+    trend = ev.filter(F.unix_timestamp("ts") < _CUT_EP)
     w = Window.partitionBy("itemid").orderBy("ts", "event_id")
     diffs = trend.withColumn(
         "diff", F.col("value") - F.lag("value").over(w)
@@ -421,7 +425,7 @@ def q_detect2_screen(spark: SparkSession, sf: str) -> DataFrame:
         F.max_by("value", F.struct("ts", "event_id")).alias("last_t")
     )
     recent = (
-        ev.filter(F.col("ts") >= _CUT)
+        ev.filter(F.unix_timestamp("ts") >= _CUT_EP)
         .groupBy("itemid")
         .agg(F.max("value").alias("max_h"), F.min("value").alias("min_h"))
     )
@@ -444,10 +448,10 @@ def q_detect3_support(spark: SparkSession, sf: str) -> DataFrame:
     ev = load_table(spark, sf, "events").select(
         F.col("user_id").alias("itemid"), "ts", "value"
     )
-    tstats = moment_stats(ev.filter(F.col("ts") < _CUT), ["itemid"]).select(
+    tstats = moment_stats(ev.filter(F.unix_timestamp("ts") < _CUT_EP), ["itemid"]).select(
         "itemid", F.col("mean").alias("mean_t"), F.col("std").alias("std_t")
     )
-    h = ev.filter(F.col("ts") >= _CUT).join(F.broadcast(tstats), "itemid")
+    h = ev.filter(F.unix_timestamp("ts") >= _CUT_EP).join(F.broadcast(tstats), "itemid")
     beyond = (
         F.abs(F.col("value") - F.col("mean_t")) > 0.5 * F.col("std_t")
     ).cast("int")
@@ -513,10 +517,10 @@ def q_detect3_phase2(spark: SparkSession, sf: str) -> DataFrame:
     ev = load_table(spark, sf, "events").select(
         F.col("user_id").alias("itemid"), "ts", "event_id", "value"
     )
-    tstats = moment_stats(ev.filter(F.col("ts") < _CUT), ["itemid"]).select(
+    tstats = moment_stats(ev.filter(F.unix_timestamp("ts") < _CUT_EP), ["itemid"]).select(
         "itemid", F.col("mean").alias("mean_t"), F.col("std").alias("std_t")
     )
-    h = ev.filter(F.col("ts") >= _CUT).join(F.broadcast(tstats), "itemid")
+    h = ev.filter(F.unix_timestamp("ts") >= _CUT_EP).join(F.broadcast(tstats), "itemid")
     beyond = (F.abs(F.col("value") - F.col("mean_t")) > 0.5 * F.col("std_t")).cast("int")
     phase1 = (
         h.filter(F.col("std_t") > 0)
