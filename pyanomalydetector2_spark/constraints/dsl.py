@@ -73,6 +73,9 @@ class DriftCheck:
     nbins: int = 20
     psi_max: float = 0.2
     ks_max: float = 0.15
+    # equi-depth mode: bin edges come from the baseline's quantile sketch
+    # instead of uniform [lo, hi) — robust to heavy tails (lo/hi ignored)
+    equi_depth: bool = False
 
 
 @dataclass(frozen=True)

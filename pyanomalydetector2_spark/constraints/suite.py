@@ -31,7 +31,11 @@ from pyspark.sql import types as T
 
 from pyanomalydetector2_spark.constraints.dsl import Suite
 from pyanomalydetector2_spark.operators.audio import with_audio_invariants
-from pyanomalydetector2_spark.operators.drift import HistSpec, drift_scores_multi
+from pyanomalydetector2_spark.operators.drift import (
+    HistSpec,
+    drift_scores_multi,
+    drift_scores_quantile,
+)
 from pyanomalydetector2_spark.operators.integrity import referential_violations
 from pyanomalydetector2_spark.operators.stats import column_profile
 from pyanomalydetector2_spark.operators.uniqueness import duplicate_rows
@@ -288,22 +292,33 @@ def run_suite(
                     )
                 )
 
-    # ---- drift checks: ONE histogram pass per side for ALL columns --------
+    # ---- drift checks: ONE histogram pass per side for ALL uniform-bin ----
+    # columns; equi-depth checks run per column (edges from the baseline's
+    # quantile sketch)
+    uniform = [c for c in suite.drift_checks if not c.equi_depth]
+    equi = [c for c in suite.drift_checks if c.equi_depth]
+    scored: list[tuple] = []  # (check, score dict)
+    if uniform:
+        specs = [HistSpec(c.column, c.lo, c.hi, c.nbins) for c in uniform]
+        by_col = {c.column: c for c in uniform}
+        for s in drift_scores_multi(base, baseline, specs, group_col=bucket_col):
+            scored.append((by_col[s["column"]], s))
+    for c in equi:
+        for s in drift_scores_quantile(
+            base, baseline, c.column, c.nbins, group_col=bucket_col
+        ):
+            scored.append((c, s))
     if suite.drift_checks:
-        specs = [HistSpec(c.column, c.lo, c.hi, c.nbins) for c in suite.drift_checks]
-        scores = drift_scores_multi(base, baseline, specs, group_col=bucket_col)
         _tick("drift (all columns)")
-        by_col = {c.column: c for c in suite.drift_checks}
-        for s in scores:
-            c = by_col[s["column"]]
-            b = int(s["group"])
-            psi, ks = s["psi"], s["ks"]
-            verdict_rows.append(
-                (run_id, b, c.constraint_id, "psi", psi, c.psi_max, psi <= c.psi_max, 0)
-            )
-            verdict_rows.append(
-                (run_id, b, c.constraint_id, "ks", ks, c.ks_max, ks <= c.ks_max, 0)
-            )
+    for c, s in scored:
+        b = int(s["group"])
+        psi, ks = s["psi"], s["ks"]
+        verdict_rows.append(
+            (run_id, b, c.constraint_id, "psi", psi, c.psi_max, psi <= c.psi_max, 0)
+        )
+        verdict_rows.append(
+            (run_id, b, c.constraint_id, "ks", ks, c.ks_max, ks <= c.ks_max, 0)
+        )
 
     verdicts = spark.createDataFrame(verdict_rows, VERDICT_SCHEMA)
 

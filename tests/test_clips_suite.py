@@ -165,3 +165,20 @@ def test_hll_metric_recorded(spark, clips):
     # estimate within 5% of the true distinct count
     true_distinct = cur.select("clip_id").distinct().count()
     assert abs(row["observed"] - true_distinct) / true_distinct < 0.05
+
+
+def test_equi_depth_drift_check_in_suite(spark, clips):
+    """DriftCheck(equi_depth=True) rides the suite: planted dur_ms shift
+    still fails, baseline-vs-baseline passes."""
+    from pyanomalydetector2_spark.constraints.dsl import DriftCheck, Suite
+
+    cur, base, dims = clips
+    suite = Suite(
+        drift_checks=(
+            DriftCheck("dur_eq_drift", "dur_ms", 0, 0, nbins=15, equi_depth=True),
+        )
+    )
+    res = run_suite(cur, base, dims, suite, "run_eq")
+    assert not any(r["passed"] for r in res.verdicts.collect())
+    res2 = run_suite(base, base, dims, suite, "run_eq2")
+    assert res2.passed()
