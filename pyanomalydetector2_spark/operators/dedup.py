@@ -76,12 +76,9 @@ def minhash_signatures(
     return sh.groupBy("id").agg(*aggs)
 
 
-def lsh_candidate_pairs(
-    sigs: DataFrame, bands: int = 4, rows_per_band: int = 2
-) -> DataFrame:
-    """Band the signature (bands × rows_per_band slots) and emit candidate
-    pairs (id_a < id_b) sharing any band key. Bucket self-join — the scale
-    path vs O(N²) all-pairs."""
+def _banded(sigs: DataFrame, bands: int, rows_per_band: int) -> DataFrame:
+    """(id, band, key) exploded band frame shared by the pair join and the
+    bucket-size audit."""
     entries = [
         F.struct(
             F.lit(b).alias("band"),
@@ -95,9 +92,37 @@ def lsh_candidate_pairs(
         )
         for b in range(bands)
     ]
-    banded = sigs.select(
+    return sigs.select(
         "id", F.explode(F.array(*entries)).alias("e")
     ).select("id", F.col("e.band").alias("band"), F.col("e.key").alias("key"))
+
+
+def lsh_candidate_pairs(
+    sigs: DataFrame,
+    bands: int = 4,
+    rows_per_band: int = 2,
+    max_bucket_size: int | None = 10_000,
+) -> DataFrame:
+    """Band the signature (bands × rows_per_band slots) and emit candidate
+    pairs (id_a < id_b) sharing any band key. Bucket self-join — the scale
+    path vs O(N²) all-pairs.
+
+    Hot-bucket guard: a degenerate band key (empty/boilerplate docs all
+    hashing alike) makes the self-join O(b²) in that bucket. Buckets larger
+    than ``max_bucket_size`` are DROPPED from pair generation (their members
+    are boilerplate, not meaningful near-dups); audit what was dropped with
+    ``lsh_bucket_stats``. The cap rides the same window partitioning as the
+    join key — no extra shuffle. Pass None to disable."""
+    banded = _banded(sigs, bands, rows_per_band)
+    if max_bucket_size is not None:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("band", "key")
+        banded = (
+            banded.withColumn("_bsz", F.count(F.lit(1)).over(w))
+            .filter(F.col("_bsz") <= max_bucket_size)
+            .drop("_bsz")
+        )
     a = banded.alias("a")
     b = banded.alias("b")
     return (
@@ -106,6 +131,26 @@ def lsh_candidate_pairs(
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .distinct()
     )
+
+
+def lsh_bucket_stats(
+    sigs: DataFrame,
+    bands: int = 4,
+    rows_per_band: int = 2,
+    max_bucket_size: int | None = 10_000,
+) -> DataFrame:
+    """Per-(band, key) bucket sizes with a ``dropped`` flag — the
+    observability metric for the hot-bucket cap (report Σ dropped members
+    alongside dedup results so silent truncation is visible)."""
+    sizes = _banded(sigs, bands, rows_per_band).groupBy("band", "key").agg(
+        F.count(F.lit(1)).alias("size")
+    )
+    dropped = (
+        F.lit(False)
+        if max_bucket_size is None
+        else F.col("size") > max_bucket_size
+    )
+    return sizes.withColumn("dropped", dropped)
 
 
 def jaccard_pairs(

@@ -1,0 +1,128 @@
+"""Dedup / similarity operator tests: the distributed blocked near-dup
+(exact vs the pandas oracle and the bf variant), the LSH hot-bucket cap
+(bounded pair generation with a planted degenerate bucket), and the
+high-threshold LSH near-dup path (subset-of-exact + recall on planted dups).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from pyanomalydetector2_spark.operators.dedup import (
+    lsh_bucket_stats,
+    lsh_candidate_pairs,
+    minhash_signatures,
+)
+from pyanomalydetector2_spark.operators.similarity import (
+    cosine_near_dup_pairs,
+    cosine_near_dup_pairs_bf,
+    cosine_near_dup_pairs_blocked,
+)
+
+
+def _emb_frame(spark, n=200, dim=16, n_dups=12, seed=11):
+    """Deterministic embeddings with planted near-identical pairs:
+    vec n+i = vec i + tiny noise (cosine ≈ 0.999)."""
+    rng = np.random.default_rng(seed)
+    base = rng.normal(0, 1, (n, dim))
+    dups = base[:n_dups] + rng.normal(0, 0.01, (n_dups, dim))
+    mat = np.vstack([base, dups])
+    pdf = pd.DataFrame(
+        {"vec_id": np.arange(len(mat), dtype=np.int64),
+         "embedding": [row.tolist() for row in mat]}
+    )
+    return spark.createDataFrame(pdf), mat
+
+
+def _oracle_pairs(mat: np.ndarray, threshold: float) -> set[tuple]:
+    m = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    sims = np.round(m @ m.T, 6)
+    iu, ju = np.triu_indices(len(m), k=1)
+    keep = sims[iu, ju] >= threshold
+    return {(int(a), int(b), s) for a, b, s in
+            zip(iu[keep], ju[keep], sims[iu, ju][keep])}
+
+
+@pytest.mark.parametrize("num_blocks", [1, 3, 8])
+def test_blocked_near_dup_exact_vs_oracle(spark, num_blocks):
+    df, mat = _emb_frame(spark)
+    got = {
+        (r["id_a"], r["id_b"], r["cosine"])
+        for r in cosine_near_dup_pairs_blocked(
+            df, threshold=0.5, num_blocks=num_blocks
+        ).collect()
+    }
+    assert got == _oracle_pairs(mat, 0.5)
+    assert len(got) >= 12  # the planted dups are all found
+
+
+def test_blocked_matches_bf_variant(spark):
+    df, _ = _emb_frame(spark)
+    blocked = {
+        tuple(r) for r in cosine_near_dup_pairs_blocked(
+            df, threshold=0.5, num_blocks=4
+        ).collect()
+    }
+    bf = {tuple(r) for r in cosine_near_dup_pairs_bf(df, threshold=0.5).collect()}
+    assert blocked == bf
+
+
+def test_lsh_near_dup_high_threshold_subset_and_recall(spark):
+    df, mat = _emb_frame(spark)
+    exact = _oracle_pairs(mat, 0.99)
+    got = {
+        (r["id_a"], r["id_b"], r["cosine"])
+        for r in cosine_near_dup_pairs(
+            df, threshold=0.99, dims=mat.shape[1], planes=6
+        ).collect()
+    }
+    assert got <= exact  # LSH candidates ∩ threshold ⊆ exact by construction
+    # at cosine ≈ 0.999 the single-signature collision prob is ~0.94^6 ≈ 0.7;
+    # on this fixture the planted pairs all collide (deterministic hyperplanes)
+    assert len(got) >= len(exact) * 0.5 and len(exact) >= 12
+
+
+def _docs_with_hot_bucket(spark, n_normal=30, n_degenerate=40):
+    """Normal distinct docs + a block of identical boilerplate docs that all
+    land in the same LSH bucket in every band."""
+    rows = [
+        (i, f"unique document number {i} with content token{i} extra{i * 7}")
+        for i in range(n_normal)
+    ]
+    rows += [
+        (1000 + i, "lorem ipsum boilerplate footer text")
+        for i in range(n_degenerate)
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_lsh_hot_bucket_cap_bounds_pairs(spark):
+    docs = _docs_with_hot_bucket(spark)
+    sigs = minhash_signatures(docs, "doc_id", "text", k=8, n=3).cache()
+
+    uncapped = lsh_candidate_pairs(sigs, max_bucket_size=None).collect()
+    capped = lsh_candidate_pairs(sigs, max_bucket_size=10).collect()
+
+    # uncapped: the 40 identical docs alone give 40·39/2 = 780 pairs
+    assert len(uncapped) >= 780
+    # capped: every bucket the degenerate docs share exceeds the cap → dropped
+    degen = {r for r in capped if r["id_a"] >= 1000 and r["id_b"] >= 1000}
+    assert not degen
+    # pairs among normal docs are unaffected by the cap
+    normal_unc = {tuple(r) for r in uncapped if r[0] < 1000 and r[1] < 1000}
+    normal_cap = {tuple(r) for r in capped if r[0] < 1000 and r[1] < 1000}
+    assert normal_cap == normal_unc
+
+    stats = lsh_bucket_stats(sigs, max_bucket_size=10)
+    dropped = stats.filter("dropped").collect()
+    assert dropped and all(r["size"] == 40 for r in dropped)
+
+
+def test_default_cap_leaves_normal_corpus_unchanged(spark):
+    docs = _docs_with_hot_bucket(spark, n_normal=25, n_degenerate=5)
+    sigs = minhash_signatures(docs, "doc_id", "text", k=8, n=3).cache()
+    with_default = {tuple(r) for r in lsh_candidate_pairs(sigs).collect()}
+    without = {tuple(r) for r in lsh_candidate_pairs(sigs, max_bucket_size=None).collect()}
+    assert with_default == without
