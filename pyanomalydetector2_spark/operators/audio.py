@@ -129,7 +129,10 @@ def audio_invariants(
     pe = np.einsum("ij,ij->i", decs, decs)
     with np.errstate(divide="ignore", invalid="ignore"):
         s = 10.0 * np.log10(ps / pe)
-    s = np.where(pe == 0.0, SNR_CAP_DB, np.minimum(s, SNR_CAP_DB))
+    # mirror the scalar snr_db exactly: pe==0 → cap; else ps==0 → 0.0
+    s = np.where(
+        pe == 0.0, SNR_CAP_DB, np.where(ps == 0.0, 0.0, np.minimum(s, SNR_CAP_DB))
+    )
     mask = valid & dec_ok
     snrs[mask] = s[mask]
 

@@ -25,6 +25,9 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 EPS = 1e-6
+# below this many deduped equi-depth edges the histogram can no longer
+# distinguish distributions — warn the caller (ADVICE r01)
+MIN_EQUI_DEPTH_EDGES = 3
 
 
 @dataclass(frozen=True)
@@ -189,6 +192,22 @@ def drift_scores_quantile(
     resolution. Three passes total (edges, baseline counts, current counts),
     all map-side-combined aggregates."""
     edges = quantile_edges(baseline, column, nbins)
+    if not edges:
+        raise ValueError(
+            f"drift baseline for column {column!r} is empty or all-null — "
+            "cannot derive equi-depth bin edges (fix the baseline snapshot "
+            "or use uniform bins with explicit lo/hi)"
+        )
+    if len(edges) < MIN_EQUI_DEPTH_EDGES:
+        import warnings
+
+        warnings.warn(
+            f"equi-depth drift on {column!r}: baseline quantiles deduped to "
+            f"{len(edges)} edge(s) (< {MIN_EQUI_DEPTH_EDGES}) — the column is "
+            "near-constant and PSI/KS resolution is degraded to a near-"
+            "trivial pass; prefer a StatCheck on this column",
+            stacklevel=2,
+        )
     nb = len(edges) + 1
 
     def counts(df: DataFrame, g: str | None) -> dict[tuple, np.ndarray]:

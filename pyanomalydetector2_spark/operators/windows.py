@@ -24,8 +24,10 @@ def adjacent_diff(
 ) -> DataFrame:
     """W1 — per-key lag diff, fillna(0), optionally drop zero diffs
     (reference detector.py:288-298 builds this with a Python loop +
-    pd.concat; here it is one window expression)."""
-    w = Window.partitionBy(key).orderBy(order)
+    pd.concat; here it is one window expression). The order spec carries the
+    value column as tiebreak so the diff sequence is deterministic under
+    clock ties (the reference inherits input order from a stable sort)."""
+    w = Window.partitionBy(key).orderBy(order, value)
     out = df.withColumn(
         "diff", F.coalesce(F.col(value) - F.lag(value).over(w), F.lit(0.0))
     )
@@ -74,15 +76,23 @@ def fit_to_base_clocks(
     order: str = "clock",
     value: str = "value",
 ) -> DataFrame:
-    """W3 — regularize each series onto the base-clock grid (reference
-    utils/normalizer.py:31-72, semantics pinned by its
-    tests/test_normalizer.py:14-27):
+    """W3 — regularize each series onto the base-clock grid. DELIBERATE
+    REDEFINITION of reference utils/normalizer.py:31-72 (whose semantics its
+    tests/test_normalizer.py:14-27 pin as next-sample BACK-fill over an
+    endpoint-INCLUSIVE grid range(s0, e0+u, u)); this implementation chooses
+    the cleaner forward-fill over an endpoint-EXCLUSIVE grid (SURVEY §7
+    "redefine cleanly" risk note; pinned by tests/test_windows.py and the
+    fit_base_clocks contract oracle):
 
     - samples are bucketed to the grid point at-or-after them
       (ceil-to-grid); multiple samples in one bucket are averaged;
     - grid points with no sample carry the previous value forward;
     - leading grid points before the first sample back-fill from the first
-      available value (the reference seeds the carry with the first row).
+      available value;
+    - trailing samples in (e0−u, e0) bucket to e0, which is OUTSIDE the
+      exclusive grid, and are dropped (the reference folds them into its
+      inclusive e0 endpoint) — callers wanting them must extend endep by
+      one unit.
 
     Spark-first: grid = sequence+explode cross-joined to the distinct key
     set, left join bucket averages, forward-fill via last(ignorenulls) over

@@ -126,7 +126,7 @@ class SeriesPipeline:
 
         h3 = history.join(s2, "itemid", "left_semi")
         t3 = trends.join(s2, "itemid", "left_semi")
-        s3 = detect3(h3, tstats, t3, self.params)
+        s3 = detect3(h3, t3, self.params)
 
         created = endep or int(time.time())
         out = (

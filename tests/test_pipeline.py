@@ -19,14 +19,14 @@ INTERVAL = 3600
 RETENTION = 24  # 24h sliding window
 
 
-def gen_trends(spark, n_items: int, upto_ep: int, anomaly_items=()):
+def gen_trends(spark, n_items: int, upto_ep: int, sigma: float = 1.0):
     rng = np.random.default_rng(5)
     rows = []
     for item in range(1, n_items + 1):
         base = 50.0 + item
         k = T0
         while k <= upto_ep:
-            rows.append((item, k, float(base + rng.normal(0, 1.0))))
+            rows.append((item, k, float(base + rng.normal(0, sigma))))
             k += INTERVAL
     return spark.createDataFrame(
         pd.DataFrame(rows, columns=["itemid", "clock", "value"])
@@ -88,14 +88,18 @@ def test_detect_funnel_with_enrichment(spark, tmp_path):
         params=DetectParams(),
     )
     endep = T0 + 14 * 24 * INTERVAL
-    trends = gen_trends(spark, 15, endep)
+    # trend movement (σ=3) coarser than history noise (σ=1): detect2's jump
+    # threshold λ2·dstd clears noise but not the planted shift
+    trends = gen_trends(spark, 15, endep, sigma=3.0)
     p.update_trends_stats(trends, endep)
 
     hist_rows = []
     for item in range(1, 16):
         base = 50.0 + item
-        shift = 25.0 if item in (2, 5) else 0.0
         for k in range(18):
+            # the shift starts INSIDE the recent window (k ≥ 3): detect2's
+            # jump baseline is the window's first sample
+            shift = 25.0 if item in (2, 5) and k >= 3 else 0.0
             hist_rows.append(
                 (item, endep + k * 600, float(base + shift + rng.normal(0, 1.0)))
             )
