@@ -19,7 +19,11 @@ import json
 import os
 import time
 
-from pyanomalydetector2_spark.constraints import default_clips_suite, run_suite
+from pyanomalydetector2_spark.constraints import (
+    default_clips_suite,
+    load_suite,
+    run_suite,
+)
 from pyanomalydetector2_spark.datagen.clips import clips_table, dim_codec, dim_sr
 from pyanomalydetector2_spark.session import get_spark
 from pyanomalydetector2_spark.sources.catalog import SnapshotTable
@@ -32,6 +36,12 @@ def main(argv: list[str] | None = None) -> dict:
     ap.add_argument("--buckets", type=int, default=32)
     ap.add_argument("--cpus", type=int, default=int(os.environ.get("SPARK_GRAFT_CPUS", 32)))
     ap.add_argument("--run-id", default="run-local")
+    ap.add_argument(
+        "--suite",
+        default=None,
+        help="YAML suite config (constraints/config.py format, env-"
+        "interpolated); default = the built-in clips suite",
+    )
     ap.add_argument("--warehouse", default="/tmp/pyad2_warehouse")
     ap.add_argument("--resume", action="store_true", help="resume from ledger")
     ap.add_argument(
@@ -94,8 +104,10 @@ def main(argv: list[str] | None = None) -> dict:
     dims = {"dim_codec": dim_codec(spark), "dim_sr": dim_sr(spark)}
     ledger = CheckpointLedger(os.path.join(args.warehouse, "ledger")) if args.resume else None
 
+    suite = load_suite(args.suite) if args.suite else default_clips_suite()
+
     t0 = time.time()
-    res = run_suite(cur, base, dims, default_clips_suite(), args.run_id, checkpoint=ledger)
+    res = run_suite(cur, base, dims, suite, args.run_id, checkpoint=ledger)
     # persist results (FIXTURES.md §B3/§B4 output contract)
     results_t = SnapshotTable(os.path.join(args.warehouse, "results"))
     verdicts_t = SnapshotTable(os.path.join(args.warehouse, "verdicts"))
