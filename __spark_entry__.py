@@ -549,6 +549,40 @@ def q_detect3_phase2(spark: SparkSession, sf: str) -> DataFrame:
     return phase1.union(rescued).distinct()
 
 
+def q_topitems(spark: SparkSession, sf: str) -> DataFrame:
+    """update_topitems (reference update_topitems.py:16-51 +
+    detector.py:628-638): per-item trend stats enriched with the metadata
+    dim (J7, broadcast), then top-3 per group by item_count (W5 nlargest)
+    with an itemid tiebreak; clusterid pinned to -1 as the reference does."""
+    ev = load_table(spark, sf, "events")
+    cust = load_table(spark, sf, "customer").select(
+        F.col("c_custkey").alias("itemid"),
+        F.col("c_nationkey").alias("hostid"),
+        F.col("c_name").alias("item_name"),
+    )
+    stats = moment_stats(
+        ev.select(F.col("user_id").alias("itemid"), "value"), ["itemid"]
+    ).select(
+        "itemid",
+        F.col("cnt").cast("long").alias("item_count"),
+        F.col("mean").alias("trend_mean"),
+        F.col("std").alias("trend_std"),
+    )
+    enriched = stats.join(F.broadcast(cust), "itemid")
+    top = top_n_per_group(
+        enriched, ["hostid"], "item_count", 3, tiebreak=["itemid"]
+    )
+    return top.select(
+        "hostid",
+        "itemid",
+        "item_name",
+        "item_count",
+        F.lit(-1).alias("clusterid"),
+        _r("trend_mean").alias("trend_mean"),
+        _r("trend_std").alias("trend_std"),
+    )
+
+
 def q_tpch_q1(spark: SparkSession, sf: str) -> DataFrame:
     """TPC-H Q1 pricing summary — the canonical scan→filter→agg shape
     (predicate pushdown + map-side combine)."""
@@ -660,6 +694,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk": q_ann_lsh_topk,
         "item_conds": q_item_conds,
         "detect3_phase2": q_detect3_phase2,
+        "topitems": q_topitems,
         "tpch_q1": q_tpch_q1,
         "tpch_q3": q_tpch_q3,
         "column_profile": q_column_profile,
@@ -1174,6 +1209,27 @@ def oracle_sql() -> dict[str, str]:
               HAVING abs(avg(value) - mean_t) > 0.5 * std_t
             )
             SELECT itemid FROM phase1 UNION SELECT itemid FROM rescued
+        """,
+        "topitems": f"""
+            WITH s AS (
+              SELECT user_id AS itemid, count(value) AS item_count,
+                     sum(value)/count(value) AS trend_mean,
+                     {std_v} AS trend_std
+              FROM events GROUP BY 1
+            ), e AS (
+              SELECT c_nationkey AS hostid, s.itemid, c_name AS item_name,
+                     s.item_count, s.trend_mean, s.trend_std
+              FROM s JOIN customer ON s.itemid = c_custkey
+            )
+            SELECT hostid, itemid, item_name, item_count,
+                   -1 AS clusterid,
+                   round(trend_mean, 6) AS trend_mean,
+                   round(trend_std, 6) AS trend_std
+            FROM (
+              SELECT *, row_number() OVER (PARTITION BY hostid
+                                           ORDER BY item_count DESC, itemid) AS rn
+              FROM e
+            ) WHERE rn <= 3
         """,
         "tpch_q1": """
             SELECT l_returnflag, l_linestatus,

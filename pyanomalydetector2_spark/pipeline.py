@@ -53,6 +53,7 @@ class SeriesPipeline:
         root = os.path.join(warehouse, source_name)
         self.stats_table = SnapshotTable(os.path.join(root, "trends_stats"))
         self.anomalies_table = SnapshotTable(os.path.join(root, "anomalies"))
+        self.topitems_table = SnapshotTable(os.path.join(root, "topitems"))
         self.watermark = WatermarkLedger(os.path.join(root, "trends_updates.jsonl"))
         self.trends_interval = trends_interval
         self.trends_retention = trends_retention
@@ -146,6 +147,64 @@ class SeriesPipeline:
     def expire_anomalies(self, keep_secs: int, now_ep: int) -> None:
         """S18 retention delete (reference detector.py:621-625)."""
         self.anomalies_table.delete_where(f"created < {now_ep - keep_secs}")
+
+    # -- topitems report (SURVEY §3.3) ----------------------------------------
+    def update_topitems(
+        self,
+        items_dim: DataFrame,
+        created: int,
+        top_n: int,
+        group_map: DataFrame | None = None,
+        keep_secs: int | None = None,
+    ) -> DataFrame:
+        """update_topitems.run → Detector.update_topitems (reference
+        update_topitems.py:16-51, detector.py:628-638): enrich the current
+        trend stats with item metadata (J7, broadcast dim), rank per host,
+        keep the top ``top_n`` by item_count, upsert into the topitems
+        table with clusterid = -1, expire old rows.
+
+        ``item_count`` is the per-item trend sample count (``cnt``) — the
+        reference renames the stats columns into that name at
+        detector.py:600; the ranking semantics (nlargest per hostid,
+        detector.py:635) are preserved with an itemid tiebreak for
+        determinism. ``group_map`` (itemid → group_name overrides,
+        J10/detector.py:607-610) applies as a broadcast left join +
+        coalesce instead of a per-row dict lookup."""
+        from pyanomalydetector2_spark.operators.windows import top_n_per_group
+
+        spark = items_dim.sparkSession
+        tstats = self.stats_table.read(spark)
+        enriched = tstats.join(F.broadcast(items_dim), "itemid")
+        if group_map is not None:
+            gm = group_map.select(
+                "itemid", F.col("group_name").alias("_gm_group")
+            )
+            enriched = enriched.join(F.broadcast(gm), "itemid", "left").withColumn(
+                "group_name", F.coalesce("_gm_group", "group_name")
+            ).drop("_gm_group")
+        ranked = top_n_per_group(
+            enriched.withColumnRenamed("cnt", "item_count"),
+            ["hostid"],
+            "item_count",
+            top_n,
+            tiebreak=["itemid"],
+        )
+        out = ranked.select(
+            "itemid",
+            F.lit(created).cast("long").alias("created"),
+            "group_name",
+            "hostid",
+            F.lit(-1).alias("clusterid"),
+            "host_name",
+            "item_name",
+            F.col("item_count").cast("long"),
+            F.col("mean").alias("trend_mean"),
+            F.col("std").alias("trend_std"),
+        )
+        self.topitems_table.merge_upsert(out, ["itemid", "created"])
+        if keep_secs is not None:
+            self.topitems_table.delete_where(f"created < {created - keep_secs}")
+        return self.topitems_table.read(spark).filter(F.col("created") == created)
 
     @staticmethod
     def _empty_anomalies(spark: SparkSession) -> DataFrame:

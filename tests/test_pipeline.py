@@ -123,3 +123,53 @@ def test_detect_funnel_with_enrichment(spark, tmp_path):
     # retention expiry removes old rows
     p.expire_anomalies(keep_secs=1, now_ep=endep + 18 * 600 + 10)
     assert p.anomalies_table.read(spark).count() == 0
+
+
+def test_update_topitems_pipeline(spark, tmp_path):
+    """update_topitems analog (reference update_topitems.py:16-51; the
+    'exactly top_n items' pattern of tests/test_topitems_logan.py:39-48):
+    per-host top-N by item_count, metadata enrichment, group-map override,
+    idempotent MERGE, retention expiry."""
+    p = SeriesPipeline(str(tmp_path), trends_interval=INTERVAL, trends_retention=RETENTION)
+    endep = T0 + 30 * INTERVAL
+    # 12 items over 3 hosts; items get DIFFERENT sample counts so the
+    # ranking is meaningful: item i keeps i+5 trend points
+    rows = []
+    rng = np.random.default_rng(9)
+    for item in range(1, 13):
+        for k in range(item + 5):
+            rows.append((item, endep - k * INTERVAL, float(50 + rng.normal(0, 1))))
+    trends = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["itemid", "clock", "value"])
+    )
+    p.update_trends_stats(trends, endep)
+
+    items_dim = spark.createDataFrame(
+        [(i, (i - 1) % 3, f"host{(i - 1) % 3}", f"item{i}", "grp") for i in range(1, 13)],
+        "itemid long, hostid int, host_name string, item_name string, group_name string",
+    )
+    out = p.update_topitems(items_dim, created=endep, top_n=2)
+    got = out.toPandas().sort_values(["hostid", "itemid"]).reset_index(drop=True)
+
+    # exactly top_n per host, and they are the hosts' highest-count items
+    assert got.groupby("hostid").size().tolist() == [2, 2, 2]
+    assert set(got["itemid"]) == {7, 10, 8, 11, 9, 12}  # two largest per host
+    assert (got["clusterid"] == -1).all()
+    assert (got["item_count"] == got["itemid"] + 5).all()
+
+    # group-map override (J10): remap two items into a named group
+    gmap = spark.createDataFrame(
+        [(7, "special"), (8, "special")], "itemid long, group_name string"
+    )
+    out2 = p.update_topitems(items_dim, created=endep, top_n=2, group_map=gmap)
+    by_item = {r["itemid"]: r["group_name"] for r in out2.collect()}
+    assert by_item[7] == "special" and by_item[8] == "special"
+    assert by_item[9] == "grp"
+
+    # idempotent MERGE: same created key, no duplicates
+    assert out2.count() == 6
+    # retention: expire everything older than the next run
+    p.update_topitems(items_dim, created=endep + 100, top_n=2, keep_secs=50)
+    latest = p.topitems_table.read(spark)
+    assert latest.filter(F.col("created") == endep).count() == 0
+    assert latest.filter(F.col("created") == endep + 100).count() == 6
