@@ -135,6 +135,7 @@ def run_suite(
     checkpoint: CheckpointLedger | None = None,
     cache: bool = False,
     verbose: bool = False,
+    salt_buckets: int | None = None,
 ) -> SuiteResult:
     """Run the full suite over ``current`` (minus already-committed buckets
     when resuming), emit verdicts + violations, commit the ledger."""
@@ -213,7 +214,13 @@ def run_suite(
                 0,
             )
         )
-        dup_rows = duplicate_rows(base, c.column, [bucket_col]).select(
+        # salt_buckets (opt-in, north_rule skew handling): the uniqueness
+        # groupBy is the suite's one aggregation whose reduce key is the
+        # DATA key — a degenerate hot clip_id pins one reducer there. The
+        # other families are immune by construction: profile/drift group on
+        # the bucket column with algebraic aggs, so map-side combine
+        # collapses any hot key before the exchange.
+        dup_rows = duplicate_rows(base, c.column, [bucket_col], salt_buckets).select(
             F.lit(run_id).alias("run_id"),
             F.col(bucket_col).cast("int").alias("bucket"),
             F.col(c.column).cast("string").alias("clip_id"),

@@ -32,10 +32,24 @@ def hll_unique_screen(df: DataFrame, key: str, rsd: float = 0.02) -> dict:
     return {"cnt": cnt, "approx_distinct": ad, "suspicious": bool(suspicious)}
 
 
-def exact_duplicates(df: DataFrame, key: str) -> DataFrame:
+def exact_duplicates(
+    df: DataFrame, key: str, salt_buckets: int | None = None
+) -> DataFrame:
     """Stage 2: exact duplicate groups → (key, dup_cnt) with dup_cnt > 1.
     One shuffle on the key; map-side combine means the exchange carries at
-    most |distinct keys per partition| rows."""
+    most |distinct keys per partition| rows.
+
+    ``salt_buckets`` opts into the salted two-phase count
+    (skew.salted_count): a degenerate hot key (ingest bug writing one
+    clip_id 10^9 times) spreads over that many reducers in phase 1 instead
+    of pinning one. Results are identical — the count merge is exact."""
+    if salt_buckets:
+        from pyanomalydetector2_spark.operators.skew import salted_count
+
+        counts = salted_count(df.select(key), [key], salt_buckets)
+        return counts.withColumnRenamed("cnt", "dup_cnt").filter(
+            F.col("dup_cnt") > 1
+        )
     return (
         df.groupBy(key)
         .agg(F.count(F.lit(1)).alias("dup_cnt"))
@@ -43,9 +57,14 @@ def exact_duplicates(df: DataFrame, key: str) -> DataFrame:
     )
 
 
-def duplicate_rows(df: DataFrame, key: str, extra_cols: list[str] | None = None) -> DataFrame:
+def duplicate_rows(
+    df: DataFrame,
+    key: str,
+    extra_cols: list[str] | None = None,
+    salt_buckets: int | None = None,
+) -> DataFrame:
     """All rows participating in a duplicated key (violation rows). The dup
     key set is small (violations are rare) → broadcast semi join back."""
-    dups = exact_duplicates(df, key)
+    dups = exact_duplicates(df, key, salt_buckets)
     cols = [key] + (extra_cols or [])
     return df.select(*cols).join(F.broadcast(dups), key, "inner")

@@ -45,6 +45,12 @@ def main(argv: list[str] | None = None) -> dict:
     ap.add_argument("--warehouse", default="/tmp/pyad2_warehouse")
     ap.add_argument("--resume", action="store_true", help="resume from ledger")
     ap.add_argument(
+        "--salt-buckets",
+        type=int,
+        default=None,
+        help="salt the uniqueness groupBy over N reducers (hot-key inputs)",
+    )
+    ap.add_argument(
         "--no-materialize",
         dest="materialize",
         action="store_false",
@@ -107,7 +113,10 @@ def main(argv: list[str] | None = None) -> dict:
     suite = load_suite(args.suite) if args.suite else default_clips_suite()
 
     t0 = time.time()
-    res = run_suite(cur, base, dims, suite, args.run_id, checkpoint=ledger)
+    res = run_suite(
+        cur, base, dims, suite, args.run_id, checkpoint=ledger,
+        salt_buckets=args.salt_buckets,
+    )
     # persist results (FIXTURES.md §B3/§B4 output contract)
     results_t = SnapshotTable(os.path.join(args.warehouse, "results"))
     verdicts_t = SnapshotTable(os.path.join(args.warehouse, "verdicts"))

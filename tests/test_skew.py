@@ -25,6 +25,54 @@ def _skewed(spark):
     return spark.createDataFrame(pd.concat([hot, tail], ignore_index=True))
 
 
+def test_suite_salted_uniqueness_identical_on_hot_key(spark):
+    """north_rule skew handling wired into the runner: a clips table where
+    ONE clip_id holds 90% of rows produces IDENTICAL verdicts + violations
+    with and without salting (the salt only changes the physical plan)."""
+    import pandas as pd
+
+    from pyanomalydetector2_spark.constraints import default_clips_suite, run_suite
+    from pyanomalydetector2_spark.datagen.clips import (
+        clips_table,
+        dim_codec,
+        dim_sr,
+    )
+
+    base = clips_table(spark, 400, planted=False, n_buckets=4)
+    normal = clips_table(spark, 400, planted=False, n_buckets=4).limit(40)
+    hot_pdf = normal.limit(1).toPandas()  # keeps the datagen bucket, so
+    # duplicates co-locate exactly as a real ingest bug would
+    hot = spark.createDataFrame(pd.concat([hot_pdf] * 360, ignore_index=True))
+    cur = normal.unionByName(hot.select(normal.columns)).cache()
+    dims = {"dim_codec": dim_codec(spark), "dim_sr": dim_sr(spark)}
+    suite = default_clips_suite()
+
+    plain = run_suite(cur, base, dims, suite, "run-plain")
+    salted = run_suite(cur, base, dims, suite, "run-salted", salt_buckets=16)
+
+    def verdicts(res):
+        return sorted(
+            (r["bucket"], r["constraint_id"], r["metric"], r["observed"], r["passed"])
+            for r in res.verdicts.collect()
+        )
+
+    def violations(res):
+        return sorted(
+            (r["bucket"], r["clip_id"], r["constraint_id"], r["observed"])
+            for r in res.violations.collect()
+        )
+
+    assert verdicts(plain) == verdicts(salted)
+    assert violations(plain) == violations(salted)
+    # the hot key was actually flagged: 361 rows share one clip_id
+    dup = [
+        r
+        for r in salted.violations.collect()
+        if r["constraint_id"] == "clip_id_unique"
+    ]
+    assert len(dup) == 361
+
+
 def test_salted_count_matches_plain(spark):
     df = _skewed(spark)
     got = {r["key"]: r["cnt"] for r in salted_count(df, ["key"]).collect()}
