@@ -223,14 +223,15 @@ def q_minhash_lsh_pairs(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def q_ngram_jaccard_pairs(spark: SparkSession, sf: str) -> DataFrame:
-    """Exact 3-gram Jaccard over the LSH candidate pairs, thresholded."""
+    """Exact 3-gram Jaccard over the LSH candidate pairs, thresholded —
+    the composed pipeline builds + persists the shingle frame ONCE for its
+    three consumers (one documents scan, not three)."""
+    from pyanomalydetector2_spark.operators.dedup import near_dup_jaccard
+
     docs = load_table(spark, sf, "documents")
-    sigs = minhash_signatures(docs, "doc_id", "text", k=8, n=3)
-    pairs = lsh_candidate_pairs(sigs, bands=4, rows_per_band=2)
-    j = jaccard_pairs(docs, "doc_id", "text", pairs, n=3)
-    return j.filter(F.col("jaccard") >= 0.1).select(
-        "id_a", "id_b", _r("jaccard").alias("jaccard")
-    )
+    j = near_dup_jaccard(docs, "doc_id", "text", k=8, n=3, bands=4,
+                         rows_per_band=2, threshold=0.1)
+    return j.select("id_a", "id_b", _r("jaccard").alias("jaccard"))
 
 
 def q_simhash(spark: SparkSession, sf: str) -> DataFrame:
