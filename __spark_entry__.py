@@ -720,16 +720,30 @@ _SHINGLE_CTES = """
               FROM toks, UNNEST(range(1, greatest(len(t) - 2, 0) + 1)) AS u(i)
             )"""
 
+def _minhash_slot_sql() -> str:
+    """Replicates dedup.minhash_from_shingles: one md5 per shingle folded to
+    30 bits, k affine mixes min'd per slot (same constants, same modulus —
+    % on non-negative BIGINTs matches Spark's pmod)."""
+    from pyanomalydetector2_spark.operators.dedup import (
+        MH_MOD30,
+        MH_PRIME,
+        minhash_mix_consts,
+    )
+
+    h30 = f"(({_H60.format(x='shingle')}) % {MH_MOD30})"
+    return ",\n                     ".join(
+        f"min(({a} * {h30} + {b}) % {MH_PRIME}) AS mh{i}"
+        for i, (a, b) in enumerate(minhash_mix_consts(8))
+    )
+
+
 _MINHASH_CTES = (
     _SHINGLE_CTES
     + """,
             mh AS (
               SELECT doc_id,
                      """
-    + ",\n                     ".join(
-        f"min({_H60.format(x=repr(str(i)+ ':') + ' || shingle')}) AS mh{i}"
-        for i in range(8)
-    )
+    + _minhash_slot_sql()
     + """
               FROM sh GROUP BY doc_id
             ),

@@ -50,6 +50,9 @@ def main() -> None:
             force(fn(spark, sf_dir))
             best = min(best, time.time() - t0)
         timings[name] = round(best, 4)
+        # queries that persist intermediates (shared shingle frames) must
+        # not leak cache blocks into later queries' measurements
+        spark.catalog.clearCache()
 
     total = round(sum(timings.values()), 4)
     print(

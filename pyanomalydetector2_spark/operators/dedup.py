@@ -47,7 +47,11 @@ def shingle_frame(
     df: DataFrame, id_col: str, text_col: str, n: int = 3
 ) -> DataFrame:
     """(id, shingle) exploded distinct-shingle frame — the shared input of
-    MinHash and exact-Jaccard."""
+    MinHash and exact-Jaccard. Rebalanced before the ~50× explode so a
+    single-split input doesn't pin the whole pass on one core."""
+    from pyanomalydetector2_spark.functions import rebalance_for_expansion
+
+    df = rebalance_for_expansion(df.select(id_col, text_col))
     toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
     # guard: sequence(0, -1) would DESCEND in Spark — short docs get no shingles
     grams = F.when(
@@ -63,13 +67,33 @@ def shingle_frame(
     )
 
 
+MH_PRIME = (1 << 31) - 1  # Mersenne prime for the affine mixes
+MH_MOD30 = 1 << 30
+
+
+def minhash_mix_consts(k: int) -> list[tuple[int, int]]:
+    """Deterministic affine-mix constants (a_i odd < 2^30, b_i < prime),
+    derived from md5 so every engine reproduces them."""
+    import hashlib
+
+    out = []
+    for i in range(k):
+        h = int(hashlib.md5(f"mh:{i}".encode()).hexdigest()[:15], 16)
+        out.append(((h % (1 << 29)) * 2 + 1, (h >> 30) % MH_PRIME))
+    return out
+
+
 def minhash_from_shingles(sh: DataFrame, k: int = 8) -> DataFrame:
-    """MinHash signatures from a prebuilt (id, shingle) frame: k slots,
-    slot i = min over shingles of h60(i || ':' || shingle). ONE groupBy
-    computes all k slots."""
+    """MinHash signatures from a prebuilt (id, shingle) frame: ONE md5 per
+    shingle, then k affine mixes slot_i = (a_i·h30 + b_i) mod p over the
+    hash folded to 30 bits — 8× less hashing than k md5s per shingle (the
+    r01 bench's dominant cost), overflow-safe under ANSI mode
+    (a·h30 + b < 2^61), and bit-identical in DuckDB (% on non-negative
+    BIGINTs). ONE groupBy computes all k slots."""
+    h30 = F.pmod(h60(F.col("shingle")), F.lit(MH_MOD30))
     aggs = [
-        F.min(h60(F.concat(F.lit(f"{i}:"), F.col("shingle")))).alias(f"mh{i}")
-        for i in range(k)
+        F.min(F.pmod(F.lit(a) * h30 + F.lit(b), F.lit(MH_PRIME))).alias(f"mh{i}")
+        for i, (a, b) in enumerate(minhash_mix_consts(k))
     ]
     return sh.groupBy("id").agg(*aggs)
 
@@ -227,6 +251,9 @@ def near_dup_jaccard(
 def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 16) -> DataFrame:
     """Per-doc SimHash over tokens: bit b = sign of Σ_tokens (±1 by token
     hash bit b). One explode + one groupBy with ``bits`` signed sums."""
+    from pyanomalydetector2_spark.functions import rebalance_for_expansion
+
+    df = rebalance_for_expansion(df.select(id_col, text_col))
     toks = df.select(
         F.col(id_col).alias("id"),
         F.explode(norm_tokens(F.col(text_col))).alias("tok"),
