@@ -234,6 +234,24 @@ def q_ngram_jaccard_pairs(spark: SparkSession, sf: str) -> DataFrame:
     return j.select("id_a", "id_b", _r("jaccard").alias("jaccard"))
 
 
+def q_dup_clusters(spark: SparkSession, sf: str) -> DataFrame:
+    """Duplicate-cluster resolution: connected components over the
+    jaccard-thresholded near-dup pairs (min-label propagation; each doc
+    labeled with its component's smallest doc_id — the canonical keep-one
+    representative). Oracle = recursive-CTE reachability over the same
+    pairs."""
+    from pyanomalydetector2_spark.operators.dedup import (
+        dup_clusters,
+        near_dup_jaccard,
+    )
+
+    docs = load_table(spark, sf, "documents")
+    j = near_dup_jaccard(docs, "doc_id", "text", k=8, n=3, bands=4,
+                         rows_per_band=2, threshold=0.1)
+    out = dup_clusters(j.select("id_a", "id_b"))
+    return out.select(F.col("id").alias("doc_id"), "cluster_id")
+
+
 def q_simhash(spark: SparkSession, sf: str) -> DataFrame:
     """16-bit SimHash signatures over tokens."""
     docs = load_table(spark, sf, "documents")
@@ -257,6 +275,7 @@ def q_text_quality(spark: SparkSession, sf: str) -> DataFrame:
     return m.select(
         "doc_id",
         F.col("n_tokens").cast("int").alias("n_tokens"),
+        F.col("n_bpe_ish").cast("int").alias("n_bpe_ish"),
         _r("avg_token_len").alias("avg_token_len"),
         _r("stopword_ratio").alias("stopword_ratio"),
         _r("alpha_ratio").alias("alpha_ratio"),
@@ -675,6 +694,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact_prefix": q_dedup_exact_prefix,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+        "dup_clusters": q_dup_clusters,
         "simhash": q_simhash,
         "embedding_topk": q_embedding_topk,
         "text_quality": q_text_quality,
@@ -927,6 +947,35 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes sb ON sb.doc_id = i.id_b
             WHERE i.n / (sa.sz + sb.sz - i.n) >= 0.1
         """,
+        "dup_clusters": f"""
+            WITH RECURSIVE {_MINHASH_CTES},
+            sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+            inter AS (
+              SELECT c.id_a, c.id_b, count(*) AS n
+              FROM cand c
+              JOIN sh a ON a.doc_id = c.id_a
+              JOIN sh b ON b.doc_id = c.id_b AND b.shingle = a.shingle
+              GROUP BY 1, 2
+            ),
+            jp AS (
+              SELECT i.id_a, i.id_b
+              FROM inter i
+              JOIN sizes sa ON sa.doc_id = i.id_a
+              JOIN sizes sb ON sb.doc_id = i.id_b
+              WHERE i.n / (sa.sz + sb.sz - i.n) >= 0.1
+            ),
+            edges AS (
+              SELECT id_a AS s, id_b AS d FROM jp
+              UNION ALL
+              SELECT id_b, id_a FROM jp
+            ),
+            reach AS (
+              SELECT s AS id, s AS r FROM edges
+              UNION
+              SELECT e.d AS id, reach.r FROM reach JOIN edges e ON reach.id = e.s
+            )
+            SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY 1
+        """,
         "simhash": f"""
             WITH tok AS (
               SELECT doc_id, unnest(string_split(lower(trim(text)), ' ')) AS tk
@@ -965,6 +1014,8 @@ def oracle_sql() -> dict[str, str]:
             ), r AS (
               SELECT doc_id,
                      len(t) AS n_tokens,
+                     len(regexp_extract_all(lower(text),
+                         '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS n_bpe,
                      list_sum(list_transform(t, x -> length(x)))::DOUBLE / len(t)
                        AS atl,
                      len(list_filter(t, x -> list_contains([{sw}], x)))::DOUBLE
@@ -974,6 +1025,7 @@ def oracle_sql() -> dict[str, str]:
               FROM m
             )
             SELECT doc_id, n_tokens::INT AS n_tokens,
+                   n_bpe::INT AS n_bpe_ish,
                    round(atl, 6) AS avg_token_len,
                    round(swr, 6) AS stopword_ratio,
                    round(ar, 6) AS alpha_ratio,

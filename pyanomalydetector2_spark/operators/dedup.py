@@ -224,6 +224,59 @@ def jaccard_pairs(
     return jaccard_from_shingles(shingle_frame(df, id_col, text_col, n), pairs)
 
 
+def dup_clusters(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
+    """Duplicate-cluster resolution: connected components over near-dup
+    pairs via iterative min-label propagation — every doc in a component
+    gets cluster_id = the component's smallest doc id (the canonical
+    keep-one representative of a dedup pipeline).
+
+    Convergence: label(v) ← min(label(v), min_{u∈N(v)} label(u)) reaches
+    the unique fixpoint (component-min) in O(graph diameter) rounds; dup
+    graphs are overwhelmingly star/clique shaped (diameter ≤ ~3), so 2-4
+    shuffle rounds in practice. Each round is one join + one map-side-
+    combined groupBy on the edge frame; the driver only checks an isEmpty
+    convergence probe. For adversarial long-chain graphs at 10^12 scale,
+    swap the loop body for large-star/small-star (Kiveris et al., same
+    seam). Deterministic fixpoint ⇒ oracle-checkable (recursive CTE).
+    """
+    edges = (
+        pairs.select(F.col("id_a").alias("s"), F.col("id_b").alias("d"))
+        .union(pairs.select(F.col("id_b").alias("s"), F.col("id_a").alias("d")))
+        .persist()
+    )
+    labels = (
+        edges.select(F.col("s").alias("id"))
+        .distinct()
+        .withColumn("label", F.col("id"))
+        .persist()
+    )
+    for _ in range(max_iter):
+        neigh = (
+            edges.join(labels, edges["s"] == labels["id"])
+            .groupBy(F.col("d").alias("id"))
+            .agg(F.min("label").alias("nlabel"))
+        )
+        new = (
+            labels.join(neigh, "id", "left")
+            .select(
+                "id",
+                F.least(F.col("label"), F.coalesce("nlabel", "label")).alias("label"),
+            )
+            .persist()
+        )
+        converged = (
+            new.join(labels.withColumnRenamed("label", "old"), "id")
+            .filter(F.col("label") != F.col("old"))
+            .isEmpty()
+        )
+        labels.unpersist()
+        labels = new
+        if converged:
+            break
+    edges.unpersist()
+    return labels.select("id", F.col("label").alias("cluster_id"))
+
+
 def near_dup_jaccard(
     df: DataFrame,
     id_col: str,

@@ -32,13 +32,10 @@ def token_metrics(df: DataFrame, text_col: str = "text") -> DataFrame:
     toks = F.split(F.lower(F.trim(t)), r"\s+")
     n_tok = F.size(toks)
     n_chars = F.length(t)
-    # BPE-ish: alternating letter-runs / digit-runs / single punct marks
-    bpe = F.size(
-        F.filter(
-            F.split(F.lower(t), r"(?<=[a-z])(?=[^a-z\s])|(?<=[^a-z\s])(?=[a-z])|\s+"),
-            lambda x: F.length(x) > 0,
-        )
-    )
+    # BPE-ish sub-word pieces: letter runs, digit runs, single punct marks.
+    # Pure alternation (no lookarounds) so RE2-based engines (DuckDB oracle)
+    # count the identical pieces — oracle-checked in the text_quality query.
+    bpe = F.regexp_count(F.lower(t), F.lit(r"[a-z]+|[0-9]+|[^a-z0-9\s]"))
     punct = F.length(F.regexp_replace(t, r"[^\.,;:!\?]", ""))
     alpha = F.length(F.regexp_replace(F.lower(t), r"[^a-z]", ""))
     sw_hits = F.size(F.filter(toks, lambda x: x.isin(*STOPWORDS)))

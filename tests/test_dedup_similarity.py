@@ -120,6 +120,26 @@ def test_lsh_hot_bucket_cap_bounds_pairs(spark):
     assert dropped and all(r["size"] == 40 for r in dropped)
 
 
+def test_dup_clusters_components(spark):
+    """Min-label propagation resolves components exactly: a 4-chain, a
+    triangle, and an isolated pair each collapse to their min id — including
+    a chain whose propagation needs multiple rounds."""
+    from pyanomalydetector2_spark.operators.dedup import dup_clusters
+
+    pairs = spark.createDataFrame(
+        # chain 10-11-12-13 (worst case for propagation), triangle 1-2-3,
+        # pair 7-8; pair ids deliberately not sorted by discovery order
+        [(11, 12), (1, 2), (12, 13), (2, 3), (10, 11), (1, 3), (7, 8)],
+        "id_a long, id_b long",
+    )
+    got = {r["id"]: r["cluster_id"] for r in dup_clusters(pairs).collect()}
+    assert got == {
+        10: 10, 11: 10, 12: 10, 13: 10,
+        1: 1, 2: 1, 3: 1,
+        7: 7, 8: 7,
+    }
+
+
 def test_default_cap_leaves_normal_corpus_unchanged(spark):
     docs = _docs_with_hot_bucket(spark, n_normal=25, n_degenerate=5)
     sigs = minhash_signatures(docs, "doc_id", "text", k=8, n=3).cache()
