@@ -516,6 +516,20 @@ def q_ann_lsh_topk(spark: SparkSession, sf: str) -> DataFrame:
     return lsh_bucketed_topk(emb, q, dims=64, k=5, planes=6)
 
 
+def q_ann_ivf_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """ANN scale path #2 — IVF-flat: deterministic md5-ranked medoid
+    centroids, nearest-cell assignment on rounded cosine, nprobe=2 probing,
+    exact in-cell re-rank. Fully deterministic ⇒ the oracle replicates cell
+    assignment, probing, and re-rank (hash-exact)."""
+    from pyanomalydetector2_spark.operators.similarity import ivf_topk
+
+    emb = load_table(spark, sf, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
+    )
+    q = emb.filter(F.col("vec_id") < 20)
+    return ivf_topk(emb, q, k=5, n_cells=16, nprobe=2)
+
+
 def q_item_conds(spark: SparkSession, sf: str) -> DataFrame:
     """P8 — declarative item_conds: a metadata filter selects an item subset
     (broadcast), then a {operator, value} condition applies to the item's
@@ -713,6 +727,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "detect3_support": q_detect3_support,
         "embedding_near_dup": q_embedding_near_dup,
         "ann_lsh_topk": q_ann_lsh_topk,
+        "ann_ivf_topk": q_ann_ivf_topk,
         "item_conds": q_item_conds,
         "detect3_phase2": q_detect3_phase2,
         "topitems": q_topitems,
@@ -1237,6 +1252,44 @@ def oracle_sql() -> dict[str, str]:
                      round(list_cosine_similarity(q.v, c.v), 6) AS cosine
               FROM s q JOIN s c USING (bucket)
               WHERE q.vec_id < 20 AND c.vec_id <> q.vec_id
+            )
+            SELECT query_id, match_id, cosine, rank::INT AS rank FROM (
+              SELECT *, row_number() OVER (PARTITION BY query_id
+                                           ORDER BY cosine DESC, match_id) AS rank
+              FROM sims
+            ) WHERE rank <= 5
+        """,
+        "ann_ivf_topk": f"""
+            WITH e AS (
+              SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+            ), cents AS (
+              SELECT vec_id AS cid, v AS cv FROM e
+              ORDER BY {_H60.format(x='vec_id::VARCHAR')}, vec_id
+              LIMIT 16
+            ), csims AS (
+              SELECT e.vec_id, c.cid,
+                     round(list_cosine_similarity(e.v, c.cv), 6) AS s
+              FROM e, cents c
+            ), ranked AS (
+              SELECT vec_id, cid,
+                     row_number() OVER (PARTITION BY vec_id
+                                        ORDER BY s DESC, cid) AS rn
+              FROM csims
+            ), assign AS (
+              SELECT vec_id, cid AS cell FROM ranked WHERE rn = 1
+            ), qprobe AS (
+              SELECT vec_id, cid AS cell FROM ranked
+              WHERE rn <= 2 AND vec_id < 20
+            ), cand AS (
+              SELECT q.vec_id AS query_id, a.vec_id AS match_id, a.cell
+              FROM qprobe q JOIN assign a USING (cell)
+              WHERE a.vec_id <> q.vec_id
+            ), sims AS (
+              SELECT c.query_id, c.match_id,
+                     round(list_cosine_similarity(qe.v, me.v), 6) AS cosine
+              FROM cand c
+              JOIN e qe ON qe.vec_id = c.query_id
+              JOIN e me ON me.vec_id = c.match_id
             )
             SELECT query_id, match_id, cosine, rank::INT AS rank FROM (
               SELECT *, row_number() OVER (PARTITION BY query_id

@@ -155,6 +155,89 @@ def lsh_bucketed_topk(
     return sims.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_cells: int = 16,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-flat ANN — the coarse-quantizer scale path alongside LSH:
+
+    1. centroids = the ``n_cells`` corpus rows with the smallest h60(id)
+       (a deterministic pseudo-random medoid sample — no k-means state to
+       store or ship, fully reproducible across engines);
+    2. every row is assigned to its nearest centroid by ROUNDED cosine
+       (6 dp, ties → smallest centroid id) via one Arrow-batched BLAS
+       matmul against the broadcast (n_cells × dims) matrix;
+    3. queries probe their ``nprobe`` nearest cells; candidates = corpus
+       rows in probed cells; exact cosine re-rank, top-k.
+
+    At 10^12 rows the candidate set shrinks by ~n_cells/nprobe; the
+    centroid matrix is KB-sized and broadcast. Deterministic end-to-end ⇒
+    the DuckDB oracle replicates cell assignment and probing exactly
+    (hash-exact contract check, not recall-pinned).
+    """
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import ArrayType, LongType
+
+    cents = (
+        corpus.select(
+            F.col(id_col).alias("cid"), F.col(vec_col).alias("cv"),
+            h60(F.col(id_col).cast("string")).alias("_h"),
+        )
+        .orderBy("_h", "cid")
+        .limit(n_cells)
+        .collect()
+    )
+    cents.sort(key=lambda r: r["cid"])  # row index == id-sorted position
+    cent_ids = np.array([r["cid"] for r in cents], dtype=np.int64)
+    cent_mat = np.array([r["cv"] for r in cents], dtype=np.float64)
+    cent_norm = np.linalg.norm(cent_mat, axis=1, keepdims=True)
+    cent_norm[cent_norm == 0.0] = 1.0
+    cent_t = (cent_mat / cent_norm).T  # (dims × n_cells)
+
+    def probe_udf(n: int):
+        @pandas_udf(ArrayType(LongType()))
+        def probe(vec: pd.Series) -> pd.Series:
+            m = np.array(list(vec), dtype=np.float64)
+            norms = np.linalg.norm(m, axis=1, keepdims=True)
+            norms[norms == 0.0] = 1.0
+            sims = np.round((m / norms) @ cent_t, 6)
+            # stable argsort on (-sim, index): ties resolve to the smallest
+            # centroid id (rows of cent_t are id-sorted)
+            order = np.argsort(-sims, axis=1, kind="stable")[:, :n]
+            return pd.Series(list(cent_ids[order]))
+
+        return probe
+
+    c = corpus.select(
+        F.col(id_col).alias("match_id"),
+        F.col(vec_col).alias("cv"),
+        F.element_at(probe_udf(1)(F.col(vec_col)), 1).alias("cell"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        F.explode(probe_udf(nprobe)(F.col(vec_col))).alias("cell"),
+    )
+    sims = (
+        c.join(F.broadcast(q), "cell")
+        .filter(F.col("query_id") != F.col("match_id"))
+        .select(
+            "query_id",
+            "match_id",
+            F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("match_id").asc()
+    )
+    return sims.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
 def cosine_near_dup_pairs_bf(
     df: DataFrame,
     threshold: float,
