@@ -242,13 +242,13 @@ def dup_clusters(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
     edges = (
         pairs.select(F.col("id_a").alias("s"), F.col("id_b").alias("d"))
         .union(pairs.select(F.col("id_b").alias("s"), F.col("id_a").alias("d")))
-        .persist()
+        .localCheckpoint()  # cut the (possibly expensive) pair lineage once
     )
     labels = (
         edges.select(F.col("s").alias("id"))
         .distinct()
         .withColumn("label", F.col("id"))
-        .persist()
+        .localCheckpoint()
     )
     for _ in range(max_iter):
         neigh = (
@@ -256,24 +256,25 @@ def dup_clusters(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
             .groupBy(F.col("d").alias("id"))
             .agg(F.min("label").alias("nlabel"))
         )
+        # localCheckpoint (not persist): iterative plans otherwise accumulate
+        # one join per round and planning cost grows quadratically — the
+        # checkpoint keeps every round's plan O(1)
         new = (
             labels.join(neigh, "id", "left")
             .select(
                 "id",
                 F.least(F.col("label"), F.coalesce("nlabel", "label")).alias("label"),
             )
-            .persist()
+            .localCheckpoint()
         )
         converged = (
             new.join(labels.withColumnRenamed("label", "old"), "id")
             .filter(F.col("label") != F.col("old"))
             .isEmpty()
         )
-        labels.unpersist()
         labels = new
         if converged:
             break
-    edges.unpersist()
     return labels.select("id", F.col("label").alias("cluster_id"))
 
 
