@@ -294,6 +294,23 @@ def q_lang_id(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_stable_sample(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic hash-based stratified sampling + train/val split:
+    per-language downsampling fractions and a stable split assignment —
+    same doc_id ⇒ same verdict on every engine/plan (the reproducibility
+    property df.sample() lacks)."""
+    from pyanomalydetector2_spark.operators.sampling import (
+        stratified_hash_sample,
+        train_split,
+    )
+
+    docs = load_table(spark, sf, "documents")
+    sampled = stratified_hash_sample(
+        docs, "doc_id", "lang", {"en": 0.5, "fr": 0.25, "de": 1.0}
+    )
+    return train_split(sampled, "doc_id", 0.8).select("doc_id", "lang", "split")
+
+
 def q_doc_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
     """Winnowing-style fingerprint: 3 smallest 3-gram shingle hashes."""
     docs = load_table(spark, sf, "documents")
@@ -713,6 +730,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_topk": q_embedding_topk,
         "text_quality": q_text_quality,
         "lang_id": q_lang_id,
+        "stable_sample": q_stable_sample,
         "doc_fingerprint": q_doc_fingerprint,
         "local_peak": q_local_peak,
         "minmax_normalize": q_minmax_normalize,
@@ -1067,6 +1085,23 @@ def oracle_sql() -> dict[str, str]:
                    {", ".join(f"round(lang_{c}, 6) AS lang_{c}" for c in _LANGS)},
                    CASE WHEN best <= 0 THEN 'und' {lang_cases} END AS lang_pred
             FROM b
+        """,
+        "stable_sample": f"""
+            WITH b AS (
+              SELECT doc_id, lang,
+                     ({_H60.format(x="'sample:' || doc_id::VARCHAR")}) % 1000000
+                       AS sbucket,
+                     ({_H60.format(x="'split:' || doc_id::VARCHAR")}) % 1000000
+                       AS pbucket
+              FROM documents
+            )
+            SELECT doc_id, lang,
+                   CASE WHEN pbucket < 800000 THEN 'train' ELSE 'val' END AS split
+            FROM b
+            WHERE sbucket < CASE lang WHEN 'en' THEN 500000
+                                      WHEN 'fr' THEN 250000
+                                      WHEN 'de' THEN 1000000
+                                      ELSE 0 END
         """,
         "doc_fingerprint": f"""
             WITH {_SHINGLE_CTES},
