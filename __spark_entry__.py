@@ -706,6 +706,24 @@ def q_column_profile(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_column_quantiles(spark: SparkSession, sf: str) -> DataFrame:
+    """North-rule quantiles, exact flavor: per-group p25/p50/p75 via Spark's
+    exact percentile (linear interpolation — matches DuckDB quantile_cont
+    on doubles). The production profile uses the percentile_approx sketch
+    (column_profile); this exact variant is the oracle-checkable pin of the
+    quantile semantics."""
+    ev = load_table(spark, sf, "events")
+    q = ev.groupBy("event_type").agg(
+        F.percentile("value", F.lit([0.25, 0.5, 0.75])).alias("_q")
+    )
+    return q.select(
+        "event_type",
+        _r(F.element_at("_q", 1)).alias("p25"),
+        _r(F.element_at("_q", 2)).alias("p50"),
+        _r(F.element_at("_q", 3)).alias("p75"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the detect1-style z-score screen on sf0.001."""
     return q_zscore_screen(spark, "/root/testdata/sf0.001")
@@ -752,6 +770,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q1": q_tpch_q1,
         "tpch_q3": q_tpch_q3,
         "column_profile": q_column_profile,
+        "column_quantiles": q_column_quantiles,
     }
 
 
@@ -1433,5 +1452,12 @@ def oracle_sql() -> dict[str, str]:
               FROM events GROUP BY 1
             )
             SELECT * FROM v UNION ALL SELECT * FROM u
+        """,
+        "column_quantiles": """
+            SELECT event_type,
+                   round(quantile_cont(value::DOUBLE, 0.25), 6) AS p25,
+                   round(quantile_cont(value::DOUBLE, 0.50), 6) AS p50,
+                   round(quantile_cont(value::DOUBLE, 0.75), 6) AS p75
+            FROM events GROUP BY 1
         """,
     }
