@@ -91,6 +91,61 @@ def image_metadata(images: DataFrame, id_col: str = "img_id", bytes_col: str = "
     ).mapInPandas(meta, schema=IMAGE_META_SCHEMA)
 
 
+RESIZED_SCHEMA = (
+    "img_id string, width int, height int, channels int, pixels binary"
+)
+
+
+def fake_decode_array(payload: bytes, w: int, h: int, c: int) -> np.ndarray:
+    """Deterministic fake pixel decode: tile the payload bytes into (h, w, c)
+    uint8 — stands in for a real decoder; everything downstream of this
+    call is real array math."""
+    buf = np.frombuffer(payload, dtype=np.uint8)
+    need = h * w * c
+    reps = need // max(len(buf), 1) + 1
+    return np.tile(buf, reps)[:need].reshape(h, w, c)
+
+
+def resize_nearest(img: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    """REAL nearest-neighbor resize (pure numpy index math — no codec
+    dependency): output pixel (i, j) samples input (⌊i·h/out_h⌋, ⌊j·w/out_w⌋)."""
+    h, w = img.shape[:2]
+    ri = (np.arange(out_h) * h // out_h).astype(np.int64)
+    ci = (np.arange(out_w) * w // out_w).astype(np.int64)
+    return img[ri][:, ci]
+
+
+def resize_images(
+    images: DataFrame,
+    out_h: int = 32,
+    out_w: int = 32,
+    id_col: str = "img_id",
+    bytes_col: str = "bytes",
+) -> DataFrame:
+    """Image resize plumbing: STUB decode (fake_decode_array — the single
+    seam for PIL/libjpeg) + REAL nearest-neighbor resize; emits fixed-shape
+    (out_h × out_w × c) pixel buffers ready for a training-batch collator."""
+
+    def kernel(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for iid, payload in zip(pdf[id_col], pdf[bytes_col]):
+                w, h, c = fake_image_meta(payload)
+                if w == 0:
+                    rows.append((iid, 0, 0, 0, None))
+                    continue
+                img = fake_decode_array(payload, w, h, c)
+                small = resize_nearest(img, out_h, out_w)
+                rows.append((iid, out_w, out_h, c, small.tobytes()))
+            yield pd.DataFrame(
+                rows, columns=["img_id", "width", "height", "channels", "pixels"]
+            )
+
+    return images.select(
+        images[id_col].alias(id_col), images[bytes_col].alias(bytes_col)
+    ).mapInPandas(kernel, schema=RESIZED_SCHEMA)
+
+
 def sample_frames(
     videos: DataFrame,
     every_n: int = 10,
