@@ -108,9 +108,17 @@ class SeriesPipeline:
         trends: DataFrame,
         items_dim: DataFrame | None = None,
         endep: int | None = None,
+        history_interval: int | None = None,
     ) -> DataFrame:
         """detect1 → detect2 → detect3 with driver-side early exit
-        (reference detect_anomalies.py:79-96), then enrichment + upsert."""
+        (reference detect_anomalies.py:79-96), then enrichment + upsert.
+
+        When ``history_interval`` is given, survivor history is regularized
+        onto the base-clock grid before the confirm stages and detect3's
+        support denominator becomes the expected grid size — the
+        re-expression of the reference's update_history step
+        (detect_anomalies.py:85 → detector.py:113-146: survivors only, so
+        the expensive regularization runs on the post-screen funnel)."""
         spark = history.sparkSession
         tstats = self.stats_table.read(spark)
 
@@ -120,14 +128,26 @@ class SeriesPipeline:
             return self._empty_anomalies(spark)
 
         h2 = history.join(s1, "itemid", "left_semi")
+        expected_count = None
+        if history_interval is not None and endep is not None:
+            from pyanomalydetector2_spark.operators.windows import (
+                base_clocks,
+                fit_to_base_clocks,
+            )
+
+            row = history.agg(F.min("clock").alias("m")).first()
+            startep = int(row["m"])
+            s0, e0, u = base_clocks(startep, endep, history_interval)
+            expected_count = max((e0 - s0) // u, 1)
+            h2 = fit_to_base_clocks(h2, startep, endep, history_interval)
         t2 = trends.join(s1, "itemid", "left_semi")
         s2 = detect2(h2, t2, self.params).cache()
         if s2.isEmpty():
             return self._empty_anomalies(spark)
 
-        h3 = history.join(s2, "itemid", "left_semi")
+        h3 = h2.join(s2, "itemid", "left_semi")
         t3 = trends.join(s2, "itemid", "left_semi")
-        s3 = detect3(h3, t3, self.params)
+        s3 = detect3(h3, t3, self.params, expected_count=expected_count)
 
         created = endep or int(time.time())
         out = (
@@ -135,6 +155,7 @@ class SeriesPipeline:
             .select(
                 "itemid",
                 F.lit(created).alias("created"),
+                F.lit(-1).alias("clusterid"),  # assigned by classify_results
                 F.col("mean").alias("trend_mean"),
                 F.col("std").alias("trend_std"),
             )
@@ -206,8 +227,52 @@ class SeriesPipeline:
             self.topitems_table.delete_where(f"created < {created - keep_secs}")
         return self.topitems_table.read(spark).filter(F.col("created") == created)
 
+    # -- survivor clustering (SURVEY §3.1 classify_charts) --------------------
+    def classify_results(
+        self,
+        history: DataFrame,
+        table: SnapshotTable | None = None,
+        created: int | None = None,
+        sigma: float = 2.0,
+    ) -> DataFrame:
+        """classify_charts over the latest results (anomalies by default,
+        pass ``self.topitems_table`` for the topitems flow —
+        update_topitems.py:53-74): collect the survivors' charts, run the
+        two-level DBSCAN on the driver (the survivor set is tiny by the
+        funnel's construction), MERGE clusterid back
+        (models/anomalies.py:81-84 update_clusterid)."""
+        from pyanomalydetector2_spark.operators.classify import (
+            classify_charts,
+            collect_charts,
+        )
+
+        spark = history.sparkSession
+        table = table or self.anomalies_table
+        res = table.read(spark)
+        if created is None:
+            created = res.agg(F.max("created")).first()[0]
+        latest = res.filter(F.col("created") == created)
+        surv = latest.select("itemid").distinct()
+        charts = collect_charts(history.join(surv, "itemid", "left_semi"))
+        labels = classify_charts(charts, sigma=sigma)
+        if labels:
+            lab_df = spark.createDataFrame(
+                [(int(k), int(v)) for k, v in labels.items()],
+                "itemid long, clusterid int",
+            )
+            updated = (
+                latest.drop("clusterid")
+                .join(F.broadcast(lab_df), "itemid", "left")
+                .withColumn("clusterid", F.coalesce("clusterid", F.lit(-1)))
+                .select(*res.columns)
+            )
+            table.merge_upsert(updated, ["itemid", "created"])
+        return table.read(spark).filter(F.col("created") == created)
+
     @staticmethod
     def _empty_anomalies(spark: SparkSession) -> DataFrame:
         return spark.createDataFrame(
-            [], "itemid long, created long, trend_mean double, trend_std double"
+            [],
+            "itemid long, created long, clusterid int, trend_mean double, "
+            "trend_std double",
         )

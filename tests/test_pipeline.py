@@ -97,9 +97,12 @@ def test_detect_funnel_with_enrichment(spark, tmp_path):
     for item in range(1, 16):
         base = 50.0 + item
         for k in range(18):
-            # the shift starts INSIDE the recent window (k ≥ 3): detect2's
-            # jump baseline is the window's first sample
-            shift = 25.0 if item in (2, 5) and k >= 3 else 0.0
+            # the shift starts INSIDE the recent window (k ≥ 2): detect2's
+            # jump baseline is the window's first sample; k ≥ 2 keeps the
+            # detect3 support rate above 0.8 on BOTH the raw series (16/18)
+            # and the base-clock-regularized one (15/18 — the trailing
+            # sample buckets past the exclusive grid end, see W3 docs)
+            shift = 25.0 if item in (2, 5) and k >= 2 else 0.0
             hist_rows.append(
                 (item, endep + k * 600, float(base + shift + rng.normal(0, 1.0)))
             )
@@ -120,9 +123,51 @@ def test_detect_funnel_with_enrichment(spark, tmp_path):
     out2 = p.detect(history, trends, items_dim, endep=endep + 18 * 600)
     assert out2.count() == 2
 
+    # regularized funnel (reference update_history, detector.py:113-146):
+    # survivors' history snaps to the base-clock grid and detect3 divides
+    # by the expected grid size — same verdicts on this gap-free fixture
+    out3 = p.detect(
+        history, trends, items_dim,
+        endep=endep + 18 * 600, history_interval=600,
+    )
+    assert {r["itemid"] for r in out3.collect()} == {2, 5}
+
     # retention expiry removes old rows
     p.expire_anomalies(keep_secs=1, now_ep=endep + 18 * 600 + 10)
     assert p.anomalies_table.read(spark).count() == 0
+
+
+def test_classify_results_assigns_clusters(spark, tmp_path):
+    """classify_charts over the results table (reference
+    update_topitems.py:53-74 / detect_anomalies.py:109-131): correlated
+    survivor charts share a clusterid, the odd one out is noise (-1), and
+    the clusterid lands back in the snapshot via MERGE."""
+    p = SeriesPipeline(str(tmp_path), trends_interval=INTERVAL, trends_retention=RETENTION)
+    created = T0 + 100
+    rows = []
+    # items 1,2: same strong sawtooth with one synchronized spike window;
+    # item 3: flat noise (no indicator overlap)
+    rng = np.random.default_rng(3)
+    for item in (1, 2, 3):
+        for k in range(40):
+            if item in (1, 2):
+                v = 10.0 * (1 if 18 <= k < 22 else 0) + k % 3 + rng.normal(0, 0.05)
+            else:
+                v = rng.normal(0, 0.05)
+            rows.append((item, T0 + k * 60, float(v)))
+    history = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["itemid", "clock", "value"])
+    )
+    seed = spark.createDataFrame(
+        [(i, created, -1, 0.0, 1.0) for i in (1, 2, 3)],
+        "itemid long, created long, clusterid int, trend_mean double, trend_std double",
+    )
+    p.anomalies_table.write_snapshot(seed)
+
+    out = p.classify_results(history, sigma=1.5)
+    labels = {r["itemid"]: r["clusterid"] for r in out.collect()}
+    assert labels[1] == labels[2] and labels[1] >= 0
+    assert labels[3] == -1
 
 
 def test_update_topitems_pipeline(spark, tmp_path):
