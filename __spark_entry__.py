@@ -252,6 +252,30 @@ def q_dup_clusters(spark: SparkSession, sf: str) -> DataFrame:
     return out.select(F.col("id").alias("doc_id"), "cluster_id")
 
 
+def q_dedup_keep_best(spark: SparkSession, sf: str) -> DataFrame:
+    """The end-to-end dedup decision: near-dup clusters → keep the highest
+    quality_score member per cluster (ties → smallest doc_id), mark the
+    rest as drops — what a training-data pipeline actually executes."""
+    from pyanomalydetector2_spark.operators.dedup import (
+        dup_clusters,
+        keep_best_per_cluster,
+        near_dup_jaccard,
+    )
+    from pyanomalydetector2_spark.operators.text import token_metrics
+
+    docs = load_table(spark, sf, "documents")
+    j = near_dup_jaccard(docs, "doc_id", "text", k=8, n=3, bands=4,
+                         rows_per_band=2, threshold=0.1)
+    clusters = dup_clusters(j.select("id_a", "id_b"))
+    scores = token_metrics(docs, "text").select(
+        "doc_id", _r("quality_score").alias("quality_score")
+    )
+    out = keep_best_per_cluster(clusters, scores)
+    return out.select(
+        "doc_id", "cluster_id", _r("score").alias("score"), "keep"
+    )
+
+
 def q_simhash(spark: SparkSession, sf: str) -> DataFrame:
     """16-bit SimHash signatures over tokens."""
     docs = load_table(spark, sf, "documents")
@@ -756,6 +780,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "dup_clusters": q_dup_clusters,
+        "dedup_keep_best": q_dedup_keep_best,
         "simhash": q_simhash,
         "embedding_topk": q_embedding_topk,
         "text_quality": q_text_quality,
@@ -1039,6 +1064,58 @@ def oracle_sql() -> dict[str, str]:
               SELECT e.d AS id, reach.r FROM reach JOIN edges e ON reach.id = e.s
             )
             SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY 1
+        """,
+        "dedup_keep_best": f"""
+            WITH RECURSIVE {_MINHASH_CTES},
+            sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+            inter AS (
+              SELECT c.id_a, c.id_b, count(*) AS n
+              FROM cand c
+              JOIN sh a ON a.doc_id = c.id_a
+              JOIN sh b ON b.doc_id = c.id_b AND b.shingle = a.shingle
+              GROUP BY 1, 2
+            ),
+            jp AS (
+              SELECT i.id_a, i.id_b
+              FROM inter i
+              JOIN sizes sa ON sa.doc_id = i.id_a
+              JOIN sizes sb ON sb.doc_id = i.id_b
+              WHERE i.n / (sa.sz + sb.sz - i.n) >= 0.1
+            ),
+            edges AS (
+              SELECT id_a AS s, id_b AS d FROM jp
+              UNION ALL
+              SELECT id_b, id_a FROM jp
+            ),
+            reach AS (
+              SELECT s AS id, s AS r FROM edges
+              UNION
+              SELECT e.d AS id, reach.r FROM reach JOIN edges e ON reach.id = e.s
+            ),
+            comp AS (
+              SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY 1
+            ),
+            q AS (
+              SELECT doc_id, string_split(lower(trim(text)), ' ') AS t,
+                     length(regexp_replace(lower(text), '[^a-z]', '', 'g'))::DOUBLE
+                       / length(text) AS ar
+              FROM documents
+            ),
+            score AS (
+              SELECT doc_id, round(
+                (CASE WHEN len(t) BETWEEN 5 AND 1000 THEN 0.4 ELSE 0.0 END)
+                + (CASE WHEN len(list_filter(t, x -> list_contains([{sw}], x)))::DOUBLE
+                        / len(t) > 0.01 THEN 0.3 ELSE 0.0 END)
+                + (CASE WHEN ar > 0.6 THEN 0.3 ELSE 0.0 END), 6) AS score
+              FROM q
+            ),
+            ranked AS (
+              SELECT c.doc_id, c.cluster_id, s.score,
+                     row_number() OVER (PARTITION BY c.cluster_id
+                                        ORDER BY s.score DESC, c.doc_id) AS rn
+              FROM comp c JOIN score s USING (doc_id)
+            )
+            SELECT doc_id, cluster_id, score, (rn = 1) AS keep FROM ranked
         """,
         "simhash": f"""
             WITH tok AS (

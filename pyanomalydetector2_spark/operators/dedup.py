@@ -302,6 +302,35 @@ def near_dup_jaccard(
     return j.filter(F.col("jaccard") >= threshold)
 
 
+def keep_best_per_cluster(
+    clusters: DataFrame,
+    scores: DataFrame,
+    id_col: str = "doc_id",
+    score_col: str = "quality_score",
+) -> DataFrame:
+    """The dedup DECISION: for each duplicate cluster keep the best-scoring
+    member (ties → smallest id), mark the rest for dropping. ``clusters`` =
+    (id, cluster_id) from dup_clusters; ``scores`` = (id_col, score_col).
+    Returns (doc_id, cluster_id, score, keep). Docs not in any cluster are
+    implicitly kept (they never reach this frame)."""
+    j = clusters.join(
+        scores.select(F.col(id_col).alias("id"), F.col(score_col).alias("score")),
+        "id",
+    )
+    best = j.groupBy("cluster_id").agg(
+        F.max_by("id", F.struct(F.col("score"), -F.col("id"))).alias("best_id")
+    )
+    return (
+        j.join(best, "cluster_id")
+        .select(
+            F.col("id").alias(id_col),
+            "cluster_id",
+            "score",
+            (F.col("id") == F.col("best_id")).alias("keep"),
+        )
+    )
+
+
 def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 16) -> DataFrame:
     """Per-doc SimHash over tokens: bit b = sign of Σ_tokens (±1 by token
     hash bit b). One explode + one groupBy with ``bits`` signed sums."""
