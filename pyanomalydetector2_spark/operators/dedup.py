@@ -250,6 +250,10 @@ def dup_clusters(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
         .withColumn("label", F.col("id"))
         .localCheckpoint()
     )
+    # labels are monotone non-increasing, so Σlabel strictly decreases every
+    # non-converged round — the convergence probe is ONE scalar aggregate
+    # (map-side combined, no join/shuffle) instead of a self-join
+    prev_sum = labels.agg(F.sum("label")).first()[0]
     for _ in range(max_iter):
         neigh = (
             edges.join(labels, edges["s"] == labels["id"])
@@ -259,7 +263,7 @@ def dup_clusters(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
         # localCheckpoint (not persist): iterative plans otherwise accumulate
         # one join per round and planning cost grows quadratically — the
         # checkpoint keeps every round's plan O(1)
-        new = (
+        labels = (
             labels.join(neigh, "id", "left")
             .select(
                 "id",
@@ -267,14 +271,10 @@ def dup_clusters(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
             )
             .localCheckpoint()
         )
-        converged = (
-            new.join(labels.withColumnRenamed("label", "old"), "id")
-            .filter(F.col("label") != F.col("old"))
-            .isEmpty()
-        )
-        labels = new
-        if converged:
+        cur_sum = labels.agg(F.sum("label")).first()[0]
+        if cur_sum == prev_sum:
             break
+        prev_sum = cur_sum
     return labels.select("id", F.col("label").alias("cluster_id"))
 
 
