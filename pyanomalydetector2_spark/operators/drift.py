@@ -151,6 +151,8 @@ def quantile_edges(
     ).first()
     # dedupe (discrete columns produce repeated edges)
     edges: list[float] = []
+    if row["q"] is None:  # empty / all-null baseline column
+        return edges
     for v in row["q"]:
         if v is not None and (not edges or v > edges[-1]):
             edges.append(float(v))

@@ -138,3 +138,28 @@ def test_quantile_edge_drift(spark):
     s_shift = drift_scores_quantile(shift, base, "x", nbins=10)[0]
     assert s_same["psi"] < 0.02 and s_same["ks"] < 0.03
     assert s_shift["psi"] > 0.3 and s_shift["ks"] > 0.2
+
+
+def test_quantile_drift_guards(spark):
+    """ADVICE r01: empty/all-null baseline raises an explicit error; a
+    near-constant baseline degrades the bins and warns."""
+    import warnings
+
+    import pandas as pd
+    import pytest
+
+    from pyanomalydetector2_spark.operators.drift import drift_scores_quantile
+
+    cur = spark.createDataFrame(pd.DataFrame({"x": [1.0, 2.0, 3.0]}))
+    empty = spark.createDataFrame(
+        pd.DataFrame({"x": pd.array([None, None], dtype="Float64")})
+    )
+    with pytest.raises(ValueError, match="empty or all-null"):
+        drift_scores_quantile(cur, empty, "x", nbins=10)
+
+    const = spark.createDataFrame(pd.DataFrame({"x": [5.0] * 100}))
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        scores = drift_scores_quantile(cur, const, "x", nbins=10)
+    assert any("near-constant" in str(x.message) for x in w)
+    assert scores  # still produces a (degraded) score rather than crashing
