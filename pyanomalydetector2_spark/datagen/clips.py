@@ -49,7 +49,7 @@ CLIPS_SCHEMA = (
     "transcript string, bucket int"
 )
 
-CODECS = ("pcm_s16le", "flac", "opus", "mp3")
+CODECS = ("pcm_s16le", "wav", "flac", "opus", "mp3")
 SAMPLE_RATES = (8000, 16000, 22050, 44100, 48000)
 CODEC_MAGIC = {"flac": b"fLaC", "opus": b"OggS", "mp3": b"ID3\x03"}
 PCM_SAMPLES = 512
@@ -199,7 +199,12 @@ def _gen_batch(ids: np.ndarray, planted: bool) -> pd.DataFrame:
     quant = np.round(waves).astype("<i2")
     payloads: list[bytes] = []
     for i in range(n):
-        payloads.append(CODEC_MAGIC.get(codec[i], b"") + quant[i].tobytes())
+        if codec[i] == "wav":  # REAL RIFF container (parsed for real too)
+            from pyanomalydetector2_spark.operators.audio import encode_wav
+
+            payloads.append(encode_wav(quant[i], int(sr[i])))
+        else:
+            payloads.append(CODEC_MAGIC.get(codec[i], b"") + quant[i].tobytes())
 
     trans: list[str | None] = []
     null_m = _hits(eff, V_NULL_T) if planted else np.zeros(n, dtype=bool)

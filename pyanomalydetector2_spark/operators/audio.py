@@ -38,15 +38,58 @@ from pyanomalydetector2_spark.datagen.clips import (
 SNR_CAP_DB = 999.0
 
 
+def parse_wav(payload: bytes) -> np.ndarray | None:
+    """REAL RIFF/WAVE container parse (WAV is a container, not a codec — no
+    library needed): walk the chunk list, require fmt format 1 (PCM) with
+    16-bit samples, return the data chunk as float64. None on any
+    structural violation (truncated header, missing chunks, non-PCM)."""
+    import struct
+
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        return None
+    pos, fmt_ok, data = 12, False, None
+    while pos + 8 <= len(payload):
+        cid, sz = payload[pos : pos + 4], struct.unpack_from("<I", payload, pos + 4)[0]
+        body = payload[pos + 8 : pos + 8 + sz]
+        if cid == b"fmt " and sz >= 16:
+            audio_fmt, _ch, _sr, _br, _ba, bits = struct.unpack_from("<HHIIHH", body)
+            fmt_ok = audio_fmt == 1 and bits == 16
+        elif cid == b"data":
+            data = body
+        pos += 8 + sz + (sz & 1)  # chunks are word-aligned
+    if not fmt_ok or data is None or len(data) % 2:
+        return None
+    return np.frombuffer(data, dtype="<i2").astype(np.float64)
+
+
+def encode_wav(pcm16: np.ndarray, sr_hz: int = 16000) -> bytes:
+    """Minimal RIFF/WAVE writer (test fixture + the parse_wav round-trip
+    oracle): mono 16-bit PCM."""
+    import struct
+
+    data = pcm16.astype("<i2").tobytes()
+    fmt = struct.pack("<HHIIHH", 1, 1, sr_hz, sr_hz * 2, 2, 16)
+    body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    body += b"data" + struct.pack("<I", len(data)) + data
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
 def decode_pcm_batch(payload: bytes | None, codec: str | None) -> np.ndarray | None:
     """Decode one clip payload → float64 waveform, or None if undecodable.
 
-    REAL path: pcm_s16le. FAKE-but-deterministic path: known magic-tagged
-    codecs (strip tag, decode as PCM). A production build replaces this body
-    with pyav/soundfile — the UDF plumbing around it is unchanged.
+    REAL paths: pcm_s16le (raw) and wav (RIFF container parse — parse_wav).
+    FAKE-but-deterministic path: known magic-tagged lossy codecs (strip
+    tag, decode as PCM; flac/opus/mp3 need codec libraries this container
+    lacks). A production build extends this body with pyav/soundfile — the
+    UDF plumbing around it is unchanged.
     """
     if payload is None or codec is None:
         return None
+    if codec == "wav":
+        wave = parse_wav(payload)
+        if wave is None or len(wave) < PCM_SAMPLES:
+            return None
+        return wave[:PCM_SAMPLES]
     if codec == "pcm_s16le":
         raw = payload
     else:

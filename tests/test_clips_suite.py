@@ -182,3 +182,32 @@ def test_equi_depth_drift_check_in_suite(spark, clips):
     assert not any(r["passed"] for r in res.verdicts.collect())
     res2 = run_suite(base, base, dims, suite, "run_eq2")
     assert res2.passed()
+
+
+def test_wav_container_real_roundtrip():
+    """The wav path is REAL (RIFF is a container, not a codec): encode →
+    parse round-trips bit-exactly; structural corruption → decode failure."""
+    import numpy as np
+
+    from pyanomalydetector2_spark.operators.audio import (
+        decode_pcm_batch,
+        encode_wav,
+        parse_wav,
+        snr_db,
+    )
+
+    pcm = (np.sin(np.arange(4000) / 7.0) * 12000).astype("<i2")
+    wav = encode_wav(pcm, 16000)
+    assert wav[:4] == b"RIFF" and wav[8:12] == b"WAVE"
+    back = parse_wav(wav)
+    assert back is not None and np.array_equal(back, pcm.astype(np.float64))
+    dec = decode_pcm_batch(wav, "wav")
+    assert dec is not None and snr_db(dec, back[: len(dec)]) == 999.0
+
+    assert parse_wav(wav[:10]) is None              # truncated header
+    assert parse_wav(b"RIFX" + wav[4:]) is None     # wrong magic
+    # non-PCM format code in fmt chunk → rejected
+    bad = bytearray(wav)
+    bad[20] = 3  # fmt = IEEE float
+    assert parse_wav(bytes(bad)) is None
+    assert decode_pcm_batch(wav, "flac") is None    # magic mismatch
