@@ -760,6 +760,64 @@ def q_column_quantiles(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+# drift bins for the events.value distribution (observed range ≈ 0..490)
+_DRIFT_LO, _DRIFT_HI, _DRIFT_NBINS = 0.0, 500.0, 10
+# allowed-language dimension; 'zh' is the out-of-domain code in the testdata
+_ALLOWED_LANGS = ("en", "fr", "de", "es")
+
+
+def q_drift_psi(spark: SparkSession, sf: str) -> DataFrame:
+    """North-rule drift check, fully distributed: PSI + binned KS of the
+    recent window vs the trend baseline per event_type
+    (drift.drift_scores_df — the no-driver-funnel path for high-cardinality
+    groups; same algebra as the reference-shaped drift_scores_multi)."""
+    from pyanomalydetector2_spark.operators.drift import drift_scores_df
+
+    ev = load_table(spark, sf, "events")
+    cur = ev.filter(F.unix_timestamp("ts") >= _CUT_EP)
+    base = ev.filter(F.unix_timestamp("ts") < _CUT_EP)
+    d = drift_scores_df(
+        cur, base, "value", _DRIFT_LO, _DRIFT_HI, _DRIFT_NBINS, "event_type"
+    )
+    return d.select(
+        "event_type",
+        _r("psi").alias("psi"),
+        _r("ks").alias("ks"),
+        F.col("cur_n").cast("long").alias("cur_n"),
+        F.col("base_n").cast("long").alias("base_n"),
+    )
+
+
+def q_uniqueness_violations(spark: SparkSession, sf: str) -> DataFrame:
+    """North-rule uniqueness check, exact stage: violation ROWS for an
+    expected-unique key (clip_id analog = 40-char text prefix) via
+    uniqueness.duplicate_rows — groupBy count + broadcast semi-join back.
+    The HLL cheap screen is sketch-based (not oracle-able) and pytest-pinned
+    in tests/test_clips_suite.py."""
+    from pyanomalydetector2_spark.operators.uniqueness import duplicate_rows
+
+    docs = load_table(spark, sf, "documents").withColumn(
+        "key", F.substring("text", 1, 40)
+    )
+    v = duplicate_rows(docs, "key", ["doc_id"])
+    return v.select(
+        "doc_id", "key", F.col("dup_cnt").cast("long").alias("dup_cnt")
+    )
+
+
+def q_ri_violations(spark: SparkSession, sf: str) -> DataFrame:
+    """North-rule referential-integrity check: fact rows whose code is absent
+    from the allowed dimension (documents.lang vs the language dim — the
+    codec/sr_hz domain-check shape), via integrity.referential_violations'
+    broadcast anti-join: zero shuffle of the fact side."""
+    from pyanomalydetector2_spark.operators.integrity import referential_violations
+
+    docs = load_table(spark, sf, "documents")
+    dim = spark.createDataFrame([(c,) for c in _ALLOWED_LANGS], "lang string")
+    v = referential_violations(docs, "lang", dim, keep_cols=["doc_id"])
+    return v.select("doc_id", "lang")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the detect1-style z-score screen on sf0.001."""
     return q_zscore_screen(spark, "/root/testdata/sf0.001")
@@ -808,6 +866,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q3": q_tpch_q3,
         "column_profile": q_column_profile,
         "column_quantiles": q_column_quantiles,
+        "drift_psi": q_drift_psi,
+        "uniqueness_violations": q_uniqueness_violations,
+        "ri_violations": q_ri_violations,
     }
 
 
@@ -1554,4 +1615,68 @@ def oracle_sql() -> dict[str, str]:
                    round(quantile_cont(value::DOUBLE, 0.75), 6) AS p75
             FROM events GROUP BY 1
         """,
+        "drift_psi": f"""
+            WITH cur AS (
+              SELECT event_type,
+                     CASE WHEN value < {_DRIFT_LO} THEN 0
+                          WHEN value >= {_DRIFT_HI} THEN {_DRIFT_NBINS + 1}
+                          ELSE CAST(floor((value - {_DRIFT_LO})
+                                          / {(_DRIFT_HI - _DRIFT_LO) / _DRIFT_NBINS}) AS INT) + 1
+                     END AS bin
+              FROM events
+              WHERE value IS NOT NULL AND ts >= TIMESTAMP '{_CUT}'
+            ), base AS (
+              SELECT CASE WHEN value < {_DRIFT_LO} THEN 0
+                          WHEN value >= {_DRIFT_HI} THEN {_DRIFT_NBINS + 1}
+                          ELSE CAST(floor((value - {_DRIFT_LO})
+                                          / {(_DRIFT_HI - _DRIFT_LO) / _DRIFT_NBINS}) AS INT) + 1
+                     END AS bin
+              FROM events
+              WHERE value IS NOT NULL AND ts < TIMESTAMP '{_CUT}'
+            ),
+            cur_cnt AS (SELECT event_type, bin, count(*) AS cn FROM cur GROUP BY 1, 2),
+            base_cnt AS (SELECT bin, count(*) AS bn FROM base GROUP BY 1),
+            cur_tot AS (SELECT event_type, sum(cn) AS cur_n FROM cur_cnt GROUP BY 1),
+            base_tot AS (SELECT sum(bn) AS base_n FROM base_cnt),
+            grid AS (
+              SELECT event_type, cur_n, i AS bin
+              FROM cur_tot, UNNEST(range(0, {_DRIFT_NBINS + 2})) AS t(i)
+            ),
+            terms AS (
+              SELECT g.event_type, g.bin, g.cur_n, bt.base_n,
+                     coalesce(c.cn, 0)::DOUBLE / g.cur_n + 1e-6 AS p,
+                     coalesce(b.bn, 0)::DOUBLE / bt.base_n + 1e-6 AS q
+              FROM grid g
+              LEFT JOIN cur_cnt c ON c.event_type = g.event_type AND c.bin = g.bin
+              LEFT JOIN base_cnt b ON b.bin = g.bin
+              CROSS JOIN base_tot bt
+            ),
+            cum AS (
+              SELECT event_type, cur_n, base_n,
+                     sum((p - q) * ln(p / q)) OVER w AS cum_psi,
+                     sum(p) OVER w - sum(q) OVER w AS cdf_diff
+              FROM terms
+              WINDOW w AS (PARTITION BY event_type ORDER BY bin
+                           ROWS UNBOUNDED PRECEDING)
+            )
+            SELECT event_type, round(max(cum_psi), 6) AS psi,
+                   round(max(abs(cdf_diff)), 6) AS ks,
+                   max(cur_n) AS cur_n, max(base_n) AS base_n
+            FROM cum GROUP BY 1
+        """,
+        "uniqueness_violations": """
+            WITH k AS (
+              SELECT doc_id, substr(text, 1, 40) AS key FROM documents
+            ), d AS (
+              SELECT key, count(*) AS dup_cnt FROM k GROUP BY 1
+              HAVING count(*) > 1
+            )
+            SELECT doc_id, key, dup_cnt FROM k JOIN d USING (key)
+        """,
+        "ri_violations": (
+            "SELECT doc_id, lang FROM documents WHERE lang IS NOT NULL "
+            "AND lang NOT IN ("
+            + ", ".join(f"'{c}'" for c in _ALLOWED_LANGS)
+            + ")"
+        ),
     }

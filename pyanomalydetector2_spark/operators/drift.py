@@ -239,6 +239,87 @@ def drift_scores_quantile(
     return out
 
 
+def uniform_bin(column: str, lo: float, hi: float, nbins: int):
+    """Explicit uniform-bin expression (0 = underflow, nbins+1 = overflow).
+    Written as plain floor arithmetic — not width_bucket — so an external
+    oracle can evaluate the bit-identical expression."""
+    v = F.col(column).cast("double")
+    w = (hi - lo) / nbins
+    return (
+        F.when(v < F.lit(lo), F.lit(0))
+        .when(v >= F.lit(hi), F.lit(nbins + 1))
+        .otherwise((F.floor((v - F.lit(lo)) / F.lit(w)) + 1).cast("int"))
+        .cast("int")
+    )
+
+
+def drift_scores_df(
+    current: DataFrame,
+    baseline: DataFrame,
+    column: str,
+    lo: float,
+    hi: float,
+    nbins: int = 20,
+    group_col: str | None = None,
+) -> DataFrame:
+    """Fully distributed PSI/KS — same algebra as drift_scores_multi but with
+    NO driver collect, for group cardinalities where the histogram no longer
+    fits the driver funnel (per-host drift over 10^6 hosts → 10^7+ histogram
+    rows). Execution shape at scale:
+
+    - two column-pruned scans (one per side), each one map-side-combined
+      groupBy → histograms of O(groups × bins) rows;
+    - the baseline histogram and per-group totals are tiny → broadcast;
+    - the bin grid is a static ``spark.range(nbins + 2)`` cross join, so
+      empty bins exist on both sides without an observed-bin union;
+    - PSI/KS via a running window ordered by bin: addition order is fixed
+      (bin 0..nbins+1), so results are reproducible across partitionings —
+      PSI terms are non-negative, making the running max equal the total.
+
+    Returns (group?, psi, ks, cur_n, base_n); ε-smoothing matches psi_ks.
+    """
+    from pyspark.sql import Window
+
+    binc = uniform_bin(column, lo, hi, nbins)
+    g = group_col or "_g"
+    cur = current.filter(F.col(column).isNotNull()).select(
+        (F.col(group_col) if group_col else F.lit(0)).alias(g), binc.alias("bin")
+    )
+    base = baseline.filter(F.col(column).isNotNull()).select(binc.alias("bin"))
+
+    cur_cnt = cur.groupBy(g, "bin").agg(F.count(F.lit(1)).alias("cur_bin_n"))
+    base_cnt = base.groupBy("bin").agg(F.count(F.lit(1)).alias("base_bin_n"))
+    cur_tot = cur_cnt.groupBy(g).agg(F.sum("cur_bin_n").alias("cur_n"))
+    base_tot = base_cnt.agg(F.sum("base_bin_n").alias("base_n"))
+
+    spark = current.sparkSession
+    bins = spark.range(0, nbins + 2).select(F.col("id").cast("int").alias("bin"))
+    grid = cur_tot.crossJoin(F.broadcast(bins))
+    j = (
+        grid.join(cur_cnt, [g, "bin"], "left")
+        .join(F.broadcast(base_cnt), ["bin"], "left")
+        .crossJoin(F.broadcast(base_tot))
+    )
+    p = F.coalesce(F.col("cur_bin_n"), F.lit(0)).cast("double") / F.col("cur_n") + F.lit(EPS)
+    q = F.coalesce(F.col("base_bin_n"), F.lit(0)).cast("double") / F.col("base_n") + F.lit(EPS)
+    t = j.select(g, "bin", "cur_n", "base_n", p.alias("p"), q.alias("q"))
+    w = Window.partitionBy(g).orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    cum = t.select(
+        g,
+        "cur_n",
+        "base_n",
+        F.sum((F.col("p") - F.col("q")) * F.log(F.col("p") / F.col("q"))).over(w).alias("cum_psi"),
+        (F.sum("p").over(w) - F.sum("q").over(w)).alias("cdf_diff"),
+    )
+    out = cum.groupBy(g).agg(
+        F.max("cum_psi").alias("psi"),
+        F.max(F.abs(F.col("cdf_diff"))).alias("ks"),
+        F.max("cur_n").alias("cur_n"),
+        F.max("base_n").alias("base_n"),
+    )
+    return out if group_col else out.drop(g)
+
+
 def drift_scores(
     current: DataFrame,
     baseline: DataFrame,

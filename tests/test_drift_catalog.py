@@ -45,6 +45,44 @@ def test_drift_identical_distributions_near_zero(spark):
     assert row["ks"] == pytest.approx(0.0, abs=1e-12)
 
 
+def test_drift_distributed_matches_funnel(spark):
+    """drift_scores_df (fully distributed, no collect) must agree with the
+    driver-funnel drift_scores AND the numpy oracle on the same inputs —
+    global and per-group."""
+    from pyanomalydetector2_spark.operators.drift import drift_scores_df
+
+    rng = np.random.default_rng(21)
+    base_v = rng.normal(100, 15, 4000)
+    cur_v = rng.normal(112, 18, 3000)
+    cur = spark.createDataFrame(pd.DataFrame({"x": cur_v}))
+    base = spark.createDataFrame(pd.DataFrame({"x": base_v}))
+
+    got = drift_scores_df(cur, base, "x", 50.0, 150.0, nbins=20).first()
+    psi, ks = numpy_psi_ks(cur_v, base_v, 50.0, 150.0, 20)
+    assert got["psi"] == pytest.approx(psi, rel=1e-9)
+    assert got["ks"] == pytest.approx(ks, rel=1e-9)
+    assert got["cur_n"] == 3000 and got["base_n"] == 4000
+
+    # per-group: same verdicts as the funnel path, row for row
+    g = spark.createDataFrame(
+        pd.DataFrame(
+            {"g": np.repeat([0, 1], 1500), "x": np.concatenate([cur_v[:1500], cur_v[1500:]])}
+        )
+    )
+    funnel = {
+        r["g"]: r for r in drift_scores(g, base, "x", 50.0, 150.0, 20, "g").collect()
+    }
+    dist = {
+        r["g"]: r
+        for r in drift_scores_df(g, base, "x", 50.0, 150.0, 20, "g").collect()
+    }
+    assert set(funnel) == set(dist)
+    for k in funnel:
+        assert dist[k]["psi"] == pytest.approx(funnel[k]["psi"], rel=1e-9)
+        assert dist[k]["ks"] == pytest.approx(funnel[k]["ks"], rel=1e-9)
+        assert dist[k]["cur_n"] == funnel[k]["cur_n"]
+
+
 def test_drift_per_group(spark):
     rng = np.random.default_rng(13)
     base_v = rng.normal(0, 1, 4000)
