@@ -1,12 +1,17 @@
 """Multimodal column plumbing: image/audio/video as opaque binary columns
 with typed metadata, processed by Arrow-batched ``mapInPandas`` kernels.
 
-The audio decode path is REAL for pcm_s16le (operators/audio.py); image /
-video / compressed-audio decodes are STUBBED behind ``NotImplementedError``
-or a deterministic fake (the codec libraries are not in this container) —
-the Spark-side plumbing (schemas, batch iteration, column pruning, output
-shapes) is real and tested, and each ``*_kernel`` function is the single
-seam where a real library (PIL / pyav / ffmpeg) plugs in.
+Decode reality map:
+- audio: REAL for pcm_s16le and WAV/RIFF (operators/audio.py);
+- image: REAL for 24-bit BMP and 8-bit PNG (operators/image_codec.py —
+  stdlib-only, no codec libraries needed); other containers (JPEG, ...)
+  fall back to the deterministic fake, clearly separated by container
+  magic, so tests can pin both paths;
+- video / compressed audio: STUBBED behind a deterministic fake (no pyav /
+  ffmpeg in this container) — the Spark-side plumbing (schemas, batch
+  iteration, column pruning, 1→N fan-out shapes) is real and tested, and
+  each ``*_kernel`` function is the single seam where a real library
+  plugs in.
 """
 
 from __future__ import annotations
@@ -16,6 +21,12 @@ from collections.abc import Iterator
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
+
+from pyanomalydetector2_spark.operators.image_codec import (
+    UnsupportedImageError,
+    decode_image,
+    image_header,
+)
 
 AUDIO_FEATURE_SCHEMA = (
     "clip_id string, rms double, peak double, zero_cross_rate double, "
@@ -29,8 +40,15 @@ FRAME_SAMPLE_SCHEMA = "vid_id string, frame_idx int, frame_bytes binary"
 
 # --------------------------------------------------------------- kernels --
 def decode_image_kernel(payload: bytes) -> np.ndarray:
-    """Seam for a real image decoder (PIL/libjpeg). Not available here."""
-    raise NotImplementedError("image codecs not available in this container")
+    """REAL decode for BMP/PNG containers (image_codec, stdlib-only); other
+    formats (JPEG/WebP need libjpeg-class libraries absent here) raise —
+    this remains the seam where PIL plugs in for those."""
+    try:
+        return decode_image(payload)
+    except UnsupportedImageError as e:
+        raise NotImplementedError(
+            f"no decoder for this container in this environment: {e}"
+        ) from e
 
 
 def fake_image_meta(payload: bytes) -> tuple[int, int, int]:
@@ -39,6 +57,15 @@ def fake_image_meta(payload: bytes) -> tuple[int, int, int]:
     if payload is None or len(payload) < 4:
         return (0, 0, 0)
     return (64 + payload[0] % 64, 64 + payload[1] % 64, 1 + payload[2] % 4)
+
+
+def _image_meta(payload: bytes) -> tuple[int, int, int]:
+    """Real header parse when the container magic is recognized, else the
+    deterministic fake (synthetic opaque payloads)."""
+    try:
+        return image_header(payload)
+    except UnsupportedImageError:
+        return fake_image_meta(payload)
 
 
 # ------------------------------------------------------------ operators ---
@@ -73,14 +100,14 @@ def audio_features(clips: DataFrame) -> DataFrame:
 
 
 def image_metadata(images: DataFrame, id_col: str = "img_id", bytes_col: str = "bytes") -> DataFrame:
-    """Image decode plumbing (STUB decode): batch shape, schema, and null
-    handling are real; swap ``fake_image_meta`` for a real header reader."""
+    """Image metadata extraction: REAL header parse for BMP/PNG containers
+    (image_codec), deterministic fake for unrecognized/opaque payloads."""
 
     def meta(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             rows = []
             for iid, payload in zip(pdf[id_col], pdf[bytes_col]):
-                w, h, c = fake_image_meta(payload)
+                w, h, c = _image_meta(payload)
                 rows.append((iid, w, h, c, w > 0))
             yield pd.DataFrame(
                 rows, columns=["img_id", "width", "height", "channels", "ok"]
@@ -122,19 +149,25 @@ def resize_images(
     id_col: str = "img_id",
     bytes_col: str = "bytes",
 ) -> DataFrame:
-    """Image resize plumbing: STUB decode (fake_decode_array — the single
-    seam for PIL/libjpeg) + REAL nearest-neighbor resize; emits fixed-shape
-    (out_h × out_w × c) pixel buffers ready for a training-batch collator."""
+    """Image resize: REAL decode for BMP/PNG containers + REAL
+    nearest-neighbor resize; unrecognized payloads go through the
+    deterministic fake decode (the declared PIL/libjpeg seam). Emits
+    fixed-shape (out_h × out_w × c) pixel buffers ready for a
+    training-batch collator."""
 
     def kernel(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             rows = []
             for iid, payload in zip(pdf[id_col], pdf[bytes_col]):
-                w, h, c = fake_image_meta(payload)
-                if w == 0:
-                    rows.append((iid, 0, 0, 0, None))
-                    continue
-                img = fake_decode_array(payload, w, h, c)
+                try:
+                    img = decode_image(payload)
+                    h, w, c = img.shape
+                except UnsupportedImageError:
+                    w, h, c = fake_image_meta(payload)
+                    if w == 0:
+                        rows.append((iid, 0, 0, 0, None))
+                        continue
+                    img = fake_decode_array(payload, w, h, c)
                 small = resize_nearest(img, out_h, out_w)
                 rows.append((iid, out_w, out_h, c, small.tobytes()))
             yield pd.DataFrame(
