@@ -40,6 +40,9 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     qs = ent.queries()
+    only = {s for s in os.environ.get("BENCH_ONLY", "").split(",") if s}
+    if only:
+        qs = {k: v for k, v in qs.items() if k in only}
     timings: dict[str, float] = {}
     for name, fn in qs.items():
         for _ in range(warmup):

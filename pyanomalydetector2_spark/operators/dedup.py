@@ -138,28 +138,38 @@ def lsh_candidate_pairs(
     pairs (id_a < id_b) sharing any band key. Bucket self-join — the scale
     path vs O(N²) all-pairs.
 
-    Hot-bucket guard: a degenerate band key (empty/boilerplate docs all
-    hashing alike) makes the self-join O(b²) in that bucket. Buckets larger
-    than ``max_bucket_size`` are DROPPED from pair generation (their members
-    are boilerplate, not meaningful near-dups); audit what was dropped with
-    ``lsh_bucket_stats``. The cap rides the same window partitioning as the
-    join key — no extra shuffle. Pass None to disable."""
-    banded = _banded(sigs, bands, rows_per_band)
-    if max_bucket_size is not None:
-        from pyspark.sql import Window
+    Execution shape: ONE map-side-combined-ish groupBy collects each
+    bucket's ids into an array, then pairs are generated INSIDE the array
+    (sorted ids × higher-order transform, so id_a < id_b by construction)
+    and exploded — one shuffle of the banded frame total, vs the previous
+    window-count + self-join + distinct (4 shuffles, banded computed twice).
+    The final cross-band dedup is a distinct over the (tiny) pair set.
 
-        w = Window.partitionBy("band", "key")
-        banded = (
-            banded.withColumn("_bsz", F.count(F.lit(1)).over(w))
-            .filter(F.col("_bsz") <= max_bucket_size)
-            .drop("_bsz")
+    Hot-bucket guard: a degenerate band key (empty/boilerplate docs all
+    hashing alike) makes pair generation O(b²) in that bucket. Buckets
+    larger than ``max_bucket_size`` are DROPPED (their members are
+    boilerplate, not meaningful near-dups) — now a plain filter on the
+    bucket array size, which also bounds per-row array memory (10k ids ≈
+    80 KB). Audit what was dropped with ``lsh_bucket_stats``. Pass None to
+    disable."""
+    banded = _banded(sigs, bands, rows_per_band)
+    buckets = banded.groupBy("band", "key").agg(F.collect_list("id").alias("ids"))
+    buckets = buckets.filter(F.size("ids") >= 2)
+    if max_bucket_size is not None:
+        buckets = buckets.filter(F.size("ids") <= max_bucket_size)
+    ids = F.array_sort(F.col("ids"))
+    pair_arr = F.flatten(
+        F.transform(
+            ids,
+            lambda a, i: F.transform(
+                F.slice(ids, i + 2, F.size(ids)),
+                lambda b: F.struct(a.alias("id_a"), b.alias("id_b")),
+            ),
         )
-    a = banded.alias("a")
-    b = banded.alias("b")
+    )
     return (
-        a.join(b, ["band", "key"])
-        .filter(F.col("a.id") < F.col("b.id"))
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        buckets.select(F.explode(pair_arr).alias("p"))
+        .select("p.id_a", "p.id_b")
         .distinct()
     )
 
@@ -186,7 +196,19 @@ def lsh_bucket_stats(
 
 def jaccard_from_shingles(sh: DataFrame, pairs: DataFrame) -> DataFrame:
     """Exact n-gram Jaccard for candidate pairs from a prebuilt (id,
-    shingle) frame: |A ∩ B| / |A ∪ B| over distinct shingle sets."""
+    shingle) frame: |A ∩ B| / |A ∪ B| over distinct shingle sets.
+
+    The shingle frame is first pruned to docs that appear in a candidate
+    pair (semi join — AQE turns it into a broadcast probe when the id set
+    is small, a shuffle semi join when it isn't), so the size aggregate and
+    both pair joins run over candidate shingles only, not the whole corpus:
+    at low dup rates that is orders of magnitude less shuffled data."""
+    ids = (
+        pairs.select(F.col("id_a").alias("id"))
+        .union(pairs.select(F.col("id_b").alias("id")))
+        .distinct()
+    )
+    sh = sh.join(ids, "id", "semi")
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
     common = (
         pairs.join(sh.withColumnRenamed("id", "id_a"), "id_a")
@@ -244,17 +266,20 @@ def dup_clusters(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
         .union(pairs.select(F.col("id_b").alias("s"), F.col("id_a").alias("d")))
         .localCheckpoint()  # cut the (possibly expensive) pair lineage once
     )
+    # round 1 fused into initialization: on the symmetric edge frame every
+    # vertex appears as d, so label(v) = min(v, min neighbor) is ONE
+    # map-side-combined groupBy — no identity-label frame, no first join
     labels = (
-        edges.select(F.col("s").alias("id"))
-        .distinct()
-        .withColumn("label", F.col("id"))
+        edges.groupBy(F.col("d").alias("id"))
+        .agg(F.min("s").alias("nmin"))
+        .select("id", F.least(F.col("id"), F.col("nmin")).alias("label"))
         .localCheckpoint()
     )
     # labels are monotone non-increasing, so Σlabel strictly decreases every
     # non-converged round — the convergence probe is ONE scalar aggregate
     # (map-side combined, no join/shuffle) instead of a self-join
     prev_sum = labels.agg(F.sum("label")).first()[0]
-    for _ in range(max_iter):
+    for _ in range(max_iter - 1):
         neigh = (
             edges.join(labels, edges["s"] == labels["id"])
             .groupBy(F.col("d").alias("id"))
