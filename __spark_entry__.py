@@ -276,6 +276,27 @@ def q_dedup_keep_best(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+# docs with doc_id >= cut play the "newly ingested batch" in the
+# incremental-dedup contract query (both splits nonempty at every sf)
+_INCR_CUT = 400
+
+
+def q_near_dup_incremental(spark: SparkSession, sf: str) -> DataFrame:
+    """Incremental dedup ingest: near-dup pairs touching the new batch
+    (doc_id >= 400), computed by probing the batch's LSH bands against the
+    stored corpus signature index instead of re-running the corpus self-join
+    (dedup.near_dup_jaccard_incremental — pair generation proportional to
+    the batch, not the corpus)."""
+    from pyanomalydetector2_spark.operators.dedup import (
+        near_dup_jaccard_incremental,
+    )
+
+    docs = load_table(spark, sf, "documents")
+    new = docs.filter(F.col("doc_id") >= _INCR_CUT)
+    j = near_dup_jaccard_incremental(docs, new, "doc_id", "text")
+    return j.select("id_a", "id_b", _r("jaccard").alias("jaccard"))
+
+
 def q_simhash(spark: SparkSession, sf: str) -> DataFrame:
     """16-bit SimHash signatures over tokens."""
     docs = load_table(spark, sf, "documents")
@@ -869,6 +890,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "drift_psi": q_drift_psi,
         "uniqueness_violations": q_uniqueness_violations,
         "ri_violations": q_ri_violations,
+        "near_dup_incremental": q_near_dup_incremental,
     }
 
 
@@ -1679,4 +1701,22 @@ def oracle_sql() -> dict[str, str]:
             + ", ".join(f"'{c}'" for c in _ALLOWED_LANGS)
             + ")"
         ),
+        "near_dup_incremental": f"""
+            WITH {_MINHASH_CTES},
+            sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+            inter AS (
+              SELECT c.id_a, c.id_b, count(*) AS n
+              FROM cand c
+              JOIN sh a ON a.doc_id = c.id_a
+              JOIN sh b ON b.doc_id = c.id_b AND b.shingle = a.shingle
+              GROUP BY 1, 2
+            )
+            SELECT i.id_a, i.id_b,
+                   round(i.n / (sa.sz + sb.sz - i.n), 6) AS jaccard
+            FROM inter i
+            JOIN sizes sa ON sa.doc_id = i.id_a
+            JOIN sizes sb ON sb.doc_id = i.id_b
+            WHERE i.n / (sa.sz + sb.sz - i.n) >= 0.1
+              AND (i.id_a >= {_INCR_CUT} OR i.id_b >= {_INCR_CUT})
+        """,
     }

@@ -128,6 +128,25 @@ def _banded(sigs: DataFrame, bands: int, rows_per_band: int) -> DataFrame:
     ).select("id", F.col("e.band").alias("band"), F.col("e.key").alias("key"))
 
 
+def _capped_buckets(
+    banded: DataFrame, max_bucket_size: int | None
+) -> DataFrame:
+    """(band, key, ids) bucket arrays with hot buckets removed BEFORE the
+    array materializes: a map-side-combined size count prunes oversized
+    keys first, so a degenerate bucket (10^9 boilerplate docs sharing a
+    band key) never builds a 10^9-element aggregation buffer. The anti
+    join shares the (band, key) partitioning with the collect groupBy,
+    and AQE broadcasts the hot-key list when it is tiny (the usual case)."""
+    if max_bucket_size is not None:
+        hot = (
+            banded.groupBy("band", "key")
+            .agg(F.count(F.lit(1)).alias("sz"))
+            .filter(F.col("sz") > max_bucket_size)
+        )
+        banded = banded.join(hot, ["band", "key"], "anti")
+    return banded.groupBy("band", "key").agg(F.collect_list("id").alias("ids"))
+
+
 def lsh_candidate_pairs(
     sigs: DataFrame,
     bands: int = 4,
@@ -148,15 +167,14 @@ def lsh_candidate_pairs(
     Hot-bucket guard: a degenerate band key (empty/boilerplate docs all
     hashing alike) makes pair generation O(b²) in that bucket. Buckets
     larger than ``max_bucket_size`` are DROPPED (their members are
-    boilerplate, not meaningful near-dups) — now a plain filter on the
-    bucket array size, which also bounds per-row array memory (10k ids ≈
-    80 KB). Audit what was dropped with ``lsh_bucket_stats``. Pass None to
+    boilerplate, not meaningful near-dups) — pruned by a size pre-count
+    BEFORE the bucket array materializes (``_capped_buckets``), so the cap
+    also bounds aggregation-buffer memory (≤ cap ids ≈ 80 KB per bucket).
+    Audit what was dropped with ``lsh_bucket_stats``. Pass None to
     disable."""
-    banded = _banded(sigs, bands, rows_per_band)
-    buckets = banded.groupBy("band", "key").agg(F.collect_list("id").alias("ids"))
-    buckets = buckets.filter(F.size("ids") >= 2)
-    if max_bucket_size is not None:
-        buckets = buckets.filter(F.size("ids") <= max_bucket_size)
+    buckets = _capped_buckets(
+        _banded(sigs, bands, rows_per_band), max_bucket_size
+    ).filter(F.size("ids") >= 2)
     ids = F.array_sort(F.col("ids"))
     pair_arr = F.flatten(
         F.transform(
@@ -324,6 +342,83 @@ def near_dup_jaccard(
     sigs = minhash_from_shingles(sh, k)
     pairs = lsh_candidate_pairs(sigs, bands, rows_per_band, max_bucket_size)
     j = jaccard_from_shingles(sh, pairs)
+    return j.filter(F.col("jaccard") >= threshold)
+
+
+def incremental_candidate_pairs(
+    index_sigs: DataFrame,
+    new_sigs: DataFrame,
+    bands: int = 4,
+    rows_per_band: int = 2,
+    max_bucket_size: int | None = 10_000,
+) -> DataFrame:
+    """LSH candidates touching at least one NEW doc: band the new batch and
+    probe it against the banded union of (index ∪ new). This is the
+    amortized ingest path — the corpus index is a stored signature table
+    (k longs per doc), re-banded but never re-shingled, and pair generation
+    is proportional to the batch, not the corpus. Emits distinct
+    (id_a < id_b) pairs covering new×index and new×new.
+
+    ``index_sigs`` must NOT contain the new batch. Hot-bucket cap semantics
+    match lsh_candidate_pairs (size pre-count before arrays materialize);
+    a bucket over the cap on the union side is dropped for the whole batch.
+    """
+    banded_new = _banded(new_sigs, bands, rows_per_band)
+    banded_all = _banded(index_sigs, bands, rows_per_band).union(banded_new)
+    all_b = _capped_buckets(banded_all, max_bucket_size)
+    new_b = _capped_buckets(banded_new, max_bucket_size).withColumnRenamed(
+        "ids", "ids_new"
+    )
+    buckets = new_b.join(all_b, ["band", "key"])  # inner: no new member → no pair
+    ids_all = F.array_sort(F.col("ids"))
+    pair_arr = F.flatten(
+        F.transform(
+            F.col("ids_new"),
+            lambda a: F.transform(
+                F.filter(ids_all, lambda b: b != a),
+                lambda b: F.struct(
+                    F.least(a, b).alias("id_a"), F.greatest(a, b).alias("id_b")
+                ),
+            ),
+        )
+    )
+    return (
+        buckets.select(F.explode(pair_arr).alias("p"))
+        .select("p.id_a", "p.id_b")
+        .distinct()
+    )
+
+
+def near_dup_jaccard_incremental(
+    docs: DataFrame,
+    new_docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    index_sigs: DataFrame | None = None,
+    k: int = 8,
+    n: int = 3,
+    bands: int = 4,
+    rows_per_band: int = 2,
+    threshold: float = 0.1,
+    max_bucket_size: int | None = 10_000,
+) -> DataFrame:
+    """Incremental near-dup: dedup a new batch against an existing corpus
+    WITHOUT recomputing the corpus pipeline. ``docs`` = full corpus
+    including the batch (consulted only for candidate docs' shingles — the
+    jaccard confirm's semi join prunes it to pair members); ``new_docs`` =
+    the batch; ``index_sigs`` = the stored signature table of the existing
+    corpus (minhash_signatures persisted across runs — e.g. a
+    SnapshotTable). When None it is computed from docs minus the batch
+    (testing convenience). Output: exactly the near_dup_jaccard pairs that
+    touch at least one new doc, same jaccard values."""
+    new_sigs = minhash_signatures(new_docs, id_col, text_col, k, n)
+    if index_sigs is None:
+        old = docs.join(new_docs.select(id_col), id_col, "left_anti")
+        index_sigs = minhash_signatures(old, id_col, text_col, k, n)
+    pairs = incremental_candidate_pairs(
+        index_sigs, new_sigs, bands, rows_per_band, max_bucket_size
+    )
+    j = jaccard_pairs(docs, id_col, text_col, pairs, n)
     return j.filter(F.col("jaccard") >= threshold)
 
 

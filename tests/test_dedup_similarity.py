@@ -140,6 +140,51 @@ def test_dup_clusters_components(spark):
     }
 
 
+def test_incremental_near_dup_matches_full_pipeline(spark):
+    """The incremental ingest path (stored signature index + batch probe)
+    must produce EXACTLY the full pipeline's pairs that touch a new doc —
+    same pairs, same jaccard values — covering new×old and new×new."""
+    from pyanomalydetector2_spark.operators.dedup import (
+        minhash_signatures,
+        near_dup_jaccard,
+        near_dup_jaccard_incremental,
+    )
+    from pyanomalydetector2_spark.sources.tables import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    new = docs.filter("doc_id >= 400")  # 100-doc batch, rest is the corpus
+    old = docs.filter("doc_id < 400")
+
+    full = {
+        (r["id_a"], r["id_b"]): round(r["jaccard"], 9)
+        for r in near_dup_jaccard(docs, "doc_id", "text").collect()
+    }
+    expected = {
+        p: j for p, j in full.items() if p[0] >= 400 or p[1] >= 400
+    }
+    assert expected, "fixture must contain pairs touching the new batch"
+    assert len(expected) < len(full), "fixture must contain old-only pairs"
+
+    # production shape: the index is a precomputed signature table
+    index_sigs = minhash_signatures(old, "doc_id", "text")
+    got = {
+        (r["id_a"], r["id_b"]): round(r["jaccard"], 9)
+        for r in near_dup_jaccard_incremental(
+            docs, new, "doc_id", "text", index_sigs=index_sigs
+        ).collect()
+    }
+    assert got == expected
+
+    # convenience path (index computed from docs minus batch) agrees
+    got2 = {
+        (r["id_a"], r["id_b"]): round(r["jaccard"], 9)
+        for r in near_dup_jaccard_incremental(
+            docs, new, "doc_id", "text"
+        ).collect()
+    }
+    assert got2 == expected
+
+
 def test_default_cap_leaves_normal_corpus_unchanged(spark):
     docs = _docs_with_hot_bucket(spark, n_normal=25, n_degenerate=5)
     sigs = minhash_signatures(docs, "doc_id", "text", k=8, n=3).cache()
