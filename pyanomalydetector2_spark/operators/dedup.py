@@ -415,10 +415,24 @@ def near_dup_jaccard_incremental(
     if index_sigs is None:
         old = docs.join(new_docs.select(id_col), id_col, "left_anti")
         index_sigs = minhash_signatures(old, id_col, text_col, k, n)
+    # the jaccard confirm consumes the pair frame three times (two id-set
+    # unions + the intersect join); without a checkpoint the whole index
+    # lineage would be inlined into each copy — cut it once, then persist
+    # the candidate-pruned shingle frame for its three consumers
     pairs = incremental_candidate_pairs(
         index_sigs, new_sigs, bands, rows_per_band, max_bucket_size
+    ).localCheckpoint()
+    ids = (
+        pairs.select(F.col("id_a").alias("id"))
+        .union(pairs.select(F.col("id_b").alias("id")))
+        .distinct()
     )
-    j = jaccard_pairs(docs, id_col, text_col, pairs, n)
+    sh = (
+        shingle_frame(docs, id_col, text_col, n)
+        .join(ids, "id", "semi")
+        .persist()
+    )
+    j = jaccard_from_shingles(sh, pairs)
     return j.filter(F.col("jaccard") >= threshold)
 
 
