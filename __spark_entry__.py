@@ -834,7 +834,10 @@ def q_ri_violations(spark: SparkSession, sf: str) -> DataFrame:
     from pyanomalydetector2_spark.operators.integrity import referential_violations
 
     docs = load_table(spark, sf, "documents")
-    dim = spark.createDataFrame([(c,) for c in _ALLOWED_LANGS], "lang string")
+    # JVM-side literal dim (no Python parallelize → no py-worker cold start)
+    dim = spark.range(1).select(
+        F.explode(F.array(*[F.lit(c) for c in _ALLOWED_LANGS])).alias("lang")
+    )
     v = referential_violations(docs, "lang", dim, keep_cols=["doc_id"])
     return v.select("doc_id", "lang")
 

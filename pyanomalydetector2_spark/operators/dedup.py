@@ -340,7 +340,12 @@ def near_dup_jaccard(
     returned frame's lineage once materialized."""
     sh = shingle_frame(df, id_col, text_col, n).persist()
     sigs = minhash_from_shingles(sh, k)
-    pairs = lsh_candidate_pairs(sigs, bands, rows_per_band, max_bucket_size)
+    # the jaccard confirm consumes the pair frame four times (its own join
+    # plus the candidate-id semi-join prune in three places) — checkpoint
+    # so the LSH sub-plan executes once, not per consumer
+    pairs = lsh_candidate_pairs(
+        sigs, bands, rows_per_band, max_bucket_size
+    ).localCheckpoint()
     j = jaccard_from_shingles(sh, pairs)
     return j.filter(F.col("jaccard") >= threshold)
 
