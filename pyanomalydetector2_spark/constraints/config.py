@@ -115,6 +115,7 @@ def suite_from_dict(spec: dict) -> Suite:
             psi_max=float(d.get("psi_max", 0.2)),
             ks_max=float(d.get("ks_max", 0.15)),
             equi_depth=bool(d.get("equi_depth", False)),
+            distributed=bool(d.get("distributed", False)),
         )
         for d in spec.get("drift_checks", [])
     )

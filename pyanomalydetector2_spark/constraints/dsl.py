@@ -76,6 +76,11 @@ class DriftCheck:
     # equi-depth mode: bin edges come from the baseline's quantile sketch
     # instead of uniform [lo, hi) — robust to heavy tails (lo/hi ignored)
     equi_depth: bool = False
+    # distributed mode: PSI/KS computed with NO histogram collect
+    # (drift.drift_scores_df / drift_scores_quantile_df) — for
+    # high-cardinality bucket columns where per-bucket histograms no longer
+    # fit the driver funnel; only the per-bucket SCORES come back
+    distributed: bool = False
 
 
 @dataclass(frozen=True)

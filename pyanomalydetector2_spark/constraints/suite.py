@@ -302,8 +302,9 @@ def run_suite(
     # ---- drift checks: ONE histogram pass per side for ALL uniform-bin ----
     # columns; equi-depth checks run per column (edges from the baseline's
     # quantile sketch)
-    uniform = [c for c in suite.drift_checks if not c.equi_depth]
-    equi = [c for c in suite.drift_checks if c.equi_depth]
+    uniform = [c for c in suite.drift_checks if not c.equi_depth and not c.distributed]
+    equi = [c for c in suite.drift_checks if c.equi_depth and not c.distributed]
+    dist = [c for c in suite.drift_checks if c.distributed]
     scored: list[tuple] = []  # (check, score dict)
     if uniform:
         specs = [HistSpec(c.column, c.lo, c.hi, c.nbins) for c in uniform]
@@ -315,6 +316,27 @@ def run_suite(
             base, baseline, c.column, c.nbins, group_col=bucket_col
         ):
             scored.append((c, s))
+    for c in dist:
+        # no-histogram-collect path (high-cardinality bucket columns): only
+        # the per-bucket scores ever reach the driver
+        from pyanomalydetector2_spark.operators.drift import (
+            drift_scores_df,
+            drift_scores_quantile_df,
+        )
+
+        frame = (
+            drift_scores_quantile_df(
+                base, baseline, c.column, c.nbins, group_col=bucket_col
+            )
+            if c.equi_depth
+            else drift_scores_df(
+                base, baseline, c.column, c.lo, c.hi, c.nbins, group_col=bucket_col
+            )
+        )
+        for r in frame.collect():
+            scored.append(
+                (c, {"group": r[bucket_col], "psi": r["psi"], "ks": r["ks"]})
+            )
     if suite.drift_checks:
         _tick("drift (all columns)")
     for c, s in scored:

@@ -278,9 +278,62 @@ def drift_scores_df(
 
     Returns (group?, psi, ks, cur_n, base_n); ε-smoothing matches psi_ks.
     """
+    binc = uniform_bin(column, lo, hi, nbins)
+    return _drift_df_from_bins(current, baseline, column, binc, nbins + 2, group_col)
+
+
+def drift_scores_quantile_df(
+    current: DataFrame,
+    baseline: DataFrame,
+    column: str,
+    nbins: int = 20,
+    group_col: str | None = None,
+    accuracy: int = 10000,
+) -> DataFrame:
+    """Distributed equi-depth drift: bin edges come from the baseline's
+    percentile_approx sketch (one tiny driver round-trip — the edges
+    parametrize the plan, exactly like drift_scores_quantile), then PSI/KS
+    run with NO histogram collect — the scale path when the group column is
+    high-cardinality. Same empty-baseline / degenerate-edge guards as the
+    funnel variant."""
+    edges = quantile_edges(baseline, column, nbins, accuracy)
+    if not edges:
+        raise ValueError(
+            f"drift baseline for column {column!r} is empty or all-null — "
+            "cannot derive equi-depth bin edges (fix the baseline snapshot "
+            "or use uniform bins with explicit lo/hi)"
+        )
+    if len(edges) < MIN_EQUI_DEPTH_EDGES:
+        import warnings
+
+        warnings.warn(
+            f"equi-depth drift on {column!r}: baseline quantiles deduped to "
+            f"{len(edges)} edge(s) (< {MIN_EQUI_DEPTH_EDGES}) — PSI/KS "
+            "resolution is degraded to a near-trivial pass; prefer a "
+            "StatCheck on this column",
+            stacklevel=2,
+        )
+    v = F.col(column).cast("double")
+    binc = F.lit(len(edges))
+    for i in range(len(edges) - 1, -1, -1):
+        binc = F.when(v <= F.lit(edges[i]), F.lit(i)).otherwise(binc)
+    return _drift_df_from_bins(
+        current, baseline, column, binc.cast("int"), len(edges) + 1, group_col
+    )
+
+
+def _drift_df_from_bins(
+    current: DataFrame,
+    baseline: DataFrame,
+    column: str,
+    binc,
+    n_total: int,
+    group_col: str | None,
+) -> DataFrame:
+    """Shared no-collect PSI/KS engine over a prebuilt bin expression whose
+    values cover exactly 0..n_total-1."""
     from pyspark.sql import Window
 
-    binc = uniform_bin(column, lo, hi, nbins)
     g = group_col or "_g"
     cur = current.filter(F.col(column).isNotNull()).select(
         (F.col(group_col) if group_col else F.lit(0)).alias(g), binc.alias("bin")
@@ -293,7 +346,7 @@ def drift_scores_df(
     base_tot = base_cnt.agg(F.sum("base_bin_n").alias("base_n"))
 
     spark = current.sparkSession
-    bins = spark.range(0, nbins + 2).select(F.col("id").cast("int").alias("bin"))
+    bins = spark.range(0, n_total).select(F.col("id").cast("int").alias("bin"))
     grid = cur_tot.crossJoin(F.broadcast(bins))
     j = (
         grid.join(cur_cnt, [g, "bin"], "left")

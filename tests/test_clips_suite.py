@@ -184,6 +184,40 @@ def test_equi_depth_drift_check_in_suite(spark, clips):
     assert res2.passed()
 
 
+def test_distributed_drift_check_matches_funnel_in_suite(spark, clips):
+    """DriftCheck(distributed=True) — the no-histogram-collect path — must
+    produce the same per-bucket verdicts and scores as the funnel path, for
+    both uniform and equi-depth bins."""
+    from pyanomalydetector2_spark.constraints.dsl import DriftCheck, Suite
+
+    cur, base, dims = clips
+
+    def scores(suite, run_id):
+        return {
+            (r["bucket"], r["metric"]): (r["observed"], r["passed"])
+            for r in run_suite(cur, base, dims, suite, run_id).verdicts.collect()
+        }
+
+    for kw, tag in [({}, "uni"), ({"equi_depth": True}, "eq")]:
+        funnel = Suite(
+            drift_checks=(
+                DriftCheck("d", "dur_ms", 0, 20000.0, nbins=15, **kw),
+            )
+        )
+        dist = Suite(
+            drift_checks=(
+                DriftCheck(
+                    "d", "dur_ms", 0, 20000.0, nbins=15, distributed=True, **kw
+                ),
+            )
+        )
+        f, d = scores(funnel, f"f_{tag}"), scores(dist, f"d_{tag}")
+        assert set(f) == set(d) and f
+        for k in f:
+            assert d[k][0] == pytest.approx(f[k][0], rel=1e-9, abs=1e-12), (tag, k)
+            assert d[k][1] == f[k][1], (tag, k)
+
+
 def test_wav_container_real_roundtrip():
     """The wav path is REAL (RIFF is a container, not a codec): encode →
     parse round-trips bit-exactly; structural corruption → decode failure."""

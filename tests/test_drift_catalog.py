@@ -83,6 +83,48 @@ def test_drift_distributed_matches_funnel(spark):
         assert dist[k]["cur_n"] == funnel[k]["cur_n"]
 
 
+def test_quantile_drift_distributed_matches_funnel(spark):
+    """drift_scores_quantile_df (no histogram collect) must agree with the
+    funnel drift_scores_quantile row for row — same sketch edges, same
+    PSI/KS — globally and per group."""
+    from pyanomalydetector2_spark.operators.drift import (
+        drift_scores_quantile,
+        drift_scores_quantile_df,
+    )
+
+    rng = np.random.default_rng(31)
+    base_v = rng.lognormal(3, 1, 5000)  # heavy tail: equi-depth territory
+    cur_v = rng.lognormal(3.3, 1.1, 3000)
+    base = spark.createDataFrame(pd.DataFrame({"x": base_v}))
+    cur = spark.createDataFrame(
+        pd.DataFrame({"g": np.repeat([0, 1], 1500), "x": cur_v})
+    )
+
+    funnel = {
+        r["group"]: r
+        for r in drift_scores_quantile(cur, base, "x", nbins=20, group_col="g")
+    }
+    dist = {
+        r["g"]: r
+        for r in drift_scores_quantile_df(
+            cur, base, "x", nbins=20, group_col="g"
+        ).collect()
+    }
+    assert set(funnel) == set(dist)
+    for k in funnel:
+        assert dist[k]["psi"] == pytest.approx(funnel[k]["psi"], rel=1e-9)
+        assert dist[k]["ks"] == pytest.approx(funnel[k]["ks"], rel=1e-9)
+        assert dist[k]["cur_n"] == funnel[k]["cur_n"]
+        assert dist[k]["base_n"] == funnel[k]["base_n"]
+
+    # guards preserved: empty baseline raises the explicit error
+    from pyanomalydetector2_spark.operators.drift import drift_scores_quantile_df as dqdf
+
+    empty = spark.createDataFrame(pd.DataFrame({"x": [None, None]}), "x double")
+    with pytest.raises(ValueError, match="empty or all-null"):
+        dqdf(cur, empty, "x", nbins=10)
+
+
 def test_drift_per_group(spark):
     rng = np.random.default_rng(13)
     base_v = rng.normal(0, 1, 4000)
