@@ -1,0 +1,108 @@
+"""Property-based tests (hypothesis) for the pure numpy/python kernels —
+the pieces whose algebra the Spark operators lean on. No SparkSession:
+each property runs hundreds of examples, so these stay driver-side fast.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from hypothesis.extra.numpy import arrays
+
+from pyanomalydetector2_spark.operators.drift import EPS, psi_ks
+from pyanomalydetector2_spark.operators.image_codec import (
+    decode_bmp,
+    decode_png,
+    encode_bmp,
+    encode_png,
+)
+
+counts = arrays(
+    np.int64, st.integers(2, 24), elements=st.integers(0, 10_000)
+)
+
+
+@given(counts, counts)
+@settings(max_examples=200, deadline=None)
+def test_psi_nonnegative_ks_bounded(cur, base):
+    """PSI = Σ(p−q)·ln(p/q) ≥ 0 for any histograms (both factors share
+    sign); KS is a CDF-difference sup → [0, 1]. These invariants are what
+    let drift_scores_df read PSI off a running max."""
+    if len(cur) != len(base):
+        m = min(len(cur), len(base))
+        cur, base = cur[:m], base[:m]
+    psi, ks = psi_ks(cur, base)
+    assert psi >= 0.0
+    assert 0.0 <= ks <= 1.0 + 1e-12
+
+
+@given(counts)
+@settings(max_examples=100, deadline=None)
+def test_psi_ks_identity_is_zero(c):
+    psi, ks = psi_ks(c, c)
+    assert abs(psi) < 1e-12 and abs(ks) < 1e-12
+
+
+@given(counts, counts, st.integers(1, 7))
+@settings(max_examples=100, deadline=None)
+def test_psi_running_sum_max_equals_total(cur, base, _seed):
+    """The distributed engine reports PSI as max(running sum of terms) —
+    valid iff every term is non-negative; check term-wise."""
+    if len(cur) != len(base):
+        m = min(len(cur), len(base))
+        cur, base = cur[:m], base[:m]
+    p = cur / max(cur.sum(), 1) + EPS
+    q = base / max(base.sum(), 1) + EPS
+    terms = (p - q) * np.log(p / q)
+    assert (terms >= -1e-18).all()
+    run = np.cumsum(terms)
+    assert np.isclose(run.max(), terms.sum(), rtol=1e-12, atol=1e-15)
+
+
+@given(
+    arrays(
+        np.uint8,
+        st.tuples(st.integers(1, 12), st.integers(1, 12), st.just(3)),
+        elements=st.integers(0, 255),
+    )
+)
+@settings(max_examples=60, deadline=None)
+def test_bmp_roundtrip_any_shape(img):
+    assert np.array_equal(decode_bmp(encode_bmp(img)), img)
+
+
+@given(
+    arrays(
+        np.uint8,
+        st.tuples(st.integers(1, 10), st.integers(1, 10), st.sampled_from([1, 2, 3, 4])),
+        elements=st.integers(0, 255),
+    ),
+    st.integers(0, 4),
+)
+@settings(max_examples=60, deadline=None)
+def test_png_roundtrip_any_shape_any_filter(img, filter_type):
+    assert np.array_equal(decode_png(encode_png(img, filter_type)), img)
+
+
+@given(st.lists(st.integers(0, (1 << 30) - 1), min_size=1, max_size=50))
+@settings(max_examples=100, deadline=None)
+def test_minhash_mix_is_order_invariant_min(h30s):
+    """Per-slot MinHash = min over affine mixes — permutation invariant and
+    monotone under set union (the algebraic facts the one-groupBy
+    implementation relies on)."""
+    from pyanomalydetector2_spark.operators.dedup import (
+        MH_PRIME,
+        minhash_mix_consts,
+    )
+
+    consts = minhash_mix_consts(4)
+    sig = [min((a * h + b) % MH_PRIME for h in h30s) for a, b in consts]
+    sig_rev = [min((a * h + b) % MH_PRIME for h in reversed(h30s)) for a, b in consts]
+    assert sig == sig_rev
+    # union can only lower each slot
+    sig_union = [
+        min((a * h + b) % MH_PRIME for h in h30s + [12345])
+        for a, b in consts
+    ]
+    assert all(u <= s for u, s in zip(sig_union, sig))
