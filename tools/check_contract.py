@@ -7,6 +7,7 @@ Usage: python tools/check_contract.py [sf_dir] [query ...]
 
 from __future__ import annotations
 
+import os
 import sys
 import time
 
@@ -31,7 +32,9 @@ def normalize(pdf: pd.DataFrame) -> pd.DataFrame:
 def main() -> int:
     sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
-    spark = get_spark(cpus=8, app_name="contract-check")
+    spark = get_spark(
+        cpus=int(os.environ.get("CONTRACT_CPUS", "8")), app_name="contract-check"
+    )
 
     print("== entry() smoke @ sf0.001")
     t0 = time.time()
