@@ -185,10 +185,17 @@ def sample_frames(
     id_col: str = "vid_id",
     bytes_col: str = "bytes",
 ) -> DataFrame:
-    """Video frame-sampling plumbing (STUB decode): emits every Nth 'frame'
-    as a fixed-size byte slice of the container payload — a real build
-    replaces the slicing with pyav frame iteration. Demonstrates the 1→N
-    row fan-out shape of frame sampling under mapInPandas."""
+    """Video frame sampling: REAL decode for uncompressed AVI containers
+    (operators/video_codec.py — RIFF walker + DIB frames, stdlib-only) —
+    every Nth frame's RGB pixel buffer; unrecognized containers fall back
+    to the fixed-size byte-slice fake (the declared pyav/ffmpeg seam).
+    Either way this demonstrates the 1→N row fan-out shape of frame
+    sampling under mapInPandas."""
+    from pyanomalydetector2_spark.operators.video_codec import (
+        UnsupportedVideoError,
+        parse_avi,
+    )
+
     frame_sz = 256
 
     def frames(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -197,6 +204,13 @@ def sample_frames(
             for vid, payload in zip(pdf[id_col], pdf[bytes_col]):
                 if payload is None:
                     continue
+                try:
+                    arr = parse_avi(payload)
+                    for idx in range(0, len(arr), every_n):
+                        rows.append((vid, idx, arr[idx].tobytes()))
+                    continue
+                except UnsupportedVideoError:
+                    pass
                 n_frames = max(len(payload) // frame_sz, 1)
                 for idx in range(0, n_frames, every_n):
                     rows.append(
