@@ -276,14 +276,15 @@ def q_dedup_keep_best(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-# docs with doc_id >= cut play the "newly ingested batch" in the
-# incremental-dedup contract query (both splits nonempty at every sf)
-_INCR_CUT = 400
+# docs with doc_id < cut play the "newly ingested batch" in the
+# incremental-dedup contract query — exactly 100 docs at every sf, so the
+# batch stays the small side while the indexed corpus grows with sf
+_INCR_CUT = 100
 
 
 def q_near_dup_incremental(spark: SparkSession, sf: str) -> DataFrame:
     """Incremental dedup ingest: near-dup pairs touching the new batch
-    (doc_id >= 400), computed by probing the batch's LSH bands against the
+    (doc_id < 100), computed by probing the batch's LSH bands against the
     stored corpus signature index instead of re-running the corpus self-join
     (dedup.near_dup_jaccard_incremental — pair generation proportional to
     the batch, not the corpus)."""
@@ -292,7 +293,7 @@ def q_near_dup_incremental(spark: SparkSession, sf: str) -> DataFrame:
     )
 
     docs = load_table(spark, sf, "documents")
-    new = docs.filter(F.col("doc_id") >= _INCR_CUT)
+    new = docs.filter(F.col("doc_id") < _INCR_CUT)
     j = near_dup_jaccard_incremental(docs, new, "doc_id", "text")
     return j.select("id_a", "id_b", _r("jaccard").alias("jaccard"))
 
@@ -1720,6 +1721,6 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes sa ON sa.doc_id = i.id_a
             JOIN sizes sb ON sb.doc_id = i.id_b
             WHERE i.n / (sa.sz + sb.sz - i.n) >= 0.1
-              AND (i.id_a >= {_INCR_CUT} OR i.id_b >= {_INCR_CUT})
+              AND (i.id_a < {_INCR_CUT} OR i.id_b < {_INCR_CUT})
         """,
     }
