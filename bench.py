@@ -31,7 +31,10 @@ def force(df) -> None:
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-    repeat = int(os.environ.get("BENCH_REPEAT", "2"))
+    # best-of-3 by default: this sandbox's hosting throughput varies >2×
+    # between episodes (BENCH/BASELINE.md §6) — the per-query floor is the
+    # stable quantity, and a third repeat costs ~30 s against that noise
+    repeat = int(os.environ.get("BENCH_REPEAT", "3"))
     warmup = int(os.environ.get("BENCH_WARMUP", "1"))
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else None

@@ -185,6 +185,41 @@ def test_incremental_near_dup_matches_full_pipeline(spark):
     assert got2 == expected
 
 
+def test_incremental_with_persisted_index(spark, tmp_path):
+    """The production incremental path end-to-end: the corpus signature
+    index lives in a snapshot table across runs — write it, read it back,
+    dedup a batch against it, and land the SAME pairs as the in-memory
+    index."""
+    from pyanomalydetector2_spark.operators.dedup import (
+        minhash_signatures,
+        near_dup_jaccard_incremental,
+    )
+    from pyanomalydetector2_spark.sources.catalog import SnapshotTable
+    from pyanomalydetector2_spark.sources.tables import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    new = docs.filter("doc_id < 100")
+    old = docs.filter("doc_id >= 100")
+
+    tbl = SnapshotTable(str(tmp_path / "mh_index"))
+    tbl.write_snapshot(minhash_signatures(old, "doc_id", "text"))
+    stored = tbl.read(spark)
+
+    got = {
+        (r["id_a"], r["id_b"]): round(r["jaccard"], 9)
+        for r in near_dup_jaccard_incremental(
+            docs, new, "doc_id", "text", index_sigs=stored
+        ).collect()
+    }
+    exp = {
+        (r["id_a"], r["id_b"]): round(r["jaccard"], 9)
+        for r in near_dup_jaccard_incremental(
+            docs, new, "doc_id", "text"
+        ).collect()
+    }
+    assert got == exp and got
+
+
 def test_default_cap_leaves_normal_corpus_unchanged(spark):
     docs = _docs_with_hot_bucket(spark, n_normal=25, n_degenerate=5)
     sigs = minhash_signatures(docs, "doc_id", "text", k=8, n=3).cache()
