@@ -11,12 +11,15 @@ boundary once per Arrow batch; numpy does the decode + SNR math. Column
 pruning keeps the ``bytes`` column out of every other operator's scan
 (SURVEY §4 — the profile/uniqueness/drift passes never touch it).
 
-Codec handling: ``pcm_s16le`` decodes for real (int16 LE → float). The other
-codecs in the dim table (flac/opus/mp3) carry a 4-byte magic tag over the
-same PCM — a clearly-marked deterministic fake (codec libraries are not in
-this container; see datagen.clips docstring). ``decode_pcm_batch`` is the
-single seam where a real codec library would plug in. Unknown codecs →
-decode failure (decode_ok=false), which the suite surfaces as a violation.
+Codec handling — REAL paths: ``pcm_s16le`` (int16 LE → float), ``wav``
+(RIFF parse, format tags 1/7/6), and ``pcm_mulaw`` / ``pcm_alaw`` (actual
+G.711 companding, operators/g711.py — byte-exact vs CPython's audioop).
+The remaining codecs in the dim table (flac/opus/mp3) carry a 4-byte magic
+tag over the same PCM — a clearly-marked deterministic fake (those need
+codec libraries this container lacks; see datagen.clips docstring).
+``decode_pcm_batch`` is the single seam where pyav/soundfile would plug
+in. Unknown codecs → decode failure (decode_ok=false), which the suite
+surfaces as a violation.
 """
 
 from __future__ import annotations
@@ -39,36 +42,68 @@ SNR_CAP_DB = 999.0
 
 
 def parse_wav(payload: bytes) -> np.ndarray | None:
-    """REAL RIFF/WAVE container parse (WAV is a container, not a codec — no
-    library needed): walk the chunk list, require fmt format 1 (PCM) with
-    16-bit samples, return the data chunk as float64. None on any
-    structural violation (truncated header, missing chunks, non-PCM)."""
+    """REAL RIFF/WAVE parse — container walk plus sample decode for the
+    formats that need no library: tag 1 (16-bit linear PCM), tag 7 (G.711
+    μ-law) and tag 6 (G.711 A-law) via ``operators/g711.py``. Returns the
+    decoded 16-bit waveform as float64; None on any structural violation
+    (truncated header, missing chunks, unsupported format)."""
     import struct
+
+    from pyanomalydetector2_spark.operators.g711 import (
+        WAVE_FORMAT_ALAW,
+        WAVE_FORMAT_MULAW,
+        WAVE_FORMAT_PCM,
+        decode_alaw,
+        decode_mulaw,
+    )
 
     if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
         return None
-    pos, fmt_ok, data = 12, False, None
+    pos, tag, data = 12, None, None
     while pos + 8 <= len(payload):
         cid, sz = payload[pos : pos + 4], struct.unpack_from("<I", payload, pos + 4)[0]
         body = payload[pos + 8 : pos + 8 + sz]
         if cid == b"fmt " and sz >= 16:
             audio_fmt, _ch, _sr, _br, _ba, bits = struct.unpack_from("<HHIIHH", body)
-            fmt_ok = audio_fmt == 1 and bits == 16
+            if audio_fmt == WAVE_FORMAT_PCM and bits == 16:
+                tag = audio_fmt
+            elif audio_fmt in (WAVE_FORMAT_MULAW, WAVE_FORMAT_ALAW) and bits == 8:
+                tag = audio_fmt
+            else:
+                tag = None
         elif cid == b"data":
             data = body
         pos += 8 + sz + (sz & 1)  # chunks are word-aligned
-    if not fmt_ok or data is None or len(data) % 2:
+    if tag is None or data is None:
         return None
-    return np.frombuffer(data, dtype="<i2").astype(np.float64)
+    if tag == WAVE_FORMAT_PCM:
+        if len(data) % 2:
+            return None
+        return np.frombuffer(data, dtype="<i2").astype(np.float64)
+    dec = decode_mulaw(data) if tag == WAVE_FORMAT_MULAW else decode_alaw(data)
+    return dec.astype(np.float64)
 
 
-def encode_wav(pcm16: np.ndarray, sr_hz: int = 16000) -> bytes:
+def encode_wav(pcm16: np.ndarray, sr_hz: int = 16000, fmt_tag: int = 1) -> bytes:
     """Minimal RIFF/WAVE writer (test fixture + the parse_wav round-trip
-    oracle): mono 16-bit PCM."""
+    oracle): mono 16-bit PCM (tag 1), or G.711 μ-law/A-law (tags 7/6 —
+    samples companded for real via operators/g711.py)."""
     import struct
 
-    data = pcm16.astype("<i2").tobytes()
-    fmt = struct.pack("<HHIIHH", 1, 1, sr_hz, sr_hz * 2, 2, 16)
+    from pyanomalydetector2_spark.operators.g711 import (
+        WAVE_FORMAT_ALAW,
+        WAVE_FORMAT_MULAW,
+        encode_alaw,
+        encode_mulaw,
+    )
+
+    if fmt_tag == WAVE_FORMAT_MULAW:
+        data, ba, bits = encode_mulaw(pcm16).tobytes(), 1, 8
+    elif fmt_tag == WAVE_FORMAT_ALAW:
+        data, ba, bits = encode_alaw(pcm16).tobytes(), 1, 8
+    else:
+        data, ba, bits = pcm16.astype("<i2").tobytes(), 2, 16
+    fmt = struct.pack("<HHIIHH", fmt_tag, 1, sr_hz, sr_hz * ba, ba, bits)
     body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
     body += b"data" + struct.pack("<I", len(data)) + data
     return b"RIFF" + struct.pack("<I", len(body)) + body
@@ -90,6 +125,15 @@ def decode_pcm_batch(payload: bytes | None, codec: str | None) -> np.ndarray | N
         if wave is None or len(wave) < PCM_SAMPLES:
             return None
         return wave[:PCM_SAMPLES]
+    if codec in ("pcm_mulaw", "pcm_alaw"):  # REAL G.711 decode
+        from pyanomalydetector2_spark.operators.g711 import decode_alaw, decode_mulaw
+
+        if len(payload) < PCM_SAMPLES:
+            return None
+        dec = (decode_mulaw if codec == "pcm_mulaw" else decode_alaw)(
+            payload[:PCM_SAMPLES]
+        )
+        return dec.astype(np.float64)
     if codec == "pcm_s16le":
         raw = payload
     else:
