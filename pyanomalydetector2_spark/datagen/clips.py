@@ -163,7 +163,9 @@ def _hits(ids: np.ndarray, stride: tuple[int, int]) -> np.ndarray:
     return (ids % p) == off
 
 
-def _gen_batch(ids: np.ndarray, planted: bool) -> pd.DataFrame:
+def _gen_batch(
+    ids: np.ndarray, planted: bool, codecs: tuple[str, ...] = CODECS
+) -> pd.DataFrame:
     n = len(ids)
     # duplicates are FULL row copies of the previous id (a true duplicate
     # record — it must trip only the uniqueness check, nothing else), so all
@@ -176,7 +178,7 @@ def _gen_batch(ids: np.ndarray, planted: bool) -> pd.DataFrame:
         eff = ids
     cids = clip_id_of(eff)
     sr = np.array(SAMPLE_RATES)[(u01(eff, 31) * len(SAMPLE_RATES)).astype(int)]
-    codec = np.array(CODECS)[(u01(eff, 32) * len(CODECS)).astype(int)]
+    codec = np.array(codecs)[(u01(eff, 32) * len(codecs)).astype(int)]
     dur = _dur_ms(eff, 1.25 if planted else 1.0)
 
     if planted:
@@ -203,6 +205,14 @@ def _gen_batch(ids: np.ndarray, planted: bool) -> pd.DataFrame:
             from pyanomalydetector2_spark.operators.audio import encode_wav
 
             payloads.append(encode_wav(quant[i], int(sr[i])))
+        elif codec[i] in ("pcm_mulaw", "pcm_alaw"):  # REAL G.711 codecs
+            from pyanomalydetector2_spark.operators.g711 import (
+                encode_alaw,
+                encode_mulaw,
+            )
+
+            enc = encode_mulaw if codec[i] == "pcm_mulaw" else encode_alaw
+            payloads.append(enc(quant[i]).tobytes())
         else:
             payloads.append(CODEC_MAGIC.get(codec[i], b"") + quant[i].tobytes())
 
@@ -243,6 +253,7 @@ def clips_table(
     planted: bool = True,
     n_buckets: int = 16,
     partitions: int | None = None,
+    codecs: tuple[str, ...] = CODECS,
 ) -> DataFrame:
     """Distributed deterministic clips DataFrame.
 
@@ -253,7 +264,7 @@ def clips_table(
     def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             ids = pdf["id"].to_numpy()
-            out = _gen_batch(ids, planted)
+            out = _gen_batch(ids, planted, codecs)
             out["bucket"] = (out["bucket"] % n_buckets).astype(np.int32)
             yield out
 
@@ -261,8 +272,8 @@ def clips_table(
     return rng.mapInPandas(gen, schema=CLIPS_SCHEMA)
 
 
-def dim_codec(spark: SparkSession) -> DataFrame:
-    return spark.createDataFrame([(c,) for c in CODECS], "codec string")
+def dim_codec(spark: SparkSession, codecs: tuple[str, ...] = CODECS) -> DataFrame:
+    return spark.createDataFrame([(c,) for c in codecs], "codec string")
 
 
 def dim_sr(spark: SparkSession) -> DataFrame:

@@ -218,6 +218,27 @@ def test_distributed_drift_check_matches_funnel_in_suite(spark, clips):
             assert d[k][1] == f[k][1], (tag, k)
 
 
+def test_all_real_codec_table_passes_suite(spark):
+    """A clips table whose every payload decodes through a REAL path —
+    raw PCM, RIFF/WAV, and actual G.711 companding — passes the full
+    default suite with zero violations: the engine's row invariants hold
+    end-to-end with no deterministic-fake codec involved."""
+    from pyanomalydetector2_spark.datagen.clips import clips_table, dim_codec, dim_sr
+
+    real = ("pcm_s16le", "wav", "pcm_mulaw", "pcm_alaw")
+    cur = clips_table(spark, 2000, planted=False, n_buckets=4, codecs=real)
+    base = clips_table(spark, 2000, planted=False, n_buckets=4, codecs=real)
+    dims = {"dim_codec": dim_codec(spark, real), "dim_sr": dim_sr(spark)}
+    res = run_suite(cur, base, dims, default_clips_suite(), "run_real_codecs")
+    assert res.passed(), [
+        r.asDict() for r in res.verdicts.filter("NOT passed").collect()
+    ]
+    assert res.violations.count() == 0
+    # and all four codecs actually occur in the table
+    seen = {r["codec"] for r in cur.select("codec").distinct().collect()}
+    assert seen == set(real)
+
+
 def test_wav_container_real_roundtrip():
     """The wav path is REAL (RIFF is a container, not a codec): encode →
     parse round-trips bit-exactly; structural corruption → decode failure."""
