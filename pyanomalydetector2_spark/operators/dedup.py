@@ -351,11 +351,12 @@ def near_dup_jaccard(
 
 
 def incremental_candidate_pairs(
-    index_sigs: DataFrame,
+    index_sigs: DataFrame | None,
     new_sigs: DataFrame,
     bands: int = 4,
     rows_per_band: int = 2,
     max_bucket_size: int | None = 10_000,
+    index_banded: DataFrame | None = None,
 ) -> DataFrame:
     """LSH candidates touching at least one NEW doc: band the new batch and
     probe it against the banded union of (index ∪ new). This is the
@@ -367,9 +368,20 @@ def incremental_candidate_pairs(
     ``index_sigs`` must NOT contain the new batch. Hot-bucket cap semantics
     match lsh_candidate_pairs (size pre-count before arrays materialize);
     a bucket over the cap on the union side is dropped for the whole batch.
-    """
+
+    Scale note: passing ``index_sigs`` re-bands (and therefore re-shuffles)
+    the whole index every batch — fine up to ~10^9 docs, wasteful at 10^12.
+    The production layout stores the BANDED index once, partitioned/bucketed
+    by (band, key) (e.g. ``_banded(sigs) → SnapshotTable.write_snapshot(
+    partition_by=["band"])``), and passes it as ``index_banded``: the
+    per-batch cost is then one scan of the banded table co-partitioned with
+    the groupBy, no index-side wide shuffle."""
     banded_new = _banded(new_sigs, bands, rows_per_band)
-    banded_all = _banded(index_sigs, bands, rows_per_band).union(banded_new)
+    if index_banded is None:
+        if index_sigs is None:
+            raise ValueError("pass index_sigs or index_banded")
+        index_banded = _banded(index_sigs, bands, rows_per_band)
+    banded_all = index_banded.select("id", "band", "key").union(banded_new)
     all_b = _capped_buckets(banded_all, max_bucket_size)
     new_b = _capped_buckets(banded_new, max_bucket_size).withColumnRenamed(
         "ids", "ids_new"

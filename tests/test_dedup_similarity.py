@@ -219,6 +219,25 @@ def test_incremental_with_persisted_index(spark, tmp_path):
     }
     assert got == exp and got
 
+    # 10^12-scale layout: the BANDED index stored once, partitioned by band
+    from pyanomalydetector2_spark.operators.dedup import (
+        _banded,
+        incremental_candidate_pairs,
+        jaccard_pairs,
+        minhash_signatures as mh,
+    )
+
+    btbl = SnapshotTable(str(tmp_path / "mh_banded"))
+    btbl.write_snapshot(_banded(stored, 4, 2), partition_by=["band"])
+    pairs = incremental_candidate_pairs(
+        None, mh(new, "doc_id", "text"), index_banded=btbl.read(spark)
+    ).localCheckpoint()
+    j = jaccard_pairs(docs, "doc_id", "text", pairs).filter("jaccard >= 0.1")
+    got_b = {
+        (r["id_a"], r["id_b"]): round(r["jaccard"], 9) for r in j.collect()
+    }
+    assert got_b == exp
+
 
 def test_default_cap_leaves_normal_corpus_unchanged(spark):
     docs = _docs_with_hot_bucket(spark, n_normal=25, n_degenerate=5)
