@@ -334,6 +334,14 @@ def run_suite(
             )
         )
         for r in frame.collect():
+            if r["psi"] is None or r["ks"] is None:
+                # empty/all-null baseline: base_n is NULL through the whole
+                # algebra — same explicit error as the equi-depth paths
+                raise ValueError(
+                    f"drift baseline for column {c.column!r} is empty or "
+                    "all-null — cannot score distributed drift (fix the "
+                    "baseline snapshot)"
+                )
             scored.append(
                 (c, {"group": r[bucket_col], "psi": r["psi"], "ks": r["ks"]})
             )

@@ -175,19 +175,21 @@ def lsh_candidate_pairs(
     buckets = _capped_buckets(
         _banded(sigs, bands, rows_per_band), max_bucket_size
     ).filter(F.size("ids") >= 2)
-    ids = F.array_sort(F.col("ids"))
-    pair_arr = F.flatten(
-        F.transform(
-            ids,
-            lambda a, i: F.transform(
-                F.slice(ids, i + 2, F.size(ids)),
-                lambda b: F.struct(a.alias("id_a"), b.alias("id_b")),
-            ),
-        )
-    )
+    # two-stage explode: first a row per bucket MEMBER (carrying the sorted
+    # id array — O(cap) ≈ 80 KB), then its strictly-greater partners. The
+    # O(b²) pair stream is generated row-by-row inside codegen — no single
+    # value ever holds a bucket's full pair set (a near-cap bucket would
+    # otherwise build a ~5·10^7-struct array in one row)
+    member = buckets.select(
+        F.array_sort(F.col("ids")).alias("ids")
+    ).select("ids", F.posexplode("ids").alias("i", "id_a"))
     return (
-        buckets.select(F.explode(pair_arr).alias("p"))
-        .select("p.id_a", "p.id_b")
+        member.select(
+            "id_a",
+            F.explode(
+                F.slice(F.col("ids"), F.col("i") + 2, F.size("ids"))
+            ).alias("id_b"),
+        )
         .distinct()
     )
 
@@ -212,21 +214,26 @@ def lsh_bucket_stats(
     return sizes.withColumn("dropped", dropped)
 
 
-def jaccard_from_shingles(sh: DataFrame, pairs: DataFrame) -> DataFrame:
+def jaccard_from_shingles(
+    sh: DataFrame, pairs: DataFrame, prune: bool = True
+) -> DataFrame:
     """Exact n-gram Jaccard for candidate pairs from a prebuilt (id,
     shingle) frame: |A ∩ B| / |A ∪ B| over distinct shingle sets.
 
-    The shingle frame is first pruned to docs that appear in a candidate
-    pair (semi join — AQE turns it into a broadcast probe when the id set
-    is small, a shuffle semi join when it isn't), so the size aggregate and
-    both pair joins run over candidate shingles only, not the whole corpus:
-    at low dup rates that is orders of magnitude less shuffled data."""
-    ids = (
-        pairs.select(F.col("id_a").alias("id"))
-        .union(pairs.select(F.col("id_b").alias("id")))
-        .distinct()
-    )
-    sh = sh.join(ids, "id", "semi")
+    With ``prune`` (default) the shingle frame is first pruned to docs that
+    appear in a candidate pair (semi join — AQE turns it into a broadcast
+    probe when the id set is small, a shuffle semi join when it isn't), so
+    the size aggregate and both pair joins run over candidate shingles
+    only, not the whole corpus: at low dup rates that is orders of
+    magnitude less shuffled data. Callers that hand in an
+    already-candidate-only frame pass ``prune=False``."""
+    if prune:
+        ids = (
+            pairs.select(F.col("id_a").alias("id"))
+            .union(pairs.select(F.col("id_b").alias("id")))
+            .distinct()
+        )
+        sh = sh.join(ids, "id", "semi")
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
     common = (
         pairs.join(sh.withColumnRenamed("id", "id_a"), "id_a")
@@ -376,32 +383,41 @@ def incremental_candidate_pairs(
     partition_by=["band"])``), and passes it as ``index_banded``: the
     per-batch cost is then one scan of the banded table co-partitioned with
     the groupBy, no index-side wide shuffle."""
-    banded_new = _banded(new_sigs, bands, rows_per_band)
+    banded_new = _banded(new_sigs, bands, rows_per_band).localCheckpoint()
     if index_banded is None:
         if index_sigs is None:
             raise ValueError("pass index_sigs or index_banded")
         index_banded = _banded(index_sigs, bands, rows_per_band)
     banded_all = index_banded.select("id", "band", "key").union(banded_new)
-    all_b = _capped_buckets(banded_all, max_bucket_size)
+    # probe-side prune FIRST: only buckets containing a new member can emit
+    # pairs, and the batch's key set is small by definition → broadcast semi
+    # join keeps the index side at one SCAN (no index-wide aggregation; the
+    # pre-prune version aggregated bucket arrays for EVERY corpus bucket
+    # before the join could discard them)
+    keys_new = banded_new.select("band", "key").distinct()
+    probed = banded_all.join(F.broadcast(keys_new), ["band", "key"], "semi")
+    all_b = _capped_buckets(probed, max_bucket_size)
     new_b = _capped_buckets(banded_new, max_bucket_size).withColumnRenamed(
         "ids", "ids_new"
     )
     buckets = new_b.join(all_b, ["band", "key"])  # inner: no new member → no pair
-    ids_all = F.array_sort(F.col("ids"))
-    pair_arr = F.flatten(
-        F.transform(
-            F.col("ids_new"),
-            lambda a: F.transform(
-                F.filter(ids_all, lambda b: b != a),
-                lambda b: F.struct(
-                    F.least(a, b).alias("id_a"), F.greatest(a, b).alias("id_b")
-                ),
-            ),
-        )
+    # stream pair generation (same shape as lsh_candidate_pairs): a row per
+    # NEW member carrying the bucket's full id array (O(cap)), partners
+    # exploded row-by-row — no single value holds a bucket's pair set
+    member = buckets.select(
+        F.array_sort(F.col("ids")).alias("ids"),
+        F.explode("ids_new").alias("a"),
     )
     return (
-        buckets.select(F.explode(pair_arr).alias("p"))
-        .select("p.id_a", "p.id_b")
+        member.select(
+            "a",
+            F.explode(
+                F.filter(F.col("ids"), lambda b: b != F.col("a"))
+            ).alias("b"),
+        )
+        .select(
+            F.least("a", "b").alias("id_a"), F.greatest("a", "b").alias("id_b")
+        )
         .distinct()
     )
 
@@ -449,7 +465,7 @@ def near_dup_jaccard_incremental(
         .join(ids, "id", "semi")
         .persist()
     )
-    j = jaccard_from_shingles(sh, pairs)
+    j = jaccard_from_shingles(sh, pairs, prune=False)  # already candidate-only
     return j.filter(F.col("jaccard") >= threshold)
 
 

@@ -65,8 +65,8 @@ def decode_bmp(payload: bytes) -> np.ndarray:
     h = abs(h)
     stride = (w * 3 + 3) & ~3
     need = offset + stride * h
-    if w <= 0 or len(payload) < need:
-        raise UnsupportedImageError("truncated BMP pixel array")
+    if w <= 0 or h == 0 or len(payload) < need:
+        raise UnsupportedImageError("degenerate size or truncated BMP pixel array")
     rows = np.frombuffer(payload, dtype=np.uint8, count=stride * h, offset=offset)
     img = rows.reshape(h, stride)[:, : w * 3].reshape(h, w, 3)[:, :, ::-1]  # BGR→RGB
     return (img[::-1] if bottom_up else img).copy()
@@ -143,6 +143,8 @@ def png_header(payload: bytes) -> tuple[int, int, int]:
         raise UnsupportedImageError(
             f"unsupported PNG profile (depth={depth}, color={ctype}, interlace={interlace})"
         )
+    if w == 0 or h == 0:
+        raise UnsupportedImageError("degenerate PNG dimensions")
     return w, h, c
 
 
@@ -162,7 +164,10 @@ def decode_png(payload: bytes) -> np.ndarray:
         elif ctype == b"IEND":
             break
         pos += 12 + length
-    raw = np.frombuffer(zlib.decompress(bytes(idat)), dtype=np.uint8)
+    try:
+        raw = np.frombuffer(zlib.decompress(bytes(idat)), dtype=np.uint8)
+    except zlib.error as e:  # corrupt or absent IDAT must stay a clean
+        raise UnsupportedImageError(f"PNG IDAT inflate failed: {e}") from e
     rowlen = w * c + 1
     if len(raw) != rowlen * h:
         raise UnsupportedImageError("PNG scanline payload size mismatch")
@@ -204,13 +209,22 @@ def decode_png(payload: bytes) -> np.ndarray:
 
 # -------------------------------------------------------------- dispatch --
 def image_header(payload: bytes) -> tuple[int, int, int]:
-    """(width, height, channels) from a real container header — BMP or PNG."""
+    """(width, height, channels) from a real container header — BMP or PNG.
+    Validates the same profile decode would accept, so metadata and pixel
+    decode never disagree about the same payload."""
     if payload is None or len(payload) < 2:
         raise UnsupportedImageError("empty payload")
     if payload[:2] == b"BM":
-        if len(payload) < 30:
+        if len(payload) < 34:
             raise UnsupportedImageError("truncated BMP header")
-        _, w, h = struct.unpack_from("<Iii", payload, 14)
+        dib_size, w, h = struct.unpack_from("<Iii", payload, 14)
+        bpp = struct.unpack_from("<H", payload, 28)[0]
+        comp = struct.unpack_from("<I", payload, 30)[0]
+        if dib_size < 40 or bpp != 24 or comp != 0 or w <= 0 or h == 0:
+            raise UnsupportedImageError(
+                f"unsupported BMP profile (dib={dib_size}, bpp={bpp}, "
+                f"comp={comp}, w={w}, h={h})"
+            )
         return w, abs(h), 3
     return png_header(payload)
 

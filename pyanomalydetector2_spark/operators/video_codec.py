@@ -89,10 +89,16 @@ def encode_avi(frames: np.ndarray, fps: int = 25) -> bytes:
 
 
 def _walk(data: bytes, pos: int, end: int):
-    """Yield (fourcc, payload_start, payload_len) across a RIFF chunk run."""
+    """Yield (fourcc, payload_start, payload_len) across a RIFF chunk run.
+    ``end`` is clamped to the real buffer so a declared LIST size larger
+    than the (possibly truncated) payload can never drive unpack past it;
+    a chunk whose declared size overruns the buffer is not yielded."""
+    end = min(end, len(data))
     while pos + 8 <= end:
         fourcc = data[pos : pos + 4]
         (size,) = struct.unpack_from("<I", data, pos + 4)
+        if pos + 8 + size > end:
+            raise UnsupportedVideoError("chunk overruns buffer (truncated RIFF)")
         yield fourcc, pos + 8, size
         pos += 8 + size + (size % 2)
 

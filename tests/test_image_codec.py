@@ -48,6 +48,38 @@ def test_unsupported_containers_raise_cleanly():
         decode_bmp(b"BM" + bytes(20))  # truncated header
 
 
+def test_corrupt_payloads_raise_codec_error_not_zlib(tmp_path):
+    """Every malformed-but-magic-valid payload must surface as
+    UnsupportedImageError (the type the Spark fallbacks catch), never a
+    raw zlib/struct error that would kill the task."""
+    from pyanomalydetector2_spark.operators.image_codec import PNG_SIG, _png_chunk
+    import struct as _s
+
+    ihdr = _png_chunk(b"IHDR", _s.pack(">IIBBBBB", 4, 4, 8, 2, 0, 0, 0))
+    # IDAT present but not a zlib stream
+    with pytest.raises(UnsupportedImageError):
+        decode_png(
+            PNG_SIG + ihdr + _png_chunk(b"IDAT", b"not-a-zlib-stream")
+            + _png_chunk(b"IEND", b"")
+        )
+    # PNG signature + IHDR but NO IDAT at all
+    with pytest.raises(UnsupportedImageError):
+        decode_png(PNG_SIG + ihdr + _png_chunk(b"IEND", b""))
+    # zero-dimension PNG header
+    zero = _png_chunk(b"IHDR", _s.pack(">IIBBBBB", 0, 4, 8, 2, 0, 0, 0))
+    with pytest.raises(UnsupportedImageError):
+        decode_png(PNG_SIG + zero + _png_chunk(b"IEND", b""))
+    # non-24bpp BMP: header parse and pixel decode must AGREE (both raise)
+    from pyanomalydetector2_spark.operators.image_codec import image_header
+
+    bmp32 = bytearray(encode_bmp(np.zeros((3, 3, 3), dtype=np.uint8)))
+    bmp32[28] = 32  # claim 32 bpp
+    with pytest.raises(UnsupportedImageError):
+        image_header(bytes(bmp32))
+    with pytest.raises(UnsupportedImageError):
+        decode_bmp(bytes(bmp32))
+
+
 def test_spark_image_ops_take_the_real_path(spark):
     """image_metadata / resize_images decode real containers end-to-end;
     opaque payloads still flow through the declared fake seam."""

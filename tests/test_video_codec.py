@@ -35,6 +35,20 @@ def test_unsupported_and_truncated_raise():
         parse_avi(encode_avi(fr)[:-20])
 
 
+def test_truncation_at_every_byte_raises_cleanly():
+    """Chopping the container at ANY byte must yield UnsupportedVideoError
+    (or a successful shorter parse) — never struct.error (which would kill
+    a Spark task instead of taking the declared fallback)."""
+    fr = np.arange(2 * 4 * 4 * 3, dtype=np.uint8).reshape(2, 4, 4, 3)
+    avi = encode_avi(fr)
+    for cut in range(len(avi)):
+        try:
+            avi_header(avi[:cut])
+            parse_avi(avi[:cut])
+        except UnsupportedVideoError:
+            pass
+
+
 def test_spark_frame_sampling_takes_the_real_path(spark):
     """sample_frames decodes real AVI frames (every Nth RGB buffer); opaque
     payloads still flow through the declared byte-slice fake."""
