@@ -48,6 +48,10 @@ class DetectParams:
     ignore_diff_rate: float = 0.2
     anomaly_valid_count_rate: float = 0.8
     trends_min_count: int = 3
+    # recent sub-window length for the detect3 phase-2 rescue, in history
+    # intervals (reference default.yml history_recent_retention;
+    # detector.py:531 startep2 = endep − interval·retention)
+    history_recent_retention: int = 6
 
 
 def _side_col(trends: DataFrame, preferred: str) -> str:
@@ -183,7 +187,9 @@ def _detect3_side(
         F.count("value").alias("obs_cnt"),
         F.avg("value").alias("mean_h"),
     )
-    denom = F.lit(expected_count) if expected_count else F.col("obs_cnt")
+    # `is not None`: an explicit expected_count of 0 (empty recent grid)
+    # must make the support test unpassable, not fall back to obs_cnt
+    denom = F.lit(expected_count) if expected_count is not None else F.col("obs_cnt")
     support = agg.filter(
         F.try_divide(F.col("anom_cnt"), denom)
         > params.anomaly_valid_count_rate

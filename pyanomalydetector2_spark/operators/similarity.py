@@ -73,26 +73,10 @@ def brute_force_topk(
     )
 
 
-def hyperplane_signature(vec: Column, dims: int, planes: int = 8) -> Column:
-    """Deterministic random-hyperplane signature: plane p, dim d has sign
-    +1 iff h60('p:d') is even. signature bit p = [Σ_d sign_pd · vec[d] > 0].
-    """
-    bits = []
-    for p in range(planes):
-        terms = []
-        for d in range(dims):
-            sign = F.when(
-                h60(F.lit(f"{p}:{d}")) % 2 == 0, F.lit(1.0)
-            ).otherwise(F.lit(-1.0))
-            terms.append(sign * F.element_at(vec, d + 1))
-        proj = sum(terms[1:], terms[0])
-        bits.append(F.when(proj > 0, F.lit(1 << p)).otherwise(F.lit(0)))
-    return sum(bits[1:], bits[0]).cast("int")
-
-
 def _sign_matrix(dims: int, planes: int):
-    """The deterministic ±1 hyperplane matrix (same bits as
-    hyperplane_signature: h60('p:d') even → +1)."""
+    """The deterministic ±1 hyperplane matrix: plane p, dim d has sign +1
+    iff h60('p:d') (first 15 hex chars of md5) is even — the convention the
+    DuckDB oracle replicates literally (__spark_entry__._lsh_signature_sql)."""
     import hashlib
 
     m = np.empty((planes, dims))
@@ -192,6 +176,13 @@ def ivf_topk(
         .limit(n_cells)
         .collect()
     )
+    if not cents:  # empty corpus → empty result, like the sibling paths
+        return queries.select(
+            F.col(id_col).alias("query_id"),
+            F.col(id_col).alias("match_id"),
+            F.lit(0.0).alias("cosine"),
+            F.lit(0).alias("rank"),
+        ).limit(0)
     cents.sort(key=lambda r: r["cid"])  # row index == id-sorted position
     cent_ids = np.array([r["cid"] for r in cents], dtype=np.int64)
     cent_mat = np.array([r["cv"] for r in cents], dtype=np.float64)
@@ -260,7 +251,9 @@ def cosine_near_dup_pairs_bf(
     rows = df.select(id_col, vec_col).collect()
     ids = np.array([r[0] for r in rows], dtype=np.int64)
     mat = np.array([r[1] for r in rows], dtype=np.float64)
-    mat_n = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    norms = np.linalg.norm(mat, axis=1, keepdims=True)
+    norms[norms == 0.0] = 1.0  # zero vectors → cosine 0 (match blocked path)
+    mat_n = mat / norms
     b_ids = spark.sparkContext.broadcast(ids)
     b_mat = spark.sparkContext.broadcast(mat_n)
 
@@ -268,7 +261,9 @@ def cosine_near_dup_pairs_bf(
         all_ids, all_m = b_ids.value, b_mat.value
         for pdf in it:
             q = np.array(list(pdf[vec_col]), dtype=np.float64)
-            q = q / np.linalg.norm(q, axis=1, keepdims=True)
+            qn = np.linalg.norm(q, axis=1, keepdims=True)
+            qn[qn == 0.0] = 1.0
+            q = q / qn
             qid = pdf[id_col].to_numpy()
             sims = np.round(q @ all_m.T, 6)
             qi, ci = np.where(sims >= threshold)

@@ -130,7 +130,11 @@ def column_profile(
         num = v.try_cast("double")  # string columns → null numeric stats (ANSI-safe)
         aggs += [
             total.alias(f"{c}__row_cnt"),
-            F.count(v).alias(f"{c}__cnt"),
+            # cnt counts values that enter the moment sums (try_cast
+            # survivors) so mean = sum/cnt uses a matched denominator even
+            # on partially-castable string columns; raw non-null count =
+            # row_cnt − null_cnt as before
+            F.count(num).alias(f"{c}__cnt"),
             (total - F.count(v)).alias(f"{c}__null_cnt"),
             F.min(num).alias(f"{c}__min"),
             F.max(num).alias(f"{c}__max"),

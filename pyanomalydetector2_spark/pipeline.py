@@ -149,6 +149,27 @@ class SeriesPipeline:
         t3 = trends.join(s2, "itemid", "left_semi")
         s3 = detect3(h3, t3, self.params, expected_count=expected_count)
 
+        if history_interval is not None and endep is not None:
+            # phase-2 rescue (reference detector.py:524-547): items failing
+            # phase 1's full-window support are re-tested on the recent
+            # sub-window (clock ≥ endep − interval·retention) with λ3_2 and
+            # the recent grid's expected count — a burst confined to the
+            # recent window is rescued instead of dropped
+            from pyanomalydetector2_spark.operators.detect import detect3_phase2
+
+            recent_startep = (
+                endep - history_interval * self.params.history_recent_retention
+            )
+            expected2 = max((e0 - max(recent_startep, s0)) // u, 1)
+            s3 = detect3_phase2(
+                h3,
+                t3,
+                s3,
+                self.params,
+                recent_startep=recent_startep,
+                expected_count=expected2,
+            )
+
         created = endep or int(time.time())
         out = (
             s3.join(tstats.select("itemid", "mean", "std"), "itemid")

@@ -13,7 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from pyanomalydetector2_spark.functions import clean_float
+from pyanomalydetector2_spark.operators.stats import finalize_moments
 
 
 def streaming_rollup(
@@ -39,20 +39,18 @@ def streaming_rollup(
             F.max("value").alias("value_max"),
         )
     )
-    mean = F.try_divide(F.col("sum"), F.col("cnt"))
-    var = F.try_divide(
-        F.col("sqr_sum") - F.try_divide(F.col("sum") * F.col("sum"), F.col("cnt")),
-        F.col("cnt") - 1,
-    )
-    return agg.select(
+    # ONE closed-form implementation: finalize_moments is the same function
+    # the batch path uses, so "batch and streaming rollups agree exactly"
+    # holds by construction instead of by keeping two copies in sync
+    return finalize_moments(agg).select(
         "itemid",
         F.col("w.start").alias("window_start"),
         "cnt",
         "value_min",
         "value_avg",
         "value_max",
-        clean_float(mean).alias("mean"),
-        clean_float(F.sqrt(var)).alias("std"),
+        "mean",
+        "std",
     )
 
 

@@ -30,7 +30,12 @@ OUTPUT_SCHEMA = (
 def _update_moments(key, pdfs, state: GroupState):
     s, sq, n = state.get if state.exists else (0.0, 0.0, 0)
     for pdf in pdfs:
-        v = pdf["value"].to_numpy(dtype="float64")
+        # drop nulls BEFORE accumulating — pandas null → NaN under a raw
+        # float64 view, and one NaN would poison the running sums forever;
+        # the batch algebra (F.sum/F.count) skips nulls, and the streaming
+        # state must agree with a batch recompute exactly
+        col = pdf["value"]
+        v = col[col.notna()].to_numpy(dtype="float64")
         s += float(v.sum())
         sq += float((v * v).sum())
         n += int(len(v))
@@ -73,12 +78,17 @@ def run_increment(stats: DataFrame, checkpoint_dir: str, output_dir: str) -> Non
     persisted state exactly like the reference's watermark-driven
     incremental reruns (models/updates.py:10-28).
 
-    Sink = foreachBatch appending to parquet (the memory sink cannot
-    recover from a checkpoint); in production the batch function is a
-    MERGE into the stats snapshot instead of an append."""
+    Sink = foreachBatch writing each micro-batch to a batch_id-derived
+    subdirectory with overwrite (the memory sink cannot recover from a
+    checkpoint). Keying the path on batch_id makes a replay after a
+    crash-between-commit-and-checkpoint IDEMPOTENT — the retried batch
+    overwrites its own output instead of appending duplicates; in
+    production the batch function is a MERGE into the stats snapshot."""
 
-    def write_batch(batch_df: DataFrame, _batch_id: int) -> None:
-        batch_df.write.mode("append").parquet(output_dir)
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.write.mode("overwrite").parquet(
+            f"{output_dir}/batch_id={batch_id}"
+        )
 
     q = (
         stats.writeStream.foreachBatch(write_batch)

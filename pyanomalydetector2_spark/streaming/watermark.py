@@ -19,11 +19,20 @@ class WatermarkLedger:
         os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
 
     def get(self) -> dict | None:
-        """Latest watermark {startep, endep, enddt} or None."""
+        """Latest watermark {startep, endep, enddt} or None. A torn trailing
+        line (crash mid-write under a pre-fix ledger) is skipped, not
+        fatal — the last COMMITTED record wins."""
         if not os.path.exists(self.path):
             return None
+        recs = []
         with open(self.path) as f:
-            recs = [json.loads(line) for line in f if line.strip()]
+            for line in f:
+                if not line.strip():
+                    continue
+                try:
+                    recs.append(json.loads(line))
+                except json.JSONDecodeError:
+                    continue  # torn partial write — ignore
         return recs[-1] if recs else None
 
     def get_endep(self) -> int | None:
@@ -35,13 +44,22 @@ class WatermarkLedger:
         return w["startep"] if w else None
 
     def upsert(self, startep: int, endep: int) -> None:
+        """Atomic commit (write-temp + rename, like CheckpointLedger): a
+        crash mid-write can never leave a torn current record — the
+        previous file survives intact until os.replace."""
         rec = {
             "startep": int(startep),
             "endep": int(endep),
             "enddt": time.strftime("%Y-%m-%d %H:%M:%S", time.gmtime(endep)),
         }
-        with open(self.path, "a") as f:
-            f.write(json.dumps(rec) + "\n")
+        history = ""
+        if os.path.exists(self.path):
+            with open(self.path) as f:
+                history = f.read()
+        tmp = self.path + ".tmp"
+        with open(tmp, "w") as f:
+            f.write(history + json.dumps(rec) + "\n")
+        os.replace(tmp, self.path)
 
     def truncate(self) -> None:
         if os.path.exists(self.path):

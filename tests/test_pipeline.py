@@ -103,6 +103,14 @@ def test_detect_funnel_with_enrichment(spark, tmp_path):
             # and the base-clock-regularized one (15/18 — the trailing
             # sample buckets past the exclusive grid end, see W3 docs)
             shift = 25.0 if item in (2, 5) and k >= 2 else 0.0
+            # item 9: a burst confined to the RECENT sub-window (6 of 18
+            # samples) — passes detect1/detect2 (mean dev 60·6/18 = 20 >
+            # λ1·σ_t = 9; jump ≈ 60 ≫ λ2·dstd) but fails detect3 phase 1's
+            # full-window support (6/18 < 0.8); the phase-2 rescue re-tests
+            # the recent grid (forward-fill shifts samples one grid point
+            # later, so k ≥ 12 puts the burst on all 5 recent grid points)
+            if item == 9 and k >= 12:
+                shift = 60.0
             hist_rows.append(
                 (item, endep + k * 600, float(base + shift + rng.normal(0, 1.0)))
             )
@@ -124,13 +132,15 @@ def test_detect_funnel_with_enrichment(spark, tmp_path):
     assert out2.count() == 2
 
     # regularized funnel (reference update_history, detector.py:113-146):
-    # survivors' history snaps to the base-clock grid and detect3 divides
-    # by the expected grid size — same verdicts on this gap-free fixture
+    # survivors' history snaps to the base-clock grid, detect3 divides by
+    # the expected grid size, AND the phase-2 rescue runs (reference
+    # detector.py:524-547) — item 9's recent-window burst, dropped by the
+    # full-window support test above, is rescued here
     out3 = p.detect(
         history, trends, items_dim,
         endep=endep + 18 * 600, history_interval=600,
     )
-    assert {r["itemid"] for r in out3.collect()} == {2, 5}
+    assert {r["itemid"] for r in out3.collect()} == {2, 5, 9}
 
     # retention expiry removes old rows
     p.expire_anomalies(keep_secs=1, now_ep=endep + 18 * 600 + 10)

@@ -76,5 +76,8 @@ def test_stateful_moments_resume_and_match_batch(spark, tmp_path):
     stats3 = streaming_moment_state(spark, src)
     run_increment(stats3, ckpt, out3)
     assert not os.path.exists(out3) or not [
-        f for f in os.listdir(out3) if f.endswith(".parquet")
+        f
+        for _root, _dirs, files in os.walk(out3)
+        for f in files
+        if f.endswith(".parquet")
     ]
