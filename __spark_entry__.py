@@ -1237,7 +1237,8 @@ def oracle_sql() -> dict[str, str]:
         "text_quality": f"""
             WITH m AS (
               SELECT doc_id, text,
-                     string_split(lower(trim(text)), ' ') AS t
+                     list_filter(string_split(lower(trim(text)), ' '),
+                                 x -> x <> '') AS t
               FROM documents
             ), r AS (
               SELECT doc_id,
@@ -1266,7 +1267,9 @@ def oracle_sql() -> dict[str, str]:
         """,
         "lang_id": f"""
             WITH m AS (
-              SELECT doc_id, string_split(lower(trim(text)), ' ') AS t
+              SELECT doc_id,
+                     list_filter(string_split(lower(trim(text)), ' '),
+                                 x -> x <> '') AS t
               FROM documents
             ), s AS (
               SELECT doc_id,
@@ -1300,11 +1303,15 @@ def oracle_sql() -> dict[str, str]:
         """,
         "doc_fingerprint": f"""
             WITH {_SHINGLE_CTES},
-            h AS (SELECT doc_id, {_H60.format(x='shingle')} AS h FROM sh)
-            SELECT doc_id,
-                   array_to_string((array_agg(h ORDER BY h))[1:3], '_')
-                     AS fingerprint
-            FROM h GROUP BY doc_id
+            h AS (SELECT doc_id, {_H60.format(x='shingle')} AS h FROM sh),
+            fp AS (
+              SELECT doc_id,
+                     array_to_string((array_agg(h ORDER BY h))[1:3], '_')
+                       AS fingerprint
+              FROM h GROUP BY doc_id
+            )
+            SELECT d.doc_id, coalesce(fp.fingerprint, '') AS fingerprint
+            FROM documents d LEFT JOIN fp ON fp.doc_id = d.doc_id
         """,
         "local_peak": """
             WITH s AS (

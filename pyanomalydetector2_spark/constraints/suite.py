@@ -136,9 +136,17 @@ def run_suite(
     cache: bool = False,
     verbose: bool = False,
     salt_buckets: int | None = None,
+    commit: bool = True,
 ) -> SuiteResult:
     """Run the full suite over ``current`` (minus already-committed buckets
-    when resuming), emit verdicts + violations, commit the ledger."""
+    when resuming), emit verdicts + violations, commit the ledger.
+
+    ``commit=False`` defers the ledger commit: callers that persist the
+    result frames afterwards (run_suite.py) must call
+    ``commit_checkpoint(result, checkpoint)`` AFTER the persist succeeds —
+    otherwise a crash between validation and persistence marks buckets
+    committed whose violations were never written, and --resume silently
+    skips them forever."""
     t0 = time.time()
     _last = [t0]
 
@@ -166,9 +174,10 @@ def run_suite(
         base = audio_base
 
     # ONE aggregation job yields the bucket list, the row count, AND the
-    # per-bucket HLL distinct estimates (bucket = hash(key) % B ⇒ duplicates
-    # co-locate ⇒ global distinct = Σ per-bucket distinct, exactly) — and
-    # materializes the cache as a side effect.
+    # per-bucket HLL distinct estimates for bucket-key checks (bucket =
+    # hash(key) % B ⇒ key duplicates co-locate ⇒ global distinct = Σ
+    # per-bucket distinct for key_col ONLY — other columns get a global
+    # sketch below) — and materializes the cache as a side effect.
     hll_aggs = [
         F.approx_count_distinct(c.column, 0.02).alias(f"_hll_{i}")
         for i, c in enumerate(suite.unique_checks)
@@ -178,8 +187,32 @@ def run_suite(
     ).collect()
     buckets = [r[bucket_col] for r in brows]
     row_count = sum(r["_n"] for r in brows)
+    # Σ per-bucket distinct is exact ONLY for the bucket key itself
+    # (bucket = hash(key_col) co-locates each key in one bucket); any other
+    # column appears in every bucket and the sum would overcount by up to
+    # ×n_buckets — those checks get a global sketch in one extra tiny agg
+    non_key = [
+        i for i, c in enumerate(suite.unique_checks) if c.column != key_col
+    ]
+    grow = (
+        base.agg(
+            *[
+                F.approx_count_distinct(
+                    suite.unique_checks[i].column, 0.02
+                ).alias(f"_g_{i}")
+                for i in non_key
+            ]
+        ).first()
+        if non_key
+        else None
+    )
     hll_totals = [
-        sum(r[f"_hll_{i}"] for r in brows) for i in range(len(suite.unique_checks))
+        (
+            sum(r[f"_hll_{i}"] for r in brows)
+            if c.column == key_col
+            else grow[f"_g_{i}"]
+        )
+        for i, c in enumerate(suite.unique_checks)
     ]
     _tick(f"materialize base ({row_count} rows)")
     if not buckets:  # everything committed already — idempotent no-op
@@ -311,6 +344,19 @@ def run_suite(
         by_col = {c.column: c for c in uniform}
         for s in drift_scores_multi(base, baseline, specs, group_col=bucket_col):
             scored.append((by_col[s["column"]], s))
+        # a check that produced NO score means the baseline histogram for
+        # that column was empty/all-null — the same condition the
+        # equi-depth and distributed paths raise on; silence here would
+        # let a misconfigured baseline pass the whole suite
+        seen_ids = {c.constraint_id for c, _ in scored}
+        for c in uniform:
+            if c.constraint_id not in seen_ids:
+                raise ValueError(
+                    f"drift check {c.constraint_id!r} produced no score — "
+                    f"column {c.column!r} is empty/all-null in the baseline "
+                    "or in every current bucket (fix the snapshot or drop "
+                    "the check)"
+                )
     for c in equi:
         for s in drift_scores_quantile(
             base, baseline, c.column, c.nbins, group_col=bucket_col
@@ -359,7 +405,7 @@ def run_suite(
 
     verdicts = spark.createDataFrame(verdict_rows, VERDICT_SCHEMA)
 
-    if checkpoint is not None:
+    if checkpoint is not None and commit:
         per_bucket_fail = {
             b: sum(
                 1
@@ -387,3 +433,21 @@ def run_suite(
         row_count,
         time.time() - t0,
     )
+
+
+def commit_checkpoint(res: SuiteResult, checkpoint: CheckpointLedger) -> None:
+    """Mark the result's processed buckets committed in the ledger — call
+    this AFTER the verdicts/violations have been durably persisted (the
+    write-ahead ordering --resume correctness depends on)."""
+    fails = dict.fromkeys(res.processed_buckets, 0)
+    for r in (
+        res.verdicts.filter(~F.col("passed")).groupBy("bucket").count().collect()
+    ):
+        if int(r["bucket"]) in fails:
+            fails[int(r["bucket"])] = int(r["count"])
+    for b in res.processed_buckets:
+        checkpoint.mark_committed(
+            res.run_id,
+            int(b),
+            metrics={"rows": res.row_count, "failed_constraints": fails[b]},
+        )

@@ -17,7 +17,6 @@ import numpy as np
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from pyanomalydetector2_spark.functions import z_indicator
 
 
 def collect_charts(

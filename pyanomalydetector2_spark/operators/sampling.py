@@ -42,7 +42,6 @@ def stratified_hash_sample(
 ) -> DataFrame:
     """Per-stratum stable sampling (e.g. downsample dominant languages):
     strata absent from ``fractions`` are dropped (fraction 0)."""
-    thresh = F.lit(None).cast("long")
     expr = None
     for stratum, frac in fractions.items():
         cond = F.col(strata_col) == stratum

@@ -29,7 +29,11 @@ def token_metrics(df: DataFrame, text_col: str = "text") -> DataFrame:
     n_tokens (whitespace), n_bpe_ish (regex sub-word pieces), avg token len,
     punct ratio, stopword ratio, alpha ratio, quality_score ∈ [0,1]."""
     t = F.col(text_col)
-    toks = F.split(F.lower(F.trim(t)), r"\s+")
+    # drop empty-string tokens: split('') yields [''] (size 1), which would
+    # credit empty/whitespace-only docs with a phantom token
+    toks = F.filter(
+        F.split(F.lower(F.trim(t)), r"\s+"), lambda x: x != ""
+    )
     n_tok = F.size(toks)
     n_chars = F.length(t)
     # BPE-ish sub-word pieces: letter runs, digit runs, single punct marks.
@@ -65,7 +69,9 @@ def token_metrics(df: DataFrame, text_col: str = "text") -> DataFrame:
 
 def lang_scores(text_col: str = "text") -> list[Column]:
     """Per-language marker-hit-rate columns (lang_<code>)."""
-    toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    toks = F.filter(
+        F.split(F.lower(F.trim(F.col(text_col))), r"\s+"), lambda x: x != ""
+    )
     cols = []
     for lang, markers in LANG_MARKERS.items():
         hits = F.size(F.filter(toks, lambda x: x.isin(*markers)))
@@ -93,8 +99,14 @@ def doc_fingerprint(
     sh = shingle_frame(df, id_col, text_col, n).withColumn(
         "h", h60(F.col("shingle"))
     )
-    return sh.groupBy("id").agg(
+    fps = sh.groupBy("id").agg(
         F.concat_ws(
             "_", F.slice(F.array_sort(F.collect_list("h")), 1, k)
         ).alias("fingerprint")
+    )
+    # docs with < n tokens produce no shingles — give them a stable empty
+    # fingerprint instead of silently vanishing from the output
+    all_ids = df.select(F.col(id_col).alias("id")).distinct()
+    return all_ids.join(fps, "id", "left").withColumn(
+        "fingerprint", F.coalesce("fingerprint", F.lit(""))
     )

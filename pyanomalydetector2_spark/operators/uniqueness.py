@@ -9,7 +9,7 @@ exact pass only runs when the screen smells duplicates.
 The exact pass is a groupBy(key) count — for a near-unique key there is no
 skew by construction (every group ≈1 row, partial aggregation collapses each
 map partition to its local distincts). ``approx_count_distinct`` relative
-error defaults to 5%; the screen threshold accounts for it.
+error defaults to 2% (rsd=0.02); the screen threshold accounts for it.
 """
 
 from __future__ import annotations

@@ -40,7 +40,11 @@ def build_report(anomalies: DataFrame, min_hosts: int = 2) -> dict:
     for r in rows:
         by_cluster.setdefault(r["clusterid"], []).append(r)
     report: dict = {}
-    for cid, members in sorted(by_cluster.items()):
+    # None-safe sort: a NULL clusterid (row upserted before classification
+    # ran) must be skipped by the guard below, not crash sorted()
+    for cid, members in sorted(
+        by_cluster.items(), key=lambda kv: (kv[0] is None, kv[0] or 0)
+    ):
         if cid is None or cid < 0 or len({m["hostid"] for m in members}) < min_hosts:
             continue
         cluster: dict = {}

@@ -113,9 +113,12 @@ def main(argv: list[str] | None = None) -> dict:
     suite = load_suite(args.suite) if args.suite else default_clips_suite()
 
     t0 = time.time()
+    # commit=False: the ledger must be marked AFTER results are durably
+    # persisted below — write-ahead ordering, or a crash between validation
+    # and persist makes --resume skip buckets whose violations were lost
     res = run_suite(
         cur, base, dims, suite, args.run_id, checkpoint=ledger,
-        salt_buckets=args.salt_buckets,
+        salt_buckets=args.salt_buckets, commit=False,
     )
     # persist results (FIXTURES.md §B3/§B4 output contract)
     results_t = SnapshotTable(os.path.join(args.warehouse, "results"))
@@ -125,15 +128,24 @@ def main(argv: list[str] | None = None) -> dict:
         partition_by=["bucket"],
     )
     verdicts_t.merge_upsert(res.verdicts, ["run_id", "bucket", "constraint_id", "metric"])
+    if ledger is not None:
+        from pyanomalydetector2_spark.constraints.suite import commit_checkpoint
+
+        commit_checkpoint(res, ledger)
     wall = time.time() - t0
 
     n_viol = res.violations.count()
     n_fail = res.verdicts.filter("NOT passed").count()
+    # throughput is charged to the rows actually processed this run —
+    # args.rows can disagree under --skip-datagen (pre-materialized
+    # warehouse) or --resume (committed buckets skipped); a resume no-op
+    # honestly reports 0 rows / 0 clips/sec
+    rows_done = res.row_count
     summary = {
         "metric": "clips_per_sec",
-        "value": round(args.rows / wall, 1),
+        "value": round(rows_done / wall, 1),
         "unit": "clips/sec",
-        "rows": args.rows,
+        "rows": rows_done,
         "wall_sec": round(wall, 2),
         "violations": n_viol,
         "failed_verdicts": n_fail,

@@ -117,5 +117,7 @@ class SnapshotTable:
         for s in drop:
             shutil.rmtree(self._snap_dir(s["id"]), ignore_errors=True)
         meta["snapshots"] = kept
+        if not kept:  # everything expired → table is empty, not bricked
+            meta["current"] = None
         self._write_meta(meta)
         return [s["id"] for s in drop]

@@ -35,6 +35,11 @@ def jdbc_table(
     reference's clock-range predicates turned into parallel range reads."""
     reader = spark.read.format("jdbc").option("url", url).option("dbtable", table)
     if partition_column is not None:
+        if lower is None or upper is None:
+            raise ValueError(
+                "partition_column requires lower and upper bounds — "
+                "str(None) would reach the JDBC reader as the literal 'None'"
+            )
         reader = (
             reader.option("partitionColumn", partition_column)
             .option("lowerBound", str(lower))

@@ -151,14 +151,18 @@ class LoganIngest:
             surrogate_itemid(hostid, F.col("itemid")).alias("itemid"),
             "clock",
             "value",
-        )
-        n = hist.count()
+        ).cache()  # consumed by count+max agg AND the merge — one CSV scan
+        agg = hist.agg(
+            F.count(F.lit(1)).alias("n"), F.max("clock").alias("m")
+        ).first()
+        n = int(agg["n"])
         if n == 0:
+            hist.unpersist()
             return 0
         self.history.merge_upsert(hist, keys=["itemid", "clock"])
+        hist.unpersist()
 
-        endep_row = hist.agg(F.max("clock").alias("m")).first()
-        endep = max(int(endep_row["m"]), self.watermark.get_endep() or 0)
+        endep = max(int(agg["m"]), self.watermark.get_endep() or 0)
         startep = endep - self.trends_interval * self.trends_retention
         self.watermark.upsert(startep, endep)
         self.history.delete_where(f"clock < {startep}")  # S18 retention
