@@ -198,7 +198,11 @@ def _gen_batch(
     for i in np.nonzero(noise_mask)[0]:
         nz = (u01(eff[i] * PCM_SAMPLES + np.arange(PCM_SAMPLES), 41) - 0.5) * PCM_AMP
         waves[i] = waves[i] + nz
-    quant = np.round(waves).astype("<i2")
+    # clip BEFORE the int16 cast: corrupted rows (wave ±26000 + noise
+    # ±13000) can exceed int16 range, and float→int16 of out-of-range
+    # values is formally undefined in numpy — clipping keeps the row just
+    # as corrupted but bit-deterministic across platforms/numpy versions
+    quant = np.clip(np.round(waves), -32768, 32767).astype("<i2")
     payloads: list[bytes] = []
     for i in range(n):
         if codec[i] == "wav":  # REAL RIFF container (parsed for real too)

@@ -50,8 +50,11 @@ def epoch_bucket(clock: Column, interval: int) -> Column:
 
 
 def wildcard_to_like(pattern: str) -> str:
-    """'*'→'%' LIKE rewriting (reference zabbix_getter.py:125-131)."""
-    return pattern.replace("%", r"\%").replace("*", "%")
+    """'*'→'%' LIKE rewriting (reference zabbix_getter.py:125-131). '_' is
+    escaped too: '*' is the ONLY wildcard in the source dialect, so a
+    literal underscore (common in host/item names) must not become LIKE's
+    match-any-one-char."""
+    return pattern.replace("%", r"\%").replace("_", r"\_").replace("*", "%")
 
 
 def zscore(value: Column, mean: Column, std: Column) -> Column:

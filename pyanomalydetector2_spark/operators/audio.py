@@ -63,7 +63,10 @@ def parse_wav(payload: bytes) -> np.ndarray | None:
     while pos + 8 <= len(payload):
         cid, sz = payload[pos : pos + 4], struct.unpack_from("<I", payload, pos + 4)[0]
         body = payload[pos + 8 : pos + 8 + sz]
-        if cid == b"fmt " and sz >= 16:
+        # len(body) check: a declared-16-byte fmt chunk can still be
+        # TRUNCATED at end-of-payload — that must be a clean None, not a
+        # struct.error killing the Arrow batch
+        if cid == b"fmt " and sz >= 16 and len(body) >= 16:
             audio_fmt, _ch, _sr, _br, _ba, bits = struct.unpack_from("<HHIIHH", body)
             if audio_fmt == WAVE_FORMAT_PCM and bits == 16:
                 tag = audio_fmt
@@ -106,6 +109,8 @@ def encode_wav(pcm16: np.ndarray, sr_hz: int = 16000, fmt_tag: int = 1) -> bytes
     fmt = struct.pack("<HHIIHH", fmt_tag, 1, sr_hz, sr_hz * ba, ba, bits)
     body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
     body += b"data" + struct.pack("<I", len(data)) + data
+    if len(data) % 2:  # RIFF word alignment: odd chunks carry a pad byte
+        body += b"\x00"
     return b"RIFF" + struct.pack("<I", len(body)) + body
 
 

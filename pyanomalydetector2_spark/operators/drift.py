@@ -56,6 +56,7 @@ def binned_counts(
     return (
         df.filter(F.col(column).isNotNull())
         .select(*(([group_col] if group_col else []) + [binc.alias("bin")]))
+        .filter(F.col("bin").isNotNull())  # width_bucket(NaN) → NULL bin
         .groupBy(*keys)
         .agg(F.count(F.lit(1)).alias("n"))
     )
@@ -120,6 +121,15 @@ def drift_scores_multi(
     distribution. Two table passes total (one per side), all columns."""
     cur_h = histogram_counts(current, specs, group_col)
     base_h = histogram_counts(baseline, specs, None)
+    # same explicit empty-baseline contract as the quantile paths: a drift
+    # column with no usable baseline data must error, not vacuously pass
+    for s in specs:
+        if (None, s.column) not in base_h:
+            raise ValueError(
+                f"drift baseline for column {s.column!r} is empty or "
+                "all-null — no histogram to compare against (fix the "
+                "baseline snapshot)"
+            )
     out = []
     for (g, c), counts in sorted(cur_h.items(), key=lambda kv: (str(kv[0][0]), kv[0][1])):
         b = base_h.get((None, c))
@@ -159,23 +169,39 @@ def quantile_edges(
     return edges
 
 
+def _finite(column: str):
+    """Rows whose value participates in a histogram: non-null AND non-NaN —
+    the width_bucket path drops NaN implicitly (width_bucket(NaN)=NULL),
+    so every other binning expression must drop it explicitly or the
+    uniform/edge paths would count NaN in the overflow bin and disagree."""
+    v = F.col(column).cast("double")
+    return v.isNotNull() & ~F.isnan(v)
+
+
+def edges_bin_expr(column: str, edges: list[float]):
+    """Shared edge-based bin expression (equi-depth bins): bin i = count of
+    values in (edges[i-1], edges[i]]; bin 0 = ≤ edges[0], bin len(edges) =
+    > last edge. ONE implementation for the funnel and distributed paths,
+    so binning semantics cannot silently diverge. The CASE chain is small
+    (≤ ~20 branches) and whole-stage-codegen'd."""
+    v = F.col(column).cast("double")
+    binc = F.lit(len(edges))
+    for i in range(len(edges) - 1, -1, -1):
+        binc = F.when(v <= F.lit(edges[i]), F.lit(i)).otherwise(binc)
+    return binc
+
+
 def binned_counts_edges(
     df: DataFrame,
     column: str,
     edges: list[float],
     group_col: str | None = None,
 ) -> DataFrame:
-    """Histogram counts over ARBITRARY ascending edges (equi-depth bins):
-    bin i = count of values in (edges[i-1], edges[i]]; bin 0 = ≤ edges[0],
-    bin len(edges) = > last edge. The CASE chain is small (≤ ~20 branches)
-    and whole-stage-codegen'd."""
-    v = F.col(column).cast("double")
-    binc = F.lit(len(edges))
-    for i in range(len(edges) - 1, -1, -1):
-        binc = F.when(v <= F.lit(edges[i]), F.lit(i)).otherwise(binc)
+    """Histogram counts over ARBITRARY ascending edges (see edges_bin_expr)."""
+    binc = edges_bin_expr(column, edges)
     keys = ([group_col] if group_col else []) + ["bin"]
     return (
-        df.filter(F.col(column).isNotNull())
+        df.filter(_finite(column))
         .select(*(([group_col] if group_col else []) + [binc.alias("bin")]))
         .groupBy(*keys)
         .agg(F.count(F.lit(1)).alias("n"))
@@ -313,12 +339,13 @@ def drift_scores_quantile_df(
             "StatCheck on this column",
             stacklevel=2,
         )
-    v = F.col(column).cast("double")
-    binc = F.lit(len(edges))
-    for i in range(len(edges) - 1, -1, -1):
-        binc = F.when(v <= F.lit(edges[i]), F.lit(i)).otherwise(binc)
     return _drift_df_from_bins(
-        current, baseline, column, binc.cast("int"), len(edges) + 1, group_col
+        current,
+        baseline,
+        column,
+        edges_bin_expr(column, edges).cast("int"),
+        len(edges) + 1,
+        group_col,
     )
 
 
@@ -335,10 +362,10 @@ def _drift_df_from_bins(
     from pyspark.sql import Window
 
     g = group_col or "_g"
-    cur = current.filter(F.col(column).isNotNull()).select(
+    cur = current.filter(_finite(column)).select(
         (F.col(group_col) if group_col else F.lit(0)).alias(g), binc.alias("bin")
     )
-    base = baseline.filter(F.col(column).isNotNull()).select(binc.alias("bin"))
+    base = baseline.filter(_finite(column)).select(binc.alias("bin"))
 
     cur_cnt = cur.groupBy(g, "bin").agg(F.count(F.lit(1)).alias("cur_bin_n"))
     base_cnt = base.groupBy("bin").agg(F.count(F.lit(1)).alias("base_bin_n"))
@@ -400,5 +427,9 @@ def drift_scores(
             + [s["psi"], s["ks"], s["cur_n"], s["base_n"]]
         )
         for s in scores
+        # rows whose group value is NULL carry no bucket assignment — skip
+        # them rather than crash int(None) (this int-typed wrapper keeps the
+        # legacy shape; use drift_scores_multi/_df for arbitrary group types)
+        if not (group_col and s["group"] is None)
     ]
     return spark.createDataFrame(rows, schema)

@@ -32,6 +32,10 @@ def normalize(pdf: pd.DataFrame) -> pd.DataFrame:
 def main() -> int:
     sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
+    unknown = only - set(ent.queries())
+    if unknown:  # a typo must not make the gate pass vacuously
+        print(f"unknown query name(s): {sorted(unknown)}")
+        return 2
     spark = get_spark(
         cpus=int(os.environ.get("CONTRACT_CPUS", "8")), app_name="contract-check"
     )
@@ -50,9 +54,11 @@ def main() -> int:
 
     qs, os_ = ent.queries(), ent.oracle_sql()
     fails = []
+    n_run = 0
     for name, fn in qs.items():
         if only and name not in only:
             continue
+        n_run += 1
         t0 = time.time()
         got = normalize(fn(spark, sf).toPandas())
         sql = os_.get(name)
@@ -82,7 +88,8 @@ def main() -> int:
             fails.append((name, status))
         elif len(got) == 0:
             fails.append((name, "empty result (matches oracle but weak)"))
-    print(f"\n{len(qs) - len(fails)}/{len(qs)} OK")
+    print(f"\n{n_run - len(fails)}/{n_run} OK"
+          + (f" (filtered from {len(qs)})" if only else ""))
     for name, s in fails:
         print(f"FAIL {name}: {s}")
     return 1 if fails else 0

@@ -19,9 +19,12 @@ SF = "/root/testdata/sf0.01"
 
 
 def audit(name: str, df) -> dict:
-    # execute once so AQE finalizes the adaptive plan (codegen markers and
-    # runtime join strategy switches only appear in the FINAL plan)
-    df.write.format("noop").mode("overwrite").save()
+    # execute THIS DataFrame's own QueryExecution so AQE finalizes the
+    # adaptive plan (a noop write wraps the plan in a NEW QueryExecution
+    # and leaves df's plan isFinalPlan=false — codegen markers and runtime
+    # join-strategy switches only appear in the FINAL plan of the executed
+    # instance; sf0.01 outputs are small, collect is safe here)
+    df.collect()
     plan = physical_plan(df)
     fmt = explain_formatted(df)
     pushed = re.findall(r"PushedFilters: \[([^\]]*)\]", fmt)
