@@ -44,10 +44,17 @@ _CUT_EP = 1706400000  # epoch seconds of _CUT (UTC)
 _LAMBDA1 = 0.5
 _IGNORE_DIFF_RATE = 0.05
 _TRENDS_MIN_COUNT = 3
+# TPC-H cut epochs (UTC) — Spark compares unix_timestamp, the oracle a
+# naive TIMESTAMP literal; epoch comparison keeps Spark session-tz-proof
+_Q1_CUT_EP = 912470400   # 1998-12-01 00:00:00 UTC
+_Q3_CUT_EP = 889920000   # 1998-03-15 00:00:00 UTC
 
-_STOPWORDS = ("the", "a", "of", "and", "to", "in", "is")
-_LANGS = {"en": ("the", "a", "of", "and", "to"), "fr": ("le", "la", "de", "et", "un"),
-          "de": ("der", "die", "das", "und", "ein"), "es": ("el", "la", "de", "y", "un")}
+# single source of truth: the oracle SQL is generated from the SAME
+# constants the Spark operators compute with (operators/text.py)
+from pyanomalydetector2_spark.operators.text import (  # noqa: E402
+    LANG_MARKERS as _LANGS,
+    STOPWORDS as _STOPWORDS,
+)
 
 
 def _r(c, n=6):
@@ -219,7 +226,9 @@ def q_minhash_lsh_pairs(spark: SparkSession, sf: str) -> DataFrame:
     candidate near-dup pairs."""
     docs = load_table(spark, sf, "documents")
     sigs = minhash_signatures(docs, "doc_id", "text", k=8, n=3)
-    return lsh_candidate_pairs(sigs, bands=4, rows_per_band=2)
+    # max_bucket_size=None: the DuckDB oracle has no cap — contract
+    # semantics are exact; production callers keep the capped default
+    return lsh_candidate_pairs(sigs, bands=4, rows_per_band=2, max_bucket_size=None)
 
 
 def q_ngram_jaccard_pairs(spark: SparkSession, sf: str) -> DataFrame:
@@ -230,7 +239,8 @@ def q_ngram_jaccard_pairs(spark: SparkSession, sf: str) -> DataFrame:
 
     docs = load_table(spark, sf, "documents")
     j = near_dup_jaccard(docs, "doc_id", "text", k=8, n=3, bands=4,
-                         rows_per_band=2, threshold=0.1)
+                         rows_per_band=2, threshold=0.1,
+                         max_bucket_size=None)  # oracle has no cap
     return j.select("id_a", "id_b", _r("jaccard").alias("jaccard"))
 
 
@@ -247,7 +257,8 @@ def q_dup_clusters(spark: SparkSession, sf: str) -> DataFrame:
 
     docs = load_table(spark, sf, "documents")
     j = near_dup_jaccard(docs, "doc_id", "text", k=8, n=3, bands=4,
-                         rows_per_band=2, threshold=0.1)
+                         rows_per_band=2, threshold=0.1,
+                         max_bucket_size=None)  # oracle has no cap
     out = dup_clusters(j.select("id_a", "id_b"))
     return out.select(F.col("id").alias("doc_id"), "cluster_id")
 
@@ -265,7 +276,8 @@ def q_dedup_keep_best(spark: SparkSession, sf: str) -> DataFrame:
 
     docs = load_table(spark, sf, "documents")
     j = near_dup_jaccard(docs, "doc_id", "text", k=8, n=3, bands=4,
-                         rows_per_band=2, threshold=0.1)
+                         rows_per_band=2, threshold=0.1,
+                         max_bucket_size=None)  # oracle has no cap
     clusters = dup_clusters(j.select("id_a", "id_b"))
     scores = token_metrics(docs, "text").select(
         "doc_id", _r("quality_score").alias("quality_score")
@@ -294,7 +306,8 @@ def q_near_dup_incremental(spark: SparkSession, sf: str) -> DataFrame:
 
     docs = load_table(spark, sf, "documents")
     new = docs.filter(F.col("doc_id") < _INCR_CUT)
-    j = near_dup_jaccard_incremental(docs, new, "doc_id", "text")
+    j = near_dup_jaccard_incremental(docs, new, "doc_id", "text",
+                                     max_bucket_size=None)  # oracle has no cap
     return j.select("id_a", "id_b", _r("jaccard").alias("jaccard"))
 
 
@@ -410,7 +423,6 @@ def q_first_per_group(spark: SparkSession, sf: str) -> DataFrame:
     ev = load_table(spark, sf, "events")
     epoch = F.unix_timestamp("ts").cast("long")
     day = (epoch - epoch % 86400).alias("day")
-    w = Window.partitionBy("user_id", "day").orderBy("ts", "event_id")
     return (
         ev.select(F.col("user_id").alias("itemid"), day, "ts", "event_id", "value")
         .withColumn("rn", F.row_number().over(Window.partitionBy("itemid", "day").orderBy("ts", "event_id")))
@@ -479,13 +491,19 @@ def q_incremental_merge(spark: SparkSession, sf: str) -> DataFrame:
     s4 = F.round("sum", 4)
     q2 = F.round("sqr_sum", 4)
     mean = s4 / F.col("cnt")
-    var = (q2 - s4 * s4 / F.col("cnt")) / (F.col("cnt") - 1)
+    # cnt>1 + greatest(...,0) guards mirror _STD_CLOSED: a single-sample
+    # item must yield std 0 (not NaN-vs-NULL engine divergence), and float
+    # cancellation must not reach sqrt as a tiny negative
+    var = F.try_divide(q2 - s4 * s4 / F.col("cnt"), F.col("cnt") - 1)
+    std = F.when(
+        F.col("cnt") > 1, F.sqrt(F.greatest(var, F.lit(0.0)))
+    ).otherwise(F.lit(0.0))
     return m.select(
         "itemid",
         F.col("cnt").cast("long").alias("cnt"),
         s4.alias("sum_v"),
         _r(mean).alias("mean_v"),
-        _r(F.sqrt(var)).alias("std_v"),
+        _r(std).alias("std_v"),
     )
 
 
@@ -537,25 +555,38 @@ def q_detect2_screen(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-def q_detect3_support(spark: SparkSession, sf: str) -> DataFrame:
-    """detect3 phase (a) — sustained deviation: share of recent samples
-    beyond mean±λ·std of the trend ≥ rate (reference detector.py:395-421)."""
+def _detect3_screen(spark: SparkSession, sf: str, extra_cols: tuple = ()):
+    """Shared detect3 phase-1 screen (ONE implementation for
+    q_detect3_support and q_detect3_phase2 — a one-sided edit here cannot
+    desync the two contract queries): returns (h, phase1_with_rates) where
+    h = recent events joined to trend stats, filtered to std_t > 0 exactly
+    like the oracle's h CTE."""
     ev = load_table(spark, sf, "events").select(
-        F.col("user_id").alias("itemid"), "ts", "value"
+        F.col("user_id").alias("itemid"), "ts", *extra_cols, "value"
     )
     tstats = moment_stats(ev.filter(F.unix_timestamp("ts") < _CUT_EP), ["itemid"]).select(
         "itemid", F.col("mean").alias("mean_t"), F.col("std").alias("std_t")
     )
-    h = ev.filter(F.unix_timestamp("ts") >= _CUT_EP).join(F.broadcast(tstats), "itemid")
+    h = (
+        ev.filter(F.unix_timestamp("ts") >= _CUT_EP)
+        .join(F.broadcast(tstats), "itemid")
+        .filter(F.col("std_t") > 0)
+    )
     beyond = (
         F.abs(F.col("value") - F.col("mean_t")) > 0.5 * F.col("std_t")
     ).cast("int")
-    sup = (
-        h.filter(F.col("std_t") > 0)
-        .groupBy("itemid")
+    phase1 = (
+        h.groupBy("itemid")
         .agg(F.avg(beyond).alias("anom_rate"), F.avg("value").alias("mean_h"))
         .filter(F.col("anom_rate") >= 0.6)
     )
+    return h, phase1
+
+
+def q_detect3_support(spark: SparkSession, sf: str) -> DataFrame:
+    """detect3 phase (a) — sustained deviation: share of recent samples
+    beyond mean±λ·std of the trend ≥ rate (reference detector.py:395-421)."""
+    _, sup = _detect3_screen(spark, sf)
     return sup.select(
         "itemid", _r("anom_rate").alias("anom_rate"), _r("mean_h").alias("mean_h")
     )
@@ -630,22 +661,12 @@ def q_item_conds(spark: SparkSession, sf: str) -> DataFrame:
 def q_detect3_phase2(spark: SparkSession, sf: str) -> DataFrame:
     """detect3 phase 2 — items failing the phase-1 sustained screen get a
     second chance on their last-6-sample mean with λ3_2 scaled to this
-    data (reference detector.py:519-546); output = phase1 ∪ rescued ids."""
-    ev = load_table(spark, sf, "events").select(
-        F.col("user_id").alias("itemid"), "ts", "event_id", "value"
-    )
-    tstats = moment_stats(ev.filter(F.unix_timestamp("ts") < _CUT_EP), ["itemid"]).select(
-        "itemid", F.col("mean").alias("mean_t"), F.col("std").alias("std_t")
-    )
-    h = ev.filter(F.unix_timestamp("ts") >= _CUT_EP).join(F.broadcast(tstats), "itemid")
-    beyond = (F.abs(F.col("value") - F.col("mean_t")) > 0.5 * F.col("std_t")).cast("int")
-    phase1 = (
-        h.filter(F.col("std_t") > 0)
-        .groupBy("itemid")
-        .agg(F.avg(beyond).alias("anom_rate"))
-        .filter(F.col("anom_rate") >= 0.6)
-        .select("itemid")
-    )
+    data (reference detector.py:519-546); output = phase1 ∪ rescued ids.
+    Shares the phase-1 screen with q_detect3_support (std_t > 0 applied to
+    h itself, matching the oracle's h CTE — zero-variance items never
+    reach the rescue)."""
+    h, sup = _detect3_screen(spark, sf, extra_cols=("event_id",))
+    phase1 = sup.select("itemid")
     failed = h.join(phase1, "itemid", "left_anti")
     w = Window.partitionBy("itemid").orderBy(F.col("ts").desc(), F.col("event_id").desc())
     recent = failed.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") <= 6)
@@ -696,7 +717,7 @@ def q_tpch_q1(spark: SparkSession, sf: str) -> DataFrame:
     """TPC-H Q1 pricing summary — the canonical scan→filter→agg shape
     (predicate pushdown + map-side combine)."""
     li = load_table(spark, sf, "lineitem").filter(
-        F.col("l_shipdate") <= "1998-12-01 00:00:00"
+        F.unix_timestamp("l_shipdate") <= _Q1_CUT_EP  # tz-independent cut
     )
     return li.groupBy("l_returnflag", "l_linestatus").agg(
         _r(F.sum("l_quantity"), 2).alias("sum_qty"),
@@ -726,10 +747,10 @@ def q_tpch_q3(spark: SparkSession, sf: str) -> DataFrame:
         F.col("c_mktsegment") == "BUILDING"
     )
     orders = load_table(spark, sf, "orders").filter(
-        F.col("o_orderdate") < "1998-03-15 00:00:00"
+        F.unix_timestamp("o_orderdate") < _Q3_CUT_EP  # tz-independent cuts
     )
     li = load_table(spark, sf, "lineitem").filter(
-        F.col("l_shipdate") > "1998-03-15 00:00:00"
+        F.unix_timestamp("l_shipdate") > _Q3_CUT_EP
     )
     sel_orders = orders.join(
         F.broadcast(cust), orders.o_custkey == cust.c_custkey
@@ -900,15 +921,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 # ----------------------------------------------------------------- oracle --
 _STD_CLOSED = (
-    "CASE WHEN count({v}) > 1 THEN sqrt((sum({v}*{v}) - sum({v})*sum({v})/count({v}))"
-    " / (count({v}) - 1)) ELSE 0 END"
+    "CASE WHEN count({v}) > 1 THEN sqrt(greatest("
+    "(sum({v}*{v}) - sum({v})*sum({v})/count({v})) / (count({v}) - 1), 0))"
+    " ELSE 0 END"
 )
 
 _H60 = "('0x' || substr(md5({x}), 1, 15))::BIGINT"
 
 _SHINGLE_CTES = """
             toks AS (
-              SELECT doc_id, string_split(lower(trim(text)), ' ') AS t
+              SELECT doc_id,
+                     list_filter(regexp_split_to_array(lower(trim(text)),
+                                                       '\\s+'),
+                                 x -> x <> '') AS t
               FROM documents
             ),
             sh AS (
@@ -1095,7 +1120,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact_prefix": """
             WITH p AS (
               SELECT doc_id,
-                     md5(array_to_string(string_split(lower(trim(text)), ' ')[1:3], ' '))
+                     md5(array_to_string(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), x -> x <> '')[1:3], ' '))
                        AS fingerprint
               FROM documents
             )
@@ -1183,7 +1208,10 @@ def oracle_sql() -> dict[str, str]:
               SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY 1
             ),
             q AS (
-              SELECT doc_id, string_split(lower(trim(text)), ' ') AS t,
+              SELECT doc_id,
+                     list_filter(regexp_split_to_array(lower(trim(text)),
+                                                       '\\s+'),
+                                 x -> x <> '') AS t,
                      length(regexp_replace(lower(text), '[^a-z]', '', 'g'))::DOUBLE
                        / length(text) AS ar
               FROM documents
@@ -1206,7 +1234,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "simhash": f"""
             WITH tok AS (
-              SELECT doc_id, unnest(string_split(lower(trim(text)), ' ')) AS tk
+              SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS tk
               FROM documents
             ), th AS (
               SELECT doc_id, {_H60.format(x='tk')} AS h FROM tok
@@ -1237,7 +1265,8 @@ def oracle_sql() -> dict[str, str]:
         "text_quality": f"""
             WITH m AS (
               SELECT doc_id, text,
-                     list_filter(string_split(lower(trim(text)), ' '),
+                     list_filter(regexp_split_to_array(lower(trim(text)),
+                                                       '\\s+'),
                                  x -> x <> '') AS t
               FROM documents
             ), r AS (
@@ -1268,7 +1297,8 @@ def oracle_sql() -> dict[str, str]:
         "lang_id": f"""
             WITH m AS (
               SELECT doc_id,
-                     list_filter(string_split(lower(trim(text)), ' '),
+                     list_filter(regexp_split_to_array(lower(trim(text)),
+                                                       '\\s+'),
                                  x -> x <> '') AS t
               FROM documents
             ), s AS (
@@ -1389,7 +1419,9 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT itemid, cnt, s4 AS sum_v,
                    round(s4/cnt, 6) AS mean_v,
-                   round(sqrt((q2 - s4*s4/cnt) / (cnt - 1)), 6) AS std_v
+                   round(CASE WHEN cnt > 1
+                              THEN sqrt(greatest((q2 - s4*s4/cnt) / (cnt - 1), 0))
+                              ELSE 0 END, 6) AS std_v
             FROM m
         """,
         "fit_base_clocks": f"""
@@ -1657,7 +1689,8 @@ def oracle_sql() -> dict[str, str]:
                                           / {(_DRIFT_HI - _DRIFT_LO) / _DRIFT_NBINS}) AS INT) + 1
                      END AS bin
               FROM events
-              WHERE value IS NOT NULL AND ts >= TIMESTAMP '{_CUT}'
+              WHERE value IS NOT NULL AND NOT isnan(value)
+                AND ts >= TIMESTAMP '{_CUT}'
             ), base AS (
               SELECT CASE WHEN value < {_DRIFT_LO} THEN 0
                           WHEN value >= {_DRIFT_HI} THEN {_DRIFT_NBINS + 1}
@@ -1665,7 +1698,8 @@ def oracle_sql() -> dict[str, str]:
                                           / {(_DRIFT_HI - _DRIFT_LO) / _DRIFT_NBINS}) AS INT) + 1
                      END AS bin
               FROM events
-              WHERE value IS NOT NULL AND ts < TIMESTAMP '{_CUT}'
+              WHERE value IS NOT NULL AND NOT isnan(value)
+                AND ts < TIMESTAMP '{_CUT}'
             ),
             cur_cnt AS (SELECT event_type, bin, count(*) AS cn FROM cur GROUP BY 1, 2),
             base_cnt AS (SELECT bin, count(*) AS bn FROM base GROUP BY 1),
