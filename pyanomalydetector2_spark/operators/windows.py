@@ -145,11 +145,18 @@ def minmax_normalize(
     df: DataFrame, key: str = "itemid", value: str = "value"
 ) -> DataFrame:
     """W4 — per-key (x-min)/(max-min), NaN→0 (reference
-    utils/normalizer.py:74-91 via groupby.transform)."""
+    utils/normalizer.py:74-91 via groupby.transform). min/max skip NaN
+    inputs like the pandas transform does (Spark's max() would otherwise
+    treat one NaN as the key's maximum and poison every row of the key);
+    the NaN row itself normalizes to 0 via clean_float."""
+    from pyanomalydetector2_spark.functions import clean_float
+
+    v = F.col(value).cast("double")
+    nan_safe = F.when(~F.isnan(v), v)
     w = Window.partitionBy(key)
-    rng = F.max(value).over(w) - F.min(value).over(w)
+    rng = F.max(nan_safe).over(w) - F.min(nan_safe).over(w)
     return df.withColumn(
-        "norm", safe_div(F.col(value) - F.min(value).over(w), rng)
+        "norm", clean_float(safe_div(v - F.min(nan_safe).over(w), rng))
     )
 
 
@@ -162,8 +169,15 @@ def top_n_per_group(
     tiebreak: Sequence[str] = (),
 ) -> DataFrame:
     """W5/O3 — per-group top-N (reference detector.py:628-638 nlargest).
-    Pass ``tiebreak`` columns for a deterministic cut at rank boundaries."""
-    ob = F.col(order_col).asc() if ascending else F.col(order_col).desc()
+    Pass ``tiebreak`` columns for a deterministic cut at rank boundaries.
+    Nulls sort LAST in both directions (Spark ASC defaults nulls first,
+    which would let null order values occupy top-N slots; pandas
+    nlargest/nsmallest exclude them)."""
+    ob = (
+        F.col(order_col).asc_nulls_last()
+        if ascending
+        else F.col(order_col).desc_nulls_last()
+    )
     w = Window.partitionBy(*group).orderBy(ob, *[F.col(t).asc() for t in tiebreak])
     return (
         df.withColumn("_rn", F.row_number().over(w))

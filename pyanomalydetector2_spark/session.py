@@ -31,6 +31,12 @@ def get_spark(
         cpus = int(env) if env else 0
     master = f"local[{cpus}]" if cpus else "local[*]"
     n_shuffle = shuffle_partitions or max(2 * (cpus or os.cpu_count() or 8), 8)
+    # -Xms must track the RESOLVED heap size: an extra_conf override of
+    # spark.driver.memory below the env default would otherwise pair
+    # -Xms8g with a smaller -Xmx and the JVM refuses to start
+    driver_mem = (extra_conf or {}).get(
+        "spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g")
+    )
 
     builder = (
         SparkSession.builder.master(master)
@@ -49,15 +55,14 @@ def get_spark(
         # is the knob that bounds per-task memory at 100 TB.
         .config("spark.sql.files.maxPartitionBytes", "128m")
         .config("spark.sql.autoBroadcastJoinThreshold", "64m")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        .config("spark.driver.memory", driver_mem)
         # this class of host serializes first-touch page supply (~67 MB/s)
         # while reused pages run at memory speed: pre-touch the whole heap
         # once at startup (outside any measured region) so the JVM never
         # grows mid-job, and keep GC from shrinking/regrowing it.
         .config(
             "spark.driver.extraJavaOptions",
-            "-Xms" + os.environ.get("SPARK_DRIVER_MEM", "8g")
-            + " -XX:+AlwaysPreTouch -XX:+UseParallelGC",
+            "-Xms" + driver_mem + " -XX:+AlwaysPreTouch -XX:+UseParallelGC",
         )
         .config("spark.ui.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")

@@ -43,6 +43,25 @@ ITEMS_SCHEMA = T.StructType(
 )
 
 
+
+def _read_csv_strict(spark: SparkSession, path: str, schema: T.StructType) -> DataFrame:
+    """CSV read that drops malformed rows CONSISTENTLY: DROPMALFORMED only
+    drops a row when a column the query actually reads fails to parse, so
+    with column pruning the same file yields different row sets per query
+    (and the corrupt-record-column trick is pruned away the same way).
+    Instead, whole-row validity = EVERY schema column parsed: the filter
+    references all columns, so no projection can prune the parse, and a
+    row with any bad/missing field is dropped for every consumer — the
+    reference CsvGetter's whole-row semantics (these feeds have no
+    legitimately-null fields)."""
+    df = spark.read.csv(path, header=True, schema=schema, mode="PERMISSIVE")
+    cond = None
+    for f in schema.fields:
+        c = F.col(f.name).isNotNull()
+        cond = c if cond is None else cond & c
+    return df.filter(cond)
+
+
 def read_history_csv(
     spark: SparkSession,
     path: str,
@@ -52,7 +71,7 @@ def read_history_csv(
 ) -> DataFrame:
     """S1 — history scan with coercion + filters (csv_getter.py:25-69).
     Gzip is handled transparently by the .gz extension."""
-    df = spark.read.csv(path, header=True, schema=HISTORY_SCHEMA, mode="DROPMALFORMED")
+    df = _read_csv_strict(spark, path, HISTORY_SCHEMA)
     df = df.filter(F.col("itemid").isNotNull() & F.col("clock").isNotNull())
     if startep is not None:
         df = df.filter(F.col("clock") >= startep)
@@ -63,14 +82,24 @@ def read_history_csv(
     return df
 
 
-def read_trends_csv(spark: SparkSession, path: str, **kw) -> DataFrame:
-    """S2 — trends scan, 5 columns (csv_getter.py:80-112)."""
-    df = spark.read.csv(path, header=True, schema=TRENDS_SCHEMA, mode="DROPMALFORMED")
+def read_trends_csv(
+    spark: SparkSession,
+    path: str,
+    startep: int | None = None,
+    endep: int | None = None,
+    item_ids: list[int] | None = None,
+) -> DataFrame:
+    """S2 — trends scan, 5 columns (csv_getter.py:80-112). Explicit
+    keywords (no **kw): a typo'd or unsupported option must fail loudly,
+    not silently skip the filter."""
+    df = _read_csv_strict(spark, path, TRENDS_SCHEMA)
     df = df.filter(F.col("itemid").isNotNull() & F.col("clock").isNotNull())
-    if kw.get("startep") is not None:
-        df = df.filter(F.col("clock") >= kw["startep"])
-    if kw.get("endep") is not None:
-        df = df.filter(F.col("clock") <= kw["endep"])
+    if startep is not None:
+        df = df.filter(F.col("clock") >= startep)
+    if endep is not None:
+        df = df.filter(F.col("clock") <= endep)
+    if item_ids:
+        df = df.filter(F.col("itemid").isin(item_ids))
     return df
 
 
@@ -83,7 +112,7 @@ def read_items_csv(
     spark: SparkSession, path: str, item_ids: list[int] | None = None
 ) -> DataFrame:
     """S4 — items dimension scan (csv_getter.py:150-158)."""
-    df = spark.read.csv(path, header=True, schema=ITEMS_SCHEMA, mode="DROPMALFORMED")
+    df = _read_csv_strict(spark, path, ITEMS_SCHEMA)
     if item_ids:
         df = df.filter(F.col("itemid").isin(item_ids))
     return df

@@ -16,7 +16,13 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import time
+
+# run_id is embedded in ledger FILENAMES: restrict it so an id containing
+# '__bucket=' cannot alias another run's entries and a path separator
+# cannot escape the ledger directory
+_RUN_ID_RE = re.compile(r"^[A-Za-z0-9][A-Za-z0-9._-]{0,127}$")
 
 
 class CheckpointLedger:
@@ -25,6 +31,10 @@ class CheckpointLedger:
         os.makedirs(path, exist_ok=True)
 
     def _f(self, run_id: str, bucket: int) -> str:
+        if not _RUN_ID_RE.match(run_id):
+            raise ValueError(
+                f"invalid run_id {run_id!r}: must match {_RUN_ID_RE.pattern}"
+            )
         return os.path.join(self.path, f"{run_id}__bucket={bucket}.json")
 
     def mark_committed(
@@ -45,6 +55,8 @@ class CheckpointLedger:
         tmp = self._f(run_id, bucket) + ".tmp"
         with open(tmp, "w") as f:
             json.dump(rec, f)
+            f.flush()
+            os.fsync(f.fileno())  # rename-durability: data must hit disk
         os.replace(tmp, self._f(run_id, bucket))
 
     def committed_buckets(self, run_id: str) -> list[int]:
@@ -52,7 +64,9 @@ class CheckpointLedger:
         prefix = f"{run_id}__bucket="
         for name in os.listdir(self.path):
             if name.startswith(prefix) and name.endswith(".json"):
-                out.append(int(name[len(prefix):-5]))
+                suffix = name[len(prefix):-5]
+                if suffix.isdigit():  # another run's aliased name → not ours
+                    out.append(int(suffix))
         return sorted(out)
 
     def metrics(self, run_id: str, bucket: int) -> dict | None:

@@ -44,6 +44,43 @@ def test_history_csv_roundtrip_with_malformed_rows(spark, tmp_path):
     assert rows == {(1, 100, 1.5), (2, 200, 2.5)}
 
 
+def test_csv_drop_is_projection_independent(spark, tmp_path):
+    """A row with ONE bad column must be dropped for every projection:
+    DROPMALFORMED only dropped it when the bad column was read, so
+    count() and value-queries over the same source disagreed."""
+    p = str(tmp_path / "h.csv")
+    with open(p, "w") as f:
+        f.write("itemid,clock,value\n")
+        f.write("1,100,1.5\n")
+        f.write("5,400,abc\n")  # bad value, good itemid/clock
+        f.write("3,300,3.5\n")
+    df = read_history_csv(spark, p)
+    assert df.count() == 2  # narrow projection drops the row too
+    assert df.select("itemid").count() == 2
+    assert {r.itemid for r in df.collect()} == {1, 3}
+
+
+def test_trends_csv_reader_filters(spark, tmp_path):
+    """S2 reader: explicit keyword filters (startep/endep/item_ids) — a
+    typo'd keyword now raises instead of silently not filtering."""
+    import pytest
+
+    from pyanomalydetector2_spark.sources.csv_source import read_trends_csv
+
+    p = str(tmp_path / "t.csv")
+    with open(p, "w") as f:
+        f.write("itemid,clock,value_min,value_avg,value_max\n")
+        f.write("1,100,0.5,1.0,1.5\n")
+        f.write("1,200,0.6,1.1,1.6\n")
+        f.write("2,200,0.7,1.2,1.7\n")
+        f.write("bad,row,x,y,z\n")
+    df = read_trends_csv(spark, p, startep=150, item_ids=[1])
+    rows = [(r.itemid, r.clock, r.value_avg) for r in df.collect()]
+    assert rows == [(1, 200, 1.1)]
+    with pytest.raises(TypeError):
+        read_trends_csv(spark, p, startp=150)  # typo must fail loudly
+
+
 def test_export_reimport(spark, tmp_path):
     src = spark.createDataFrame(
         [(1, 100, 0.5), (2, 200, 1.5)], "itemid long, clock long, value double"

@@ -47,8 +47,10 @@ def test_local_peak(ts_df):
     got = local_peak(df, 500).toPandas().set_index("itemid").sort_index()
     s = pdf.sort_values(["itemid", "clock"])
     for item, g in s.groupby("itemid"):
+        # INCLUSIVE left bound: rangeBetween(-w, 0) covers [c-w, c] — the
+        # DuckDB contract oracle pins the same (RANGE w PRECEDING)
         means = [
-            g[(g.clock > c - 500) & (g.clock <= c)]["value"].mean()
+            g[(g.clock >= c - 500) & (g.clock <= c)]["value"].mean()
             for c in g.clock
         ]
         assert got.loc[item, "peak_up"] == pytest.approx(max(means))
