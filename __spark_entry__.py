@@ -1728,7 +1728,7 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT event_type, round(max(cum_psi), 6) AS psi,
                    round(max(abs(cdf_diff)), 6) AS ks,
-                   max(cur_n) AS cur_n, max(base_n) AS base_n
+                   max(cur_n)::BIGINT AS cur_n, max(base_n)::BIGINT AS base_n
             FROM cum GROUP BY 1
         """,
         "uniqueness_violations": """
