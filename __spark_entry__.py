@@ -636,6 +636,36 @@ def q_ann_ivf_topk(spark: SparkSession, sf: str) -> DataFrame:
     return ivf_topk(emb, q, k=5, n_cells=16, nprobe=2)
 
 
+def q_ann_ivf_index_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """IVF against a PERSISTED index — the production shape: centroids +
+    per-row cell assignments are built once, snapshotted (assignments
+    partitioned by cell so a probe prunes to nprobe/n_cells of the files),
+    read back, and probed. Same oracle as ann_ivf_topk because the index
+    path is result-identical to the fresh path by construction."""
+    import tempfile
+
+    from pyanomalydetector2_spark.operators.similarity import (
+        ivf_assignments,
+        ivf_centroids,
+        ivf_probe_topk,
+    )
+    from pyanomalydetector2_spark.sources.catalog import SnapshotTable
+
+    emb = load_table(spark, sf, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
+    )
+    base = tempfile.mkdtemp(prefix="ivf_index_")
+    cents = ivf_centroids(emb, n_cells=16)
+    t_c = SnapshotTable(f"{base}/centroids")
+    t_a = SnapshotTable(f"{base}/assignments")
+    t_c.write_snapshot(cents)
+    t_a.write_snapshot(ivf_assignments(emb, cents), partition_by=["cell"])
+    q = emb.filter(F.col("vec_id") < 20)
+    return ivf_probe_topk(
+        emb, q, t_c.read(spark), t_a.read(spark), k=5, nprobe=2
+    )
+
+
 def q_item_conds(spark: SparkSession, sf: str) -> DataFrame:
     """P8 — declarative item_conds: a metadata filter selects an item subset
     (broadcast), then a {operator, value} condition applies to the item's
@@ -905,6 +935,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dup": q_embedding_near_dup,
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
+        "ann_ivf_index_topk": q_ann_ivf_index_topk,
         "item_conds": q_item_conds,
         "detect3_phase2": q_detect3_phase2,
         "topitems": q_topitems,
@@ -1024,7 +1055,7 @@ def oracle_sql() -> dict[str, str]:
     lang_cases = " ".join(
         f"WHEN lang_{code} = best THEN '{code}'" for code in _LANGS
     )
-    return {
+    out = {
         "stats_moment": f"""
             SELECT user_id AS itemid, count(value) AS cnt,
                    round(sum(value), 6) AS sum_v,
@@ -1765,3 +1796,7 @@ def oracle_sql() -> dict[str, str]:
               AND (i.id_a < {_INCR_CUT} OR i.id_b < {_INCR_CUT})
         """,
     }
+    # the persisted-index IVF path is result-identical to the fresh path by
+    # construction, so it shares the fresh path's oracle verbatim
+    out["ann_ivf_index_topk"] = out["ann_ivf_topk"]
+    return out

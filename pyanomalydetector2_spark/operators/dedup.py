@@ -147,6 +147,45 @@ def _capped_buckets(
     return banded.groupBy("band", "key").agg(F.collect_list("id").alias("ids"))
 
 
+def pairs_from_banded(
+    banded: DataFrame, max_bucket_size: int | None
+) -> DataFrame:
+    """Candidate pairs (id_a < id_b) from a (id, band, key) banded frame:
+    ``_capped_buckets`` hot-bucket prune, then the two-stage streamed
+    member/partner explode (pairs generated row-by-row inside codegen — no
+    value ever holds a bucket's full O(b²) pair set), then a distinct over
+    the (tiny) cross-band pair set. Shared by the MinHash-LSH text path and
+    the hyperplane-LSH embedding path."""
+    buckets = _capped_buckets(banded, max_bucket_size).filter(F.size("ids") >= 2)
+    member = buckets.select(
+        F.array_sort(F.col("ids")).alias("ids")
+    ).select("ids", F.posexplode("ids").alias("i", "id_a"))
+    return (
+        member.select(
+            "id_a",
+            F.explode(
+                F.slice(F.col("ids"), F.col("i") + 2, F.size("ids"))
+            ).alias("id_b"),
+        )
+        .distinct()
+    )
+
+
+def bucket_stats_from_banded(
+    banded: DataFrame, max_bucket_size: int | None
+) -> DataFrame:
+    """Per-(band, key) bucket sizes with a ``dropped`` flag — the
+    observability metric for the hot-bucket cap, shared by both LSH
+    families."""
+    sizes = banded.groupBy("band", "key").agg(F.count(F.lit(1)).alias("size"))
+    dropped = (
+        F.lit(False)
+        if max_bucket_size is None
+        else F.col("size") > max_bucket_size
+    )
+    return sizes.withColumn("dropped", dropped)
+
+
 def lsh_candidate_pairs(
     sigs: DataFrame,
     bands: int = 4,
@@ -172,26 +211,7 @@ def lsh_candidate_pairs(
     also bounds aggregation-buffer memory (≤ cap ids ≈ 80 KB per bucket).
     Audit what was dropped with ``lsh_bucket_stats``. Pass None to
     disable."""
-    buckets = _capped_buckets(
-        _banded(sigs, bands, rows_per_band), max_bucket_size
-    ).filter(F.size("ids") >= 2)
-    # two-stage explode: first a row per bucket MEMBER (carrying the sorted
-    # id array — O(cap) ≈ 80 KB), then its strictly-greater partners. The
-    # O(b²) pair stream is generated row-by-row inside codegen — no single
-    # value ever holds a bucket's full pair set (a near-cap bucket would
-    # otherwise build a ~5·10^7-struct array in one row)
-    member = buckets.select(
-        F.array_sort(F.col("ids")).alias("ids")
-    ).select("ids", F.posexplode("ids").alias("i", "id_a"))
-    return (
-        member.select(
-            "id_a",
-            F.explode(
-                F.slice(F.col("ids"), F.col("i") + 2, F.size("ids"))
-            ).alias("id_b"),
-        )
-        .distinct()
-    )
+    return pairs_from_banded(_banded(sigs, bands, rows_per_band), max_bucket_size)
 
 
 def lsh_bucket_stats(
@@ -203,15 +223,9 @@ def lsh_bucket_stats(
     """Per-(band, key) bucket sizes with a ``dropped`` flag — the
     observability metric for the hot-bucket cap (report Σ dropped members
     alongside dedup results so silent truncation is visible)."""
-    sizes = _banded(sigs, bands, rows_per_band).groupBy("band", "key").agg(
-        F.count(F.lit(1)).alias("size")
+    return bucket_stats_from_banded(
+        _banded(sigs, bands, rows_per_band), max_bucket_size
     )
-    dropped = (
-        F.lit(False)
-        if max_bucket_size is None
-        else F.col("size") > max_bucket_size
-    )
-    return sizes.withColumn("dropped", dropped)
 
 
 def jaccard_from_shingles(

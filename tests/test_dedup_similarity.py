@@ -120,6 +120,106 @@ def test_lsh_hot_bucket_cap_bounds_pairs(spark):
     assert dropped and all(r["size"] == 40 for r in dropped)
 
 
+def test_embedding_lsh_hot_bucket_cap_bounds_pairs(spark):
+    """Planted degenerate-embedding hot bucket (40 near-identical vectors →
+    same hyperplane bucket in every band): the cap drops the bucket before
+    pair generation, normal near-dup pairs are unaffected, and the audit
+    reports the drop — the embedding-side analog of the MinHash cap test."""
+    from pyanomalydetector2_spark.operators.similarity import (
+        embedding_lsh_bucket_stats,
+    )
+
+    rng = np.random.default_rng(7)
+    dim = 16
+    base = rng.normal(0, 1, (30, dim))
+    planted = base[:6] + rng.normal(0, 0.005, (6, dim))  # real near-dups
+    degen_dir = rng.normal(0, 1, dim)
+    degen = degen_dir + rng.normal(0, 1e-4, (40, dim))  # the hot bucket
+    mat = np.vstack([base, planted])
+    pdf = pd.DataFrame(
+        {"vec_id": list(range(len(mat))) + [1000 + i for i in range(40)],
+         "embedding": [r.tolist() for r in np.vstack([mat, degen])]}
+    )
+    df = spark.createDataFrame(pdf)
+
+    uncapped = cosine_near_dup_pairs(
+        df, threshold=0.99, dims=dim, planes=6, bands=3, max_bucket_size=None
+    ).collect()
+    capped = cosine_near_dup_pairs(
+        df, threshold=0.99, dims=dim, planes=6, bands=3, max_bucket_size=10
+    ).collect()
+
+    # uncapped: the 40 degenerate vectors alone give 40·39/2 = 780 pairs
+    degen_unc = [r for r in uncapped if r["id_a"] >= 1000]
+    assert len(degen_unc) == 780
+    # capped: every bucket the degenerate vectors share exceeds the cap
+    assert not [r for r in capped if r["id_a"] >= 1000]
+    # pairs among normal vectors are unaffected by the cap, and the planted
+    # near-identical pairs are found
+    normal_unc = {tuple(r) for r in uncapped if r["id_b"] < 1000}
+    normal_cap = {tuple(r) for r in capped if r["id_b"] < 1000}
+    assert normal_cap == normal_unc
+    assert len(normal_cap) >= 6
+
+    stats = embedding_lsh_bucket_stats(
+        df, dims=dim, planes=6, bands=3, max_bucket_size=10
+    )
+    dropped = stats.filter("dropped").collect()
+    assert dropped and all(r["size"] >= 40 for r in dropped)
+
+
+def test_band_zero_matches_single_signature(spark):
+    """bands=1 banded signatures reproduce hyperplane_signature_udf
+    bit-for-bit (backwards compatibility of every stored bucket key)."""
+    from pyanomalydetector2_spark.operators.similarity import (
+        hyperplane_band_signatures_udf,
+        hyperplane_signature_udf,
+    )
+    from pyspark.sql import functions as F
+
+    df, _ = _emb_frame(spark, n=50, dim=16, n_dups=0)
+    single = hyperplane_signature_udf(16, 6)(F.col("embedding"))
+    banded = hyperplane_band_signatures_udf(16, 6, 3)(F.col("embedding"))
+    rows = df.select(
+        single.alias("s"), F.element_at(banded, 1).alias("b0")
+    ).collect()
+    assert rows and all(r["s"] == r["b0"] for r in rows)
+
+
+def test_ivf_persisted_index_matches_fresh(spark, tmp_path):
+    """The ANN analog of the pre-banded LSH index: build the IVF index
+    (centroids + per-row cell assignments), snapshot both, read them back,
+    and probe a query batch — results must be IDENTICAL to a fresh
+    ivf_topk over the same corpus."""
+    from pyanomalydetector2_spark.operators.similarity import (
+        ivf_assignments,
+        ivf_centroids,
+        ivf_probe_topk,
+        ivf_topk,
+    )
+    from pyanomalydetector2_spark.sources.catalog import SnapshotTable
+
+    df, _ = _emb_frame(spark, n=120, dim=16, n_dups=8)
+    queries = df.filter("vec_id < 10")
+
+    cents = ivf_centroids(df, n_cells=8)
+    assign = ivf_assignments(df, cents)
+    t_c = SnapshotTable(str(tmp_path / "ivf_centroids"))
+    t_a = SnapshotTable(str(tmp_path / "ivf_assign"))
+    t_c.write_snapshot(cents)
+    t_a.write_snapshot(assign, partition_by=["cell"])  # probe prunes cells
+
+    got = {
+        tuple(r) for r in ivf_probe_topk(
+            df, queries, t_c.read(spark), t_a.read(spark), k=5, nprobe=2
+        ).collect()
+    }
+    fresh = {
+        tuple(r) for r in ivf_topk(df, queries, k=5, nprobe=2, n_cells=8).collect()
+    }
+    assert got == fresh and len(fresh) == 50  # 10 queries × k=5
+
+
 def test_dup_clusters_components(spark):
     """Min-label propagation resolves components exactly: a 4-chain, a
     triangle, and an isolated pair each collapse to their min id — including
