@@ -249,6 +249,14 @@ def detect3_phase2(
 
     Returns the union of phase-1 survivors and phase-2 rescues — the
     reference's list(set(itemIds1 + itemIds2)) at detector.py:543-546.
+
+    DELIBERATE REDEFINITION (ADVICE r02 #3): when the recent sub-window has
+    no history rows at all, the reference's _detect3_batch
+    (detector.py:538-540) returns ALL input itemIds — an empty screen
+    passes everything through. Here an empty recent window rescues
+    NOTHING (only phase-1 survivors remain): promoting every item on
+    missing data inverts the screen's purpose and looks like a reference
+    bug, so it is not replicated.
     """
     failed = history.join(phase1_survivors, key, "left_anti")
     if recent_startep is not None:

@@ -358,7 +358,14 @@ def _drift_df_from_bins(
     group_col: str | None,
 ) -> DataFrame:
     """Shared no-collect PSI/KS engine over a prebuilt bin expression whose
-    values cover exactly 0..n_total-1."""
+    values cover exactly 0..n_total-1.
+
+    The baseline total is validated EAGERLY (one scalar aggregate — the
+    same tiny driver funnel class as the quantile variant's edge fetch):
+    an empty/all-null baseline raises the contract ValueError at the API
+    instead of NULL-propagating into vacuously-passing psi/ks rows
+    (ADVICE r02 #2); the validated scalar is then embedded as a literal,
+    which also drops one baseline scan from the main job."""
     from pyspark.sql import Window
 
     g = group_col or "_g"
@@ -370,7 +377,13 @@ def _drift_df_from_bins(
     cur_cnt = cur.groupBy(g, "bin").agg(F.count(F.lit(1)).alias("cur_bin_n"))
     base_cnt = base.groupBy("bin").agg(F.count(F.lit(1)).alias("base_bin_n"))
     cur_tot = cur_cnt.groupBy(g).agg(F.sum("cur_bin_n").alias("cur_n"))
-    base_tot = base_cnt.agg(F.sum("base_bin_n").alias("base_n"))
+    base_row = base_cnt.agg(F.sum("base_bin_n").alias("base_n")).first()
+    base_n = base_row["base_n"] if base_row else None
+    if base_n is None:
+        raise ValueError(
+            f"drift baseline for column {column!r} is empty or all-null — "
+            "PSI/KS against it is undefined (fix the baseline snapshot)"
+        )
 
     spark = current.sparkSession
     bins = spark.range(0, n_total).select(F.col("id").cast("int").alias("bin"))
@@ -378,7 +391,7 @@ def _drift_df_from_bins(
     j = (
         grid.join(cur_cnt, [g, "bin"], "left")
         .join(F.broadcast(base_cnt), ["bin"], "left")
-        .crossJoin(F.broadcast(base_tot))
+        .withColumn("base_n", F.lit(base_n).cast("long"))
     )
     p = F.coalesce(F.col("cur_bin_n"), F.lit(0)).cast("double") / F.col("cur_n") + F.lit(EPS)
     q = F.coalesce(F.col("base_bin_n"), F.lit(0)).cast("double") / F.col("base_n") + F.lit(EPS)

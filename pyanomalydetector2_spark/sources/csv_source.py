@@ -44,20 +44,27 @@ ITEMS_SCHEMA = T.StructType(
 
 
 
-def _read_csv_strict(spark: SparkSession, path: str, schema: T.StructType) -> DataFrame:
+def _read_csv_strict(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType,
+    required: list[str] | None = None,
+) -> DataFrame:
     """CSV read that drops malformed rows CONSISTENTLY: DROPMALFORMED only
     drops a row when a column the query actually reads fails to parse, so
     with column pruning the same file yields different row sets per query
     (and the corrupt-record-column trick is pruned away the same way).
-    Instead, whole-row validity = EVERY schema column parsed: the filter
-    references all columns, so no projection can prune the parse, and a
-    row with any bad/missing field is dropped for every consumer — the
-    reference CsvGetter's whole-row semantics (these feeds have no
-    legitimately-null fields)."""
+    Instead, row validity = every REQUIRED column parsed: the filter
+    references the required columns regardless of projection, so no
+    projection can prune the parse, and a row with a bad/missing required
+    field is dropped for every consumer. ``required`` defaults to ALL
+    schema columns (the reference CsvGetter's whole-row history semantics,
+    csv_getter.py:25-69); trends/items restrict it to their key columns
+    per the reference's per-feed behavior (ADVICE r02 #1)."""
     df = spark.read.csv(path, header=True, schema=schema, mode="PERMISSIVE")
     cond = None
-    for f in schema.fields:
-        c = F.col(f.name).isNotNull()
+    for name in required if required is not None else schema.fieldNames():
+        c = F.col(name).isNotNull()
         cond = c if cond is None else cond & c
     return df.filter(cond)
 
@@ -91,9 +98,16 @@ def read_trends_csv(
 ) -> DataFrame:
     """S2 — trends scan, 5 columns (csv_getter.py:80-112). Explicit
     keywords (no **kw): a typo'd or unsupported option must fail loudly,
-    not silently skip the filter."""
-    df = _read_csv_strict(spark, path, TRENDS_SCHEMA)
-    df = df.filter(F.col("itemid").isNotNull() & F.col("clock").isNotNull())
+    not silently skip the filter.
+
+    Per-feed strictness matches the reference: only itemid/clock must
+    parse; rows with null value_min/avg/max are KEPT with the values
+    filled to 0 — the reference's get_trends_full_data does fillna(0)
+    (csv_getter.py:80-112), it does not drop partially-filled rows."""
+    df = _read_csv_strict(
+        spark, path, TRENDS_SCHEMA, required=["itemid", "clock"]
+    )
+    df = df.fillna(0.0, subset=["value_min", "value_avg", "value_max"])
     if startep is not None:
         df = df.filter(F.col("clock") >= startep)
     if endep is not None:
@@ -111,8 +125,10 @@ def trends_as_value(trends: DataFrame) -> DataFrame:
 def read_items_csv(
     spark: SparkSession, path: str, item_ids: list[int] | None = None
 ) -> DataFrame:
-    """S4 — items dimension scan (csv_getter.py:150-158)."""
-    df = _read_csv_strict(spark, path, ITEMS_SCHEMA)
+    """S4 — items dimension scan (csv_getter.py:150-158). The reference's
+    get_items_details drops nothing; only the itemid key must parse here
+    (a keyless dimension row is unjoinable either way)."""
+    df = _read_csv_strict(spark, path, ITEMS_SCHEMA, required=["itemid"])
     if item_ids:
         df = df.filter(F.col("itemid").isin(item_ids))
     return df

@@ -124,6 +124,13 @@ def test_quantile_drift_distributed_matches_funnel(spark):
     with pytest.raises(ValueError, match="empty or all-null"):
         dqdf(cur, empty, "x", nbins=10)
 
+    # the uniform-bin distributed variant enforces the same contract at the
+    # API instead of NULL-propagating into vacuously-passing rows
+    from pyanomalydetector2_spark.operators.drift import drift_scores_df
+
+    with pytest.raises(ValueError, match="empty or all-null"):
+        drift_scores_df(cur, empty, "x", 50.0, 150.0, nbins=10)
+
 
 def test_drift_per_group(spark):
     rng = np.random.default_rng(13)

@@ -81,6 +81,38 @@ def test_trends_csv_reader_filters(spark, tmp_path):
         read_trends_csv(spark, p, startp=150)  # typo must fail loudly
 
 
+def test_trends_partial_rows_fill_zero_items_keep_all(spark, tmp_path):
+    """Per-feed strictness matches the reference (ADVICE r02 #1): trends
+    rows with null value columns are KEPT with fillna(0) (reference
+    get_trends_full_data); items drops nothing beyond an unparsable key;
+    only history has whole-row strictness."""
+    from pyanomalydetector2_spark.sources.csv_source import (
+        read_items_csv,
+        read_trends_csv,
+    )
+
+    p = str(tmp_path / "t.csv")
+    with open(p, "w") as f:
+        f.write("itemid,clock,value_min,value_avg,value_max\n")
+        f.write("1,100,0.5,1.0,1.5\n")
+        f.write("2,100,,,\n")        # partial → kept, values filled to 0
+        f.write("bad,row,x,y,z\n")   # unparsable key → dropped
+    rows = {
+        r.itemid: (r.value_min, r.value_avg, r.value_max)
+        for r in read_trends_csv(spark, p).collect()
+    }
+    assert rows == {1: (0.5, 1.0, 1.5), 2: (0.0, 0.0, 0.0)}
+
+    pi = str(tmp_path / "i.csv")
+    with open(pi, "w") as f:
+        f.write("group_name,hostid,host_name,itemid,item_name\n")
+        f.write("g1,1,h1,10,cpu\n")
+        f.write(",,,11,\n")          # null dims → kept (reference drops nothing)
+        f.write("g2,2,h2,oops,mem\n")  # unparsable itemid → dropped
+    items = {r.itemid for r in read_items_csv(spark, pi).collect()}
+    assert items == {10, 11}
+
+
 def test_export_reimport(spark, tmp_path):
     src = spark.createDataFrame(
         [(1, 100, 0.5), (2, 200, 1.5)], "itemid long, clock long, value double"
