@@ -38,16 +38,26 @@ from pyanomalydetector2_spark.sources.tables import events_as_series, load_table
 # driver's session timezone is not UTC); the oracle's naive TIMESTAMP
 # literal is UTC by DuckDB convention.
 _CUT = "2024-01-28 00:00:00"
-_CUT_EP = 1706400000  # epoch seconds of _CUT (UTC)
+
+
+def _ntz(ts_str: str):
+    """Constant-folded TIMESTAMP_NTZ literal: comparisons against it reach
+    the parquet scan as PushedFilters (unix_timestamp(col) wrapped the
+    column in a function and blocked pushdown — caught by the
+    tests/test_plans_contract.py gate). For integer-second cutoffs the
+    rewrite is exact: floor(epoch) < N  <=>  ts < N and floor(epoch) >= N
+    <=> ts >= N, sub-second values included."""
+    return F.to_timestamp_ntz(F.lit(ts_str))
+
 # thresholds scaled to the synthetic events distribution so the screen has a
 # non-trivial survivor set (semantics identical to the reference's λ1 screen)
 _LAMBDA1 = 0.5
 _IGNORE_DIFF_RATE = 0.05
 _TRENDS_MIN_COUNT = 3
-# TPC-H cut epochs (UTC) — Spark compares unix_timestamp, the oracle a
-# naive TIMESTAMP literal; epoch comparison keeps Spark session-tz-proof
-_Q1_CUT_EP = 912470400   # 1998-12-01 00:00:00 UTC
-_Q3_CUT_EP = 889920000   # 1998-03-15 00:00:00 UTC
+# TPC-H cuts — Spark compares the TIMESTAMP_NTZ column to an NTZ literal
+# (tz-proof AND pushed to the scan); the oracle uses the same naive literal
+_Q1_CUT = "1998-12-01 00:00:00"
+_Q3_CUT = "1998-03-15 00:00:00"
 
 # single source of truth: the oracle SQL is generated from the SAME
 # constants the Spark operators compute with (operators/text.py)
@@ -81,14 +91,14 @@ def q_zscore_screen(spark: SparkSession, sf: str) -> DataFrame:
     ev = load_table(spark, sf, "events").select(
         F.col("user_id").alias("itemid"), "ts", "value"
     )
-    trend = moment_stats(ev.filter(F.unix_timestamp("ts") < _CUT_EP), ["itemid"]).select(
+    trend = moment_stats(ev.filter(F.col("ts") < _ntz(_CUT)), ["itemid"]).select(
         "itemid",
         F.col("mean").alias("mean_t"),
         F.col("std").alias("std_t"),
         F.col("cnt").alias("cnt_t"),
     )
     recent = (
-        ev.filter(F.unix_timestamp("ts") >= _CUT_EP)
+        ev.filter(F.col("ts") >= _ntz(_CUT))
         .groupBy("itemid")
         .agg(F.avg("value").alias("mean_h"))
     )
@@ -485,8 +495,8 @@ def q_incremental_merge(spark: SparkSession, sf: str) -> DataFrame:
     ev = load_table(spark, sf, "events").select(
         F.col("user_id").alias("itemid"), "ts", "value"
     )
-    a = moment_stats(ev.filter(F.unix_timestamp("ts") < _CUT_EP), ["itemid"])
-    b = moment_stats(ev.filter(F.unix_timestamp("ts") >= _CUT_EP), ["itemid"])
+    a = moment_stats(ev.filter(F.col("ts") < _ntz(_CUT)), ["itemid"])
+    b = moment_stats(ev.filter(F.col("ts") >= _ntz(_CUT)), ["itemid"])
     m = merge_moments(a, b, ["itemid"])
     s4 = F.round("sum", 4)
     q2 = F.round("sqr_sum", 4)
@@ -526,7 +536,7 @@ def q_detect2_screen(spark: SparkSession, sf: str) -> DataFrame:
     ev = load_table(spark, sf, "events").select(
         F.col("user_id").alias("itemid"), "ts", "event_id", "value"
     )
-    trend = ev.filter(F.unix_timestamp("ts") < _CUT_EP)
+    trend = ev.filter(F.col("ts") < _ntz(_CUT))
     w = Window.partitionBy("itemid").orderBy("ts", "event_id")
     diffs = trend.withColumn(
         "diff", F.col("value") - F.lag("value").over(w)
@@ -538,7 +548,7 @@ def q_detect2_screen(spark: SparkSession, sf: str) -> DataFrame:
         F.max_by("value", F.struct("ts", "event_id")).alias("last_t")
     )
     recent = (
-        ev.filter(F.unix_timestamp("ts") >= _CUT_EP)
+        ev.filter(F.col("ts") >= _ntz(_CUT))
         .groupBy("itemid")
         .agg(F.max("value").alias("max_h"), F.min("value").alias("min_h"))
     )
@@ -564,11 +574,11 @@ def _detect3_screen(spark: SparkSession, sf: str, extra_cols: tuple = ()):
     ev = load_table(spark, sf, "events").select(
         F.col("user_id").alias("itemid"), "ts", *extra_cols, "value"
     )
-    tstats = moment_stats(ev.filter(F.unix_timestamp("ts") < _CUT_EP), ["itemid"]).select(
+    tstats = moment_stats(ev.filter(F.col("ts") < _ntz(_CUT)), ["itemid"]).select(
         "itemid", F.col("mean").alias("mean_t"), F.col("std").alias("std_t")
     )
     h = (
-        ev.filter(F.unix_timestamp("ts") >= _CUT_EP)
+        ev.filter(F.col("ts") >= _ntz(_CUT))
         .join(F.broadcast(tstats), "itemid")
         .filter(F.col("std_t") > 0)
     )
@@ -747,7 +757,7 @@ def q_tpch_q1(spark: SparkSession, sf: str) -> DataFrame:
     """TPC-H Q1 pricing summary — the canonical scan→filter→agg shape
     (predicate pushdown + map-side combine)."""
     li = load_table(spark, sf, "lineitem").filter(
-        F.unix_timestamp("l_shipdate") <= _Q1_CUT_EP  # tz-independent cut
+        F.col("l_shipdate") <= _ntz(_Q1_CUT)  # date-granular: <= is exact
     )
     return li.groupBy("l_returnflag", "l_linestatus").agg(
         _r(F.sum("l_quantity"), 2).alias("sum_qty"),
@@ -777,10 +787,10 @@ def q_tpch_q3(spark: SparkSession, sf: str) -> DataFrame:
         F.col("c_mktsegment") == "BUILDING"
     )
     orders = load_table(spark, sf, "orders").filter(
-        F.unix_timestamp("o_orderdate") < _Q3_CUT_EP  # tz-independent cuts
+        F.col("o_orderdate") < _ntz(_Q3_CUT)
     )
     li = load_table(spark, sf, "lineitem").filter(
-        F.unix_timestamp("l_shipdate") > _Q3_CUT_EP
+        F.col("l_shipdate") > _ntz(_Q3_CUT)
     )
     sel_orders = orders.join(
         F.broadcast(cust), orders.o_custkey == cust.c_custkey
@@ -847,8 +857,8 @@ def q_drift_psi(spark: SparkSession, sf: str) -> DataFrame:
     from pyanomalydetector2_spark.operators.drift import drift_scores_df
 
     ev = load_table(spark, sf, "events")
-    cur = ev.filter(F.unix_timestamp("ts") >= _CUT_EP)
-    base = ev.filter(F.unix_timestamp("ts") < _CUT_EP)
+    cur = ev.filter(F.col("ts") >= _ntz(_CUT))
+    base = ev.filter(F.col("ts") < _ntz(_CUT))
     d = drift_scores_df(
         cur, base, "value", _DRIFT_LO, _DRIFT_HI, _DRIFT_NBINS, "event_type"
     )

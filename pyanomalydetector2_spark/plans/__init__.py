@@ -58,3 +58,38 @@ def assert_broadcast_join(df: DataFrame) -> None:
 
 def count_shuffles(df: DataFrame) -> int:
     return physical_plan(df).count("Exchange hashpartitioning")
+
+
+def audit_plan(df: DataFrame, execute: bool = True) -> dict:
+    """Structured audit of the FINAL physical plan (shared by
+    tools/plan_audit.py and tests/test_plans_contract.py). With
+    ``execute=True`` the DataFrame is collected first so AQE finalizes its
+    adaptive plan — codegen markers and runtime join-strategy switches
+    only appear in the final plan of the executed instance."""
+    import re
+
+    if execute:
+        df.collect()
+    # an executed AQE plan prints the FINAL plan followed by the pre-AQE
+    # "Initial Plan" — count only the final section or everything doubles
+    plan = physical_plan(df).split("== Initial Plan ==")[0]
+    fmt = explain_formatted(df)
+    pushed = re.findall(r"PushedFilters: \[([^\]]*)\]", fmt)
+    schemas = re.findall(r"ReadSchema: struct<([^>]*)>", fmt)
+    return {
+        "shuffles": plan.count("Exchange hashpartitioning"),
+        "broadcasts": plan.count("BroadcastHashJoin"),
+        "sorts_global": plan.count("Exchange rangepartitioning"),
+        # a shuffle-based cartesian is ALWAYS a regression; a broadcast
+        # nested-loop join is bounded by its broadcast side and is the
+        # legitimate shape for tiny-literal grids / brute-force baselines —
+        # reported separately so gates can allow it where intended
+        "cartesian": plan.count("CartesianProduct"),
+        "bnlj": plan.count("BroadcastNestedLoopJoin"),
+        "codegen_spans": len(set(re.findall(r"\*\((\d+)\)", plan))),
+        "python_nodes": plan.count("ArrowEvalPython")
+        + plan.count("MapInPandas")
+        + plan.count("FlatMapGroupsInPandas"),
+        "pushed": [p for p in pushed if p],
+        "scan_cols": [len(s.split(",")) for s in schemas],
+    }

@@ -1,0 +1,86 @@
+"""Plan-regression gate over the most expensive contract queries
+(VERDICT r02 next-round #6): the assertions tools/plan_audit.py used to
+check by hand now fail CI when a plan regresses — a global sort sneaking
+into a pipeline, a join degrading to cartesian, a time filter no longer
+reaching the parquet scan, a broadcast turning into a shuffled join.
+
+Runs at sf0.001 (plan SHAPE is scale-invariant for these checks; AQE is
+finalized by executing each query, which is milliseconds at this SF).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+import __spark_entry__ as ent
+from pyanomalydetector2_spark.plans import audit_plan
+
+SF = "/root/testdata/sf0.001"
+
+
+def _audit(spark, name):
+    return audit_plan(ent.queries()[name](spark, SF))
+
+
+# the bench's most expensive pipelines: any global sort or cartesian here
+# is a regression (their r02-audited shapes have neither)
+HEAVY = [
+    "dedup_keep_best",
+    "dup_clusters",
+    "near_dup_incremental",
+    "embedding_near_dup",
+    "drift_psi",
+    "minhash_lsh_pairs",
+    "ngram_jaccard_pairs",
+]
+
+
+@pytest.mark.parametrize("name", HEAVY)
+def test_heavy_queries_no_global_sort_no_cartesian(spark, name):
+    a = _audit(spark, name)
+    assert a["sorts_global"] == 0, f"{name}: global sort crept in"
+    assert a["cartesian"] == 0, f"{name}: shuffle cartesian crept in"
+    # broadcast nested-loop joins are allowed ONLY for the tiny-literal
+    # grids that want them (drift_psi's static bin grid)
+    allowed_bnlj = {"drift_psi": 1}.get(name, 0)
+    assert a["bnlj"] <= allowed_bnlj, f"{name}: unexpected nested-loop join"
+
+
+def test_zscore_screen_pushes_time_filter(spark):
+    """The detect screen's time-range predicate must reach the parquet
+    scan (PushedFilters) and the scan must stay column-pruned."""
+    a = _audit(spark, "zscore_screen")
+    assert any("ts" in p or "clock" in p for p in a["pushed"]), (
+        f"time filter not pushed: {a['pushed']}"
+    )
+    assert a["scan_cols"] and max(a["scan_cols"]) <= 4, (
+        f"scan reads too many columns: {a['scan_cols']}"
+    )
+
+
+def test_star_join_broadcasts_dims(spark):
+    """The metadata star join must broadcast its dimension sides, not
+    shuffle them."""
+    a = _audit(spark, "star_join_agg")
+    assert a["broadcasts"] >= 1, "star join lost its broadcast"
+
+
+def test_drift_psi_shape(spark):
+    """drift_psi: fully distributed (two column-pruned scans, broadcast
+    grid/baseline, fixed-order running window) — bounded shuffles, no
+    driver funnel, no global sort."""
+    a = _audit(spark, "drift_psi")
+    assert a["broadcasts"] >= 1
+    assert a["shuffles"] <= 5, f"shuffle blowup: {a['shuffles']}"
+
+
+def test_ann_paths_stay_bucketed(spark):
+    """ANN queries must keep the bucket/cell join shuffled-or-broadcast on
+    the join key — a cartesian there means the candidate pruning is gone.
+    (brute-force embedding_topk is the one INTENTIONAL cross join and is
+    excluded by design.)"""
+    for name in ("ann_lsh_topk", "ann_ivf_topk", "ann_ivf_index_topk"):
+        a = _audit(spark, name)
+        assert a["cartesian"] == 0, f"{name}: bucket join degraded to cartesian"
+        assert a["bnlj"] == 0, f"{name}: bucket join degraded to nested loop"
+        assert a["sorts_global"] == 0, f"{name}: global sort crept in"
