@@ -6,8 +6,18 @@ Each query is forced with the noop sink (full computation, no driver
 collection). A warmup pass absorbs JVM/codegen startup so numbers reflect
 steady-state plan execution.
 
-Env knobs: SPARK_GRAFT_SF_DIR, SPARK_GRAFT_CPUS, BENCH_REPEAT (default 2,
-best-of), BENCH_WARMUP (default 1).
+Measurement design (VERDICT r02 next-round #7): this sandbox's hosting
+throughput varies >2× BETWEEN episodes, so round-robin INTERLEAVING inside
+one session is the only layout where per-query numbers are comparable —
+every query samples the same episode conditions, and a mid-episode slowdown
+taxes all queries equally instead of whichever query it landed on. The
+reported per-query figure is the MEDIAN across rounds (robust to one
+slow round; best-of hides systematic cost, mean chases outliers).
+
+Env knobs: SPARK_GRAFT_SF_DIR, SPARK_GRAFT_CPUS, BENCH_REPEAT (default 3
+measured rounds), BENCH_WARMUP (default 1 discarded round), BENCH_ONLY
+(comma-separated query subset), BENCH_SAMPLES=1 (include raw per-round
+samples in the JSON for noise attribution).
 """
 
 from __future__ import annotations
@@ -15,6 +25,7 @@ from __future__ import annotations
 import json
 import os
 import re
+import statistics
 import sys
 import time
 
@@ -31,9 +42,6 @@ def force(df) -> None:
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-    # best-of-3 by default: this sandbox's hosting throughput varies >2×
-    # between episodes (BENCH/BASELINE.md §6) — the per-query floor is the
-    # stable quantity, and a third repeat costs ~30 s against that noise
     repeat = int(os.environ.get("BENCH_REPEAT", "3"))
     warmup = int(os.environ.get("BENCH_WARMUP", "1"))
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -46,33 +54,36 @@ def main() -> None:
     only = {s for s in os.environ.get("BENCH_ONLY", "").split(",") if s}
     if only:
         qs = {k: v for k, v in qs.items() if k in only}
-    timings: dict[str, float] = {}
-    for name, fn in qs.items():
-        for _ in range(warmup):
-            force(fn(spark, sf_dir))
-        best = float("inf")
-        for _ in range(repeat):
+
+    samples: dict[str, list[float]] = {name: [] for name in qs}
+    for rnd in range(warmup + repeat):
+        for name, fn in qs.items():
             t0 = time.time()
             force(fn(spark, sf_dir))
-            best = min(best, time.time() - t0)
-        timings[name] = round(best, 4)
-        # queries that persist intermediates (shared shingle frames) must
-        # not leak cache blocks into later queries' measurements
-        spark.catalog.clearCache()
+            dt = time.time() - t0
+            if rnd >= warmup:
+                samples[name].append(round(dt, 4))
+            # queries that persist intermediates (shared shingle frames)
+            # must not leak cache blocks into later queries' measurements
+            spark.catalog.clearCache()
 
+    timings = {
+        name: round(statistics.median(s), 4) for name, s in samples.items()
+    }
     total = round(sum(timings.values()), 4)
-    print(
-        json.dumps(
-            {
-                "metric": "suite_wall_sec",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-                "cpus": cpus,
-            }
-        )
-    )
+    out = {
+        "metric": "suite_wall_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "cpus": cpus,
+        "stat": "median_interleaved",
+        "rounds": repeat,
+    }
+    if os.environ.get("BENCH_SAMPLES"):
+        out["samples"] = samples
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":
