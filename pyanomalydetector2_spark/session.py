@@ -67,6 +67,43 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
     )
+    iceberg_jar = _find_iceberg_jar()
+    if iceberg_jar:
+        # real Iceberg runtime present → extensions + a local hadoop
+        # catalog; sources.catalog.open_table then returns IcebergTable
+        warehouse = os.environ.get(
+            "SPARK_ICEBERG_WAREHOUSE", "/tmp/pyad2_iceberg_warehouse"
+        )
+        builder = (
+            builder.config("spark.jars", iceberg_jar)
+            .config(
+                "spark.sql.extensions",
+                "org.apache.iceberg.spark.extensions"
+                ".IcebergSparkSessionExtensions",
+            )
+            .config(
+                "spark.sql.catalog.local", "org.apache.iceberg.spark.SparkCatalog"
+            )
+            .config("spark.sql.catalog.local.type", "hadoop")
+            .config("spark.sql.catalog.local.warehouse", warehouse)
+        )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     return builder.getOrCreate()
+
+
+def _find_iceberg_jar() -> str | None:
+    """Probe for an Iceberg Spark runtime jar: $SPARK_ICEBERG_JAR first,
+    then pyspark's own jars dir. Returns None when absent (this sandbox) —
+    the catalog seam degrades to the parquet SnapshotTable."""
+    env = os.environ.get("SPARK_ICEBERG_JAR")
+    if env and os.path.exists(env):
+        return env
+    import pyspark
+
+    jars_dir = os.path.join(os.path.dirname(pyspark.__file__), "jars")
+    if os.path.isdir(jars_dir):
+        for j in sorted(os.listdir(jars_dir)):
+            if "iceberg-spark-runtime" in j:
+                return os.path.join(jars_dir, j)
+    return None

@@ -1,23 +1,29 @@
-"""Parquet-backed snapshot catalog with an Iceberg-shaped API.
+"""Snapshot catalog with an Iceberg-shaped API and a runtime-probed backend.
 
-The sandbox has no Iceberg runtime jars, so this provides the same surface
-the engine needs from Iceberg (SURVEY §1.4 / §7 risk note: "detect and
-degrade to parquet + manual snapshot dirs while keeping the same API shape"):
+``open_table(spark, path)`` returns the best available backend:
 
-- immutable snapshots with monotonically increasing ids (time travel),
-- MERGE-style upsert producing a new snapshot (the reference's
-  ON CONFLICT upserts, S14-S16 in SURVEY §2.1),
-- partition-directory layout (``bucket=<k>``) so bucket-filtered reads prune
-  at the file level exactly like Iceberg partition pruning.
+- ``IcebergTable`` when an Iceberg Spark runtime is on the session's
+  classpath AND a catalog is configured — real ``MERGE INTO`` /
+  ``VERSION AS OF`` / ``expire_snapshots`` (VERDICT r02 next-round #5);
+- ``SnapshotTable`` otherwise — parquet + manual snapshot dirs with the
+  SAME surface (SURVEY §1.4 / §7 risk note: "detect and degrade to
+  parquet … while keeping the same API shape"):
 
-On a real cluster, swap ``SnapshotTable`` for ``spark.table("cat.db.t")`` +
-``MERGE INTO`` / ``VERSION AS OF``; every caller goes through this seam.
+  - immutable snapshots with monotonically increasing ids (time travel),
+  - MERGE-style upsert producing a new snapshot (the reference's
+    ON CONFLICT upserts, S14-S16 in SURVEY §2.1),
+  - partition-directory layout (``bucket=<k>``) so bucket-filtered reads
+    prune at the file level exactly like Iceberg partition pruning.
+
+Every caller goes through this seam; ``table.backend`` reports which
+implementation a run actually used.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import re
 import shutil
 import time
 
@@ -25,7 +31,118 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
+def iceberg_available(spark: SparkSession) -> bool:
+    """True iff the Iceberg Spark runtime classes are loadable in this
+    session's JVM (jar shipped via spark.jars/--packages)."""
+    try:
+        spark._jvm.java.lang.Class.forName(  # type: ignore[union-attr]
+            "org.apache.iceberg.spark.extensions.IcebergSparkSessionExtensions"
+        )
+        return True
+    except Exception:
+        return False
+
+
+def iceberg_catalog(spark: SparkSession) -> str | None:
+    """Name of the first configured Iceberg catalog, or None."""
+    for k, v in spark.sparkContext.getConf().getAll():
+        m = re.fullmatch(r"spark\.sql\.catalog\.(\w+)", k)
+        if m and "iceberg" in v.lower():
+            return m.group(1)
+    return None
+
+
+def open_table(spark: SparkSession, path: str, ident: str | None = None):
+    """Backend factory: Iceberg when runtime + catalog are present, else
+    the parquet SnapshotTable. ``ident`` names the Iceberg table
+    (``db.table``); defaults to a sanitized form of ``path``'s basename."""
+    cat = iceberg_catalog(spark) if iceberg_available(spark) else None
+    if cat:
+        name = ident or re.sub(r"\W+", "_", os.path.basename(path.rstrip("/")))
+        return IcebergTable(spark, f"{cat}.default.{name}")
+    return SnapshotTable(path)
+
+
+class IcebergTable:
+    """The real-Iceberg implementation of the SnapshotTable surface.
+
+    Requires an Iceberg runtime jar + a configured catalog (probed by
+    ``open_table``); exercised only on clusters that ship the jar — this
+    sandbox has none, so CI covers the parquet backend and the probe."""
+
+    backend = "iceberg"
+
+    def __init__(self, spark: SparkSession, ident: str):
+        self.spark = spark
+        self.ident = ident
+
+    def _snapshot_ids(self) -> list[int]:
+        rows = self.spark.sql(
+            f"SELECT snapshot_id FROM {self.ident}.snapshots "
+            "ORDER BY committed_at"
+        ).collect()
+        return [r["snapshot_id"] for r in rows]
+
+    def snapshots(self) -> list[int]:
+        return self._snapshot_ids()
+
+    def current_snapshot(self) -> int | None:
+        ids = self._snapshot_ids()
+        return ids[-1] if ids else None
+
+    def write_snapshot(
+        self, df: DataFrame, partition_by: list[str] | None = None
+    ) -> int:
+        w = df.writeTo(self.ident)
+        if partition_by:
+            w = w.partitionedBy(*[F.col(c) for c in partition_by])
+        w.createOrReplace()
+        return self.current_snapshot()
+
+    def append(self, df: DataFrame, partition_by: list[str] | None = None) -> int:
+        if not self.spark.catalog.tableExists(self.ident):
+            return self.write_snapshot(df, partition_by)
+        df.writeTo(self.ident).append()
+        return self.current_snapshot()
+
+    def merge_upsert(
+        self, df: DataFrame, keys: list[str], partition_by: list[str] | None = None
+    ) -> int:
+        if not self.spark.catalog.tableExists(self.ident):
+            return self.write_snapshot(df, partition_by)
+        df.createOrReplaceTempView("_merge_src")
+        on = " AND ".join(f"t.{k} = s.{k}" for k in keys)
+        self.spark.sql(
+            f"MERGE INTO {self.ident} t USING _merge_src s ON {on} "
+            "WHEN MATCHED THEN UPDATE SET * "
+            "WHEN NOT MATCHED THEN INSERT *"
+        )
+        return self.current_snapshot()
+
+    def delete_where(self, condition: str) -> int:
+        self.spark.sql(f"DELETE FROM {self.ident} WHERE {condition}")
+        return self.current_snapshot()
+
+    def read(self, spark: SparkSession, snapshot_id: int | None = None) -> DataFrame:
+        if snapshot_id is not None:
+            return spark.read.option("snapshot-id", snapshot_id).table(self.ident)
+        return spark.table(self.ident)
+
+    def expire_snapshots(self, keep_last: int = 2) -> list[int]:
+        ids = self._snapshot_ids()
+        drop = ids[:-keep_last] if keep_last else ids
+        cat = self.ident.split(".")[0]
+        for sid in drop:
+            self.spark.sql(
+                f"CALL {cat}.system.expire_snapshots"
+                f"(table => '{self.ident}', snapshot_ids => ARRAY({sid}))"
+            )
+        return drop
+
+
 class SnapshotTable:
+    backend = "parquet"
+
     def __init__(self, path: str):
         self.path = path
         os.makedirs(path, exist_ok=True)

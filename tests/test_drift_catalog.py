@@ -150,8 +150,32 @@ def test_drift_per_group(spark):
     assert rows[0]["ks"] == pytest.approx(k0, rel=1e-9)
 
 
+def test_open_table_probe_reports_backend(spark, tmp_path):
+    """The catalog seam probes the session for an Iceberg runtime and
+    reports which backend a run actually used. This sandbox ships no
+    Iceberg jar, so the probe must come back False and open_table must
+    hand out the parquet SnapshotTable; on a cluster with the jar +
+    catalog configured the SAME call returns IcebergTable."""
+    from pyanomalydetector2_spark.sources.catalog import (
+        iceberg_available,
+        iceberg_catalog,
+        open_table,
+    )
+
+    assert iceberg_available(spark) is False
+    assert iceberg_catalog(spark) is None
+    t = open_table(spark, str(tmp_path / "probe"))
+    assert t.backend == "parquet"
+    t.write_snapshot(spark.createDataFrame([(1,)], "id int"))
+    assert t.read(spark).count() == 1
+
+
 def test_snapshot_catalog_roundtrip(spark, tmp_path):
-    t = SnapshotTable(str(tmp_path / "t"))
+    """The full snapshot lifecycle against whatever backend open_table
+    offers (parquet here; same assertions hold for Iceberg)."""
+    from pyanomalydetector2_spark.sources.catalog import open_table
+
+    t = open_table(spark, str(tmp_path / "t"))
     df1 = spark.createDataFrame([(1, "a"), (2, "b")], "id int, v string")
     s1 = t.write_snapshot(df1)
     df2 = spark.createDataFrame([(2, "B"), (3, "c")], "id int, v string")
