@@ -226,7 +226,40 @@ def image_header(payload: bytes) -> tuple[int, int, int]:
                 f"comp={comp}, w={w}, h={h})"
             )
         return w, abs(h), 3
+    if payload[:2] == b"\xff\xd8":
+        return jpeg_header(payload)
     return png_header(payload)
+
+
+def jpeg_header(payload: bytes) -> tuple[int, int, int]:
+    """(width, height, channels) from a JPEG SOF0/SOF1 frame header —
+    same profile jpeg_codec.decode_jpeg accepts (baseline/extended
+    sequential Huffman; progressive raises)."""
+    if payload[:2] != b"\xff\xd8":
+        raise UnsupportedImageError("not a JPEG payload")
+    pos, n = 2, len(payload)
+    while pos + 3 < n:
+        if payload[pos] != 0xFF:
+            raise UnsupportedImageError("marker expected")
+        marker = payload[pos + 1]
+        pos += 2
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            continue
+        if marker == 0xD9:
+            break
+        (seglen,) = struct.unpack_from(">H", payload, pos)
+        if marker in (0xC0, 0xC1):
+            h, w = struct.unpack_from(">HH", payload, pos + 3)
+            nc = payload[pos + 7]
+            return w, h, (3 if nc == 3 else nc)
+        if marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+                      0xCD, 0xCE, 0xCF):
+            raise UnsupportedImageError(
+                f"SOF{marker - 0xC0}: only baseline/extended-sequential "
+                "Huffman JPEG is supported"
+            )
+        pos += seglen
+    raise UnsupportedImageError("no SOF marker found")
 
 
 def decode_image(payload: bytes) -> np.ndarray:
@@ -235,4 +268,8 @@ def decode_image(payload: bytes) -> np.ndarray:
         raise UnsupportedImageError("empty payload")
     if payload[:2] == b"BM":
         return decode_bmp(payload)
+    if payload[:2] == b"\xff\xd8":
+        from pyanomalydetector2_spark.operators.jpeg_codec import decode_jpeg
+
+        return decode_jpeg(payload)
     return decode_png(payload)
