@@ -16,7 +16,8 @@ the numeric row id through a splitmix64 hash, so:
 
 Audio payload: a seeded sine wave quantized to int16 LE ("pcm_s16le"). For
 non-PCM codecs the payload is the same PCM prefixed with a 4-byte magic tag —
-a clearly-marked deterministic fake (real flac/opus/mp3 codecs aren't in this
+a clearly-marked deterministic fake for opus/mp3 (libraries absent); flac
+rows now carry REAL FLAC streams (operators/flac_codec.py, lossless
 container); the Spark-side plumbing (binary column, Arrow batches, decode UDF
 signature) is real. Payload length is fixed at PCM_SAMPLES regardless of
 dur_ms (clip "head" — engines store full audio in object storage; the
@@ -217,6 +218,10 @@ def _gen_batch(
 
             enc = encode_mulaw if codec[i] == "pcm_mulaw" else encode_alaw
             payloads.append(enc(quant[i]).tobytes())
+        elif codec[i] == "flac":  # REAL FLAC (lossless — decode == quant)
+            from pyanomalydetector2_spark.operators.flac_codec import encode_flac
+
+            payloads.append(encode_flac(quant[i].astype(np.int64), int(sr[i])))
         else:
             payloads.append(CODEC_MAGIC.get(codec[i], b"") + quant[i].tobytes())
 

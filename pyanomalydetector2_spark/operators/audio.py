@@ -12,11 +12,13 @@ pruning keeps the ``bytes`` column out of every other operator's scan
 (SURVEY §4 — the profile/uniqueness/drift passes never touch it).
 
 Codec handling — REAL paths: ``pcm_s16le`` (int16 LE → float), ``wav``
-(RIFF parse, format tags 1/7/6), and ``pcm_mulaw`` / ``pcm_alaw`` (actual
-G.711 companding, operators/g711.py — byte-exact vs CPython's audioop).
-The remaining codecs in the dim table (flac/opus/mp3) carry a 4-byte magic
-tag over the same PCM — a clearly-marked deterministic fake (those need
-codec libraries this container lacks; see datagen.clips docstring).
+(RIFF parse, format tags 1/7/6), ``pcm_mulaw`` / ``pcm_alaw`` (actual
+G.711 companding, operators/g711.py — byte-exact vs CPython's audioop),
+and ``flac`` (full bitstream decoder, operators/flac_codec.py — CRC-8/16
+and STREAMINFO-MD5 verified). The remaining codecs in the dim table
+(opus/mp3) carry a 4-byte magic tag over the same PCM — a clearly-marked
+deterministic fake (those need codec libraries this container lacks; see
+datagen.clips docstring).
 ``decode_pcm_batch`` is the single seam where pyav/soundfile would plug
 in. Unknown codecs → decode failure (decode_ok=false), which the suite
 surfaces as a violation.
@@ -117,9 +119,10 @@ def encode_wav(pcm16: np.ndarray, sr_hz: int = 16000, fmt_tag: int = 1) -> bytes
 def decode_pcm_batch(payload: bytes | None, codec: str | None) -> np.ndarray | None:
     """Decode one clip payload → float64 waveform, or None if undecodable.
 
-    REAL paths: pcm_s16le (raw) and wav (RIFF container parse — parse_wav).
+    REAL paths: pcm_s16le (raw), wav (RIFF container parse — parse_wav),
+    G.711, and flac (flac_codec.decode_flac, integrity-verified).
     FAKE-but-deterministic path: known magic-tagged lossy codecs (strip
-    tag, decode as PCM; flac/opus/mp3 need codec libraries this container
+    tag, decode as PCM; opus/mp3 need codec libraries this container
     lacks). A production build extends this body with pyav/soundfile — the
     UDF plumbing around it is unchanged.
     """
@@ -139,6 +142,19 @@ def decode_pcm_batch(payload: bytes | None, codec: str | None) -> np.ndarray | N
             payload[:PCM_SAMPLES]
         )
         return dec.astype(np.float64)
+    if codec == "flac":  # REAL FLAC decode (operators/flac_codec.py)
+        from pyanomalydetector2_spark.operators.flac_codec import (
+            FlacError,
+            decode_flac,
+        )
+
+        try:
+            samples, _ = decode_flac(payload)
+        except FlacError:
+            return None  # not a FLAC stream / corrupt container
+        if samples.shape[0] < PCM_SAMPLES:
+            return None
+        return samples[:PCM_SAMPLES, 0].astype(np.float64)
     if codec == "pcm_s16le":
         raw = payload
     else:

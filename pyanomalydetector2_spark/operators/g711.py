@@ -5,7 +5,7 @@ Unlike WAV/AVI (containers) these are actual CODECS: logarithmic 8-bit
 companding of 16-bit PCM. They extend the honest-decode surface of
 ``operators/audio.py`` — WAV files with format tags 7 (μ-law) and 6 (A-law)
 and the raw ``pcm_mulaw`` / ``pcm_alaw`` codec ids decode for real; the
-remaining fakes are the codecs that genuinely need pyav/ffmpeg (flac, opus,
+remaining fakes are the codecs that genuinely need pyav/ffmpeg (opus,
 mp3).
 
 The implementations follow the canonical public-domain G.711 reference
