@@ -66,21 +66,23 @@ def _crc_table(poly: int, width: int) -> np.ndarray:
     return tbl
 
 
-_CRC8_TBL = _crc_table(0x07, 8)
-_CRC16_TBL = _crc_table(0x8005, 16)
+_CRC8_TBL = _crc_table(0x07, 8).tolist()  # list: ~3× faster than np scalar
+_CRC16_TBL = _crc_table(0x8005, 16).tolist()
 
 
 def crc8(data: bytes) -> int:
     c = 0
+    tbl = _CRC8_TBL
     for b in data:
-        c = int(_CRC8_TBL[(c ^ b) & 0xFF])
+        c = tbl[c ^ b]
     return c
 
 
 def crc16(data: bytes) -> int:
     c = 0
+    tbl = _CRC16_TBL
     for b in data:
-        c = (int(_CRC16_TBL[((c >> 8) ^ b) & 0xFF]) ^ (c << 8)) & 0xFFFF
+        c = (tbl[((c >> 8) ^ b)] ^ (c << 8)) & 0xFFFF
     return c
 
 
@@ -121,10 +123,39 @@ class _Bits:
             q += 1
         return q
 
+    def read_vec(self, width: int, count: int) -> np.ndarray:
+        """``count`` consecutive ``width``-bit UNSIGNED fields as one
+        vectorized unpackbits+matmul — the hot path for verbatim samples
+        and escape-partition residuals (no per-field Python)."""
+        if count == 0 or width == 0:
+            return np.zeros(count, dtype=np.int64)
+        total = width * count
+        end_bit = self.bitpos + total
+        nbytes = (end_bit + 7) // 8
+        chunk = self.data[self.bytepos : self.bytepos + nbytes]
+        if len(chunk) < nbytes:
+            raise FlacError("truncated FLAC stream")
+        bits = np.unpackbits(np.frombuffer(chunk, dtype=np.uint8))
+        fields = bits[self.bitpos : self.bitpos + total].reshape(count, width)
+        weights = (1 << np.arange(width - 1, -1, -1)).astype(np.int64)
+        self._advance(total)
+        return fields @ weights
+
+    def _advance(self, nbits: int) -> None:
+        t = self.bitpos + nbits
+        self.bytepos += t >> 3
+        self.bitpos = t & 7
+
     def align(self) -> None:
         if self.bitpos:
             self.bitpos = 0
             self.bytepos += 1
+
+
+def _sext(v: np.ndarray, width: int) -> np.ndarray:
+    """Vectorized two's-complement sign extension of width-bit fields."""
+    sign = np.int64(1) << (width - 1)
+    return (v ^ sign) - sign
 
 
 def _read_utf8_number(bits: _Bits) -> int:
@@ -295,8 +326,8 @@ def _decode_subframe(bits: _Bits, blocksize: int, bps: int) -> np.ndarray:
         bps -= wasted
     if stype == 0:  # CONSTANT
         out = np.full(blocksize, bits.sread(bps), dtype=np.int64)
-    elif stype == 1:  # VERBATIM
-        out = np.array([bits.sread(bps) for _ in range(blocksize)], dtype=np.int64)
+    elif stype == 1:  # VERBATIM (vectorized bulk read)
+        out = _sext(bits.read_vec(bps, blocksize), bps)
     elif 8 <= stype <= 12:  # FIXED order 0-4
         order = stype - 8
         warm = [bits.sread(bps) for _ in range(order)]
@@ -326,18 +357,20 @@ def _decode_subframe(bits: _Bits, blocksize: int, bps: int) -> np.ndarray:
 
 
 def _predict_fixed(order: int, warm: list[int], resid: np.ndarray) -> np.ndarray:
-    n = order + len(resid)
-    out = np.empty(n, dtype=np.int64)
-    out[:order] = warm
+    """Fixed-order reconstruction WITHOUT a per-sample loop: the order-o
+    fixed predictor is exactly "the o-th finite difference of the output
+    equals the residual", so the output is o nested cumulative sums, each
+    seeded from the warmup samples' difference pyramid."""
     if order == 0:
         return resid.astype(np.int64)
-    coefs = _FIXED_COEFS[order]
-    for i in range(order, n):
-        acc = 0
-        for j in range(order):
-            acc += coefs[j] * int(out[i - 1 - j])
-        out[i] = resid[i - order] + acc
-    return out
+    w = np.asarray(warm, dtype=np.int64)
+    pyramid = [w]
+    for _ in range(order - 1):
+        pyramid.append(np.diff(pyramid[-1]))
+    s = resid.astype(np.int64)
+    for k in range(order - 1, -1, -1):
+        s = pyramid[k][-1] + np.cumsum(s)
+    return np.concatenate([w, s])
 
 
 def _decode_residual(bits: _Bits, blocksize: int, order: int) -> np.ndarray:
@@ -354,10 +387,11 @@ def _decode_residual(bits: _Bits, blocksize: int, order: int) -> np.ndarray:
     for p in range(nparts):
         cnt = (blocksize >> porder) - (order if p == 0 else 0)
         param = bits.read(plen)
-        if param == (1 << plen) - 1:  # escape: raw n-bit residuals
+        if param == (1 << plen) - 1:  # escape: raw n-bit residuals (vector)
             nb = bits.read(5)
-            for i in range(cnt):
-                out[k + i] = bits.sread(nb) if nb else 0
+            out[k : k + cnt] = (
+                _sext(bits.read_vec(nb, cnt), nb) if nb else 0
+            )
         else:
             for i in range(cnt):
                 q = bits.unary()
@@ -381,15 +415,48 @@ class _BitW:
             self.n -= 8
             self.out.append((self.acc >> self.n) & 0xFF)
 
+    def write_vec(self, vals: np.ndarray, width: int) -> None:
+        """Vectorized bulk write of ``width``-bit two's-complement fields
+        (one unpack/packbits per call — the escape-residual hot path)."""
+        a = np.asarray(vals, dtype=np.int64)
+        bits = (
+            ((a[:, None] >> np.arange(width - 1, -1, -1)[None, :]) & 1)
+            .astype(np.uint8)
+            .ravel()
+        )
+        if self.n:  # splice pending sub-byte bits in front (acc may carry
+            # already-flushed high bits — mask to the pending window)
+            acc = self.acc & ((1 << self.n) - 1)
+            pend = np.array(
+                [(acc >> i) & 1 for i in range(self.n - 1, -1, -1)],
+                dtype=np.uint8,
+            )
+            bits = np.concatenate([pend, bits])
+            self.acc = 0
+            self.n = 0
+        nfull = (len(bits) // 8) * 8
+        self.out.extend(np.packbits(bits[:nfull]).tobytes())
+        for b in bits[nfull:]:  # ≤ 7 tail bits back into the accumulator
+            self.acc = (self.acc << 1) | int(b)
+            self.n += 1
+
     def align(self) -> None:
         if self.n:
             self.write(0, 8 - self.n)
 
 
-def encode_flac(samples: np.ndarray, rate: int = 16000, bps: int = 16) -> bytes:
+def encode_flac(
+    samples: np.ndarray, rate: int = 16000, bps: int = 16, rice: bool = False
+) -> bytes:
     """(n,) or (n, channels) int samples → FLAC (independent channels,
-    fixed-order 0-2 prediction per block, one rice partition, 4096-sample
-    blocks). Lossless: decode_flac returns the input exactly."""
+    fixed-order 0-2 prediction per block, one residual partition,
+    4096-sample blocks). Lossless: decode_flac returns the input exactly.
+
+    ``rice=False`` (default) codes residuals as ESCAPE partitions — raw
+    fixed-width two's complement, a fully standard FLAC layout that both
+    sides process as ONE numpy unpack/packbits (~30× faster than the rice
+    bit loops; the cost is a few % compression on tonal audio). The rice
+    path remains for spec coverage and denser output."""
     if samples.ndim == 1:
         samples = samples[:, None]
     n, nchan = samples.shape
@@ -403,7 +470,7 @@ def encode_flac(samples: np.ndarray, rate: int = 16000, bps: int = 16) -> bytes:
     blocks = [(i, min(i + 4096, n)) for i in range(0, n, 4096)] or [(0, 0)]
     body = bytearray()
     for fi, (b0, b1) in enumerate(blocks):
-        body += _encode_frame(s[b0:b1], fi, rate, bps, nchan)
+        body += _encode_frame(s[b0:b1], fi, rate, bps, nchan, rice)
 
     w = _BitW()
     w.write(0x80, 8)  # last block, STREAMINFO
@@ -421,7 +488,9 @@ def encode_flac(samples: np.ndarray, rate: int = 16000, bps: int = 16) -> bytes:
     return FLAC_MAGIC + meta + bytes(body)
 
 
-def _encode_frame(block: np.ndarray, fi: int, rate: int, bps: int, nchan: int) -> bytes:
+def _encode_frame(
+    block: np.ndarray, fi: int, rate: int, bps: int, nchan: int, rice: bool
+) -> bytes:
     bsz = block.shape[0]
     w = _BitW()
     w.write(0x3FFE, 14)
@@ -448,14 +517,14 @@ def _encode_frame(block: np.ndarray, fi: int, rate: int, bps: int, nchan: int) -
     w.write(crc8(hdr), 8)
 
     for ci in range(nchan):
-        _encode_subframe(w, block[:, ci], bps)
+        _encode_subframe(w, block[:, ci], bps, rice)
     w.align()
     frame = bytes(w.out)
     w.write(crc16(frame), 16)
     return bytes(w.out)
 
 
-def _encode_subframe(w: _BitW, x: np.ndarray, bps: int) -> None:
+def _encode_subframe(w: _BitW, x: np.ndarray, bps: int, rice: bool = False) -> None:
     if len(x) and (x == x[0]).all():
         w.write(0, 1)
         w.write(0, 6)  # CONSTANT
@@ -479,18 +548,20 @@ def _encode_subframe(w: _BitW, x: np.ndarray, bps: int) -> None:
     w.write(0, 1)  # no wasted bits
     for i in range(order):
         w.write(int(x[i]), bps)
-    # residuals: 4-bit rice params, ONE partition
+    # residuals: method 0, ONE partition
     w.write(0, 2)  # method 0
     w.write(0, 4)  # partition order 0
     zz = (resid << 1) ^ (resid >> 63)  # zigzag
     mean = max(int(zz.mean()) if len(zz) else 0, 1)
     param = min(max(mean.bit_length() - 1, 0), 14)
-    if len(zz) and int((zz >> param).max()) > 64:  # pathological → escape
+    escape = not rice or (
+        len(zz) and int((zz >> param).max()) > 64  # pathological rice
+    )
+    if escape:  # raw fixed-width residuals — vectorized both ways
         nb = min(int(max(np.abs(resid).max(), 1)).bit_length() + 1, 31)
         w.write(15, 4)
         w.write(nb, 5)
-        for v in resid:
-            w.write(int(v), nb)
+        w.write_vec(resid, nb)
         return
     w.write(param, 4)
     for v in zz:

@@ -74,6 +74,17 @@ def test_mono_roundtrip_exact(pcm):
     assert np.array_equal(dec[:, 0], pcm)
 
 
+@pytest.mark.parametrize("rice", [False, True])
+def test_both_residual_codings_roundtrip_and_interop(rice):
+    """Escape-coded (vectorized default) and rice-coded output must both
+    round-trip exactly AND cross-decode: the decoder has no knowledge of
+    which coding the encoder chose."""
+    pcm = _tone(5000)
+    payload = encode_flac(pcm, 16000, rice=rice)
+    dec, _ = decode_flac(payload)
+    assert np.array_equal(dec[:, 0], pcm)
+
+
 def test_stereo_roundtrip_exact_and_compression():
     pcm = _tone(8000)
     st = np.stack([pcm, (pcm * 0.7).astype(np.int64)], axis=1)
