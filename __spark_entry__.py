@@ -616,6 +616,26 @@ def q_embedding_near_dup(spark: SparkSession, sf: str) -> DataFrame:
     return cosine_near_dup_pairs_blocked(emb, threshold=0.4, num_blocks=4)
 
 
+def q_embedding_near_dup_lsh(spark: SparkSession, sf: str) -> DataFrame:
+    """Embedding near-dup via BANDED hyperplane-LSH (the r02 'weak' variant,
+    now on the same capped-bucket + streamed-pair machinery as the MinHash
+    side). Deterministic hyperplanes ⇒ the DuckDB oracle replicates every
+    band signature, the bucket join, and the rounded-cosine re-rank —
+    hash-exact, recall measured not assumed. max_bucket_size=None here for
+    oracle parity (the production default 10k is pytest-covered with a
+    planted hot bucket)."""
+    from pyanomalydetector2_spark.operators.similarity import (
+        cosine_near_dup_pairs,
+    )
+
+    emb = load_table(spark, sf, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
+    )
+    return cosine_near_dup_pairs(
+        emb, threshold=0.4, dims=64, planes=4, bands=3, max_bucket_size=None
+    )
+
+
 def q_ann_lsh_topk(spark: SparkSession, sf: str) -> DataFrame:
     """ANN scale path: random-hyperplane LSH buckets + in-bucket exact
     re-rank. The hyperplanes are fully deterministic (sign = parity of
@@ -946,6 +966,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
         "ann_ivf_index_topk": q_ann_ivf_index_topk,
+        "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
         "item_conds": q_item_conds,
         "detect3_phase2": q_detect3_phase2,
         "topitems": q_topitems,
@@ -1025,20 +1046,24 @@ _MINHASH_CTES = (
 )
 
 
-def _lsh_signature_sql(dims: int = 64, planes: int = 6) -> str:
+def _lsh_signature_sql(dims: int = 64, planes: int = 6, band: int = 0) -> str:
     """DuckDB expression replicating hyperplane_signature_udf exactly: the
     ±1 sign of plane p, dim d is the parity of md5(f'{p}:{d}') (first 15 hex
-    chars), embedded as literal +/- terms; bit p = [Σ_d sign·v[d] > 0]."""
+    chars), embedded as literal +/- terms; bit r = [Σ_d sign·v[d] > 0].
+    ``band`` b uses GLOBAL plane indices p = b·planes + r with within-band
+    weight 1<<r — band 0 is the classic single signature
+    (hyperplane_band_signatures_udf's layout, bit-for-bit)."""
     import hashlib
 
     planes_sql = []
-    for p in range(planes):
+    for r in range(planes):
+        p = band * planes + r
         parts = []
         for d in range(dims):
             h = int(hashlib.md5(f"{p}:{d}".encode()).hexdigest()[:15], 16)
             parts.append(("+" if h % 2 == 0 else "-") + f"v[{d + 1}]")
         planes_sql.append(
-            f"(CASE WHEN ({''.join(parts)}) > 0 THEN {1 << p} ELSE 0 END)"
+            f"(CASE WHEN ({''.join(parts)}) > 0 THEN {1 << r} ELSE 0 END)"
         )
     return " + ".join(planes_sql)
 
@@ -1809,4 +1834,30 @@ def oracle_sql() -> dict[str, str]:
     # the persisted-index IVF path is result-identical to the fresh path by
     # construction, so it shares the fresh path's oracle verbatim
     out["ann_ivf_index_topk"] = out["ann_ivf_topk"]
+    out["embedding_near_dup_lsh"] = f"""
+        WITH e AS (
+          SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+        ), s AS (
+          SELECT vec_id, v,
+                 ({_lsh_signature_sql(64, 4, band=0)}) AS k0,
+                 ({_lsh_signature_sql(64, 4, band=1)}) AS k1,
+                 ({_lsh_signature_sql(64, 4, band=2)}) AS k2
+          FROM e
+        ), banded AS (
+          SELECT vec_id, 0 AS band, k0 AS key FROM s
+          UNION ALL SELECT vec_id, 1, k1 FROM s
+          UNION ALL SELECT vec_id, 2, k2 FROM s
+        ), pairs AS (
+          SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+          FROM banded a JOIN banded b USING (band, key)
+          WHERE a.vec_id < b.vec_id
+        ), scored AS (
+          SELECT p.id_a, p.id_b,
+                 round(list_cosine_similarity(ea.v, eb.v), 6) AS cosine
+          FROM pairs p
+          JOIN e ea ON ea.vec_id = p.id_a
+          JOIN e eb ON eb.vec_id = p.id_b
+        )
+        SELECT id_a, id_b, cosine FROM scored WHERE cosine >= 0.4
+    """
     return out
