@@ -106,3 +106,56 @@ def test_minhash_mix_is_order_invariant_min(h30s):
         for a, b in consts
     ]
     assert all(u <= s for u, s in zip(sig_union, sig))
+
+
+@given(
+    arrays(
+        np.int16,
+        st.integers(1, 600),
+        elements=st.integers(-32768, 32767),
+    ),
+    st.booleans(),
+    st.sampled_from([1, 2]),
+)
+@settings(max_examples=60, deadline=None)
+def test_flac_roundtrip_any_signal(pcm, rice, nchan):
+    """FLAC is lossless: ANY int16 signal, mono or stereo, escape- or
+    rice-coded, must round-trip to exact equality (and pass the decoder's
+    CRC + STREAMINFO-MD5 verification on the way)."""
+    from pyanomalydetector2_spark.operators.flac_codec import (
+        decode_flac,
+        encode_flac,
+    )
+
+    x = pcm.astype(np.int64)
+    if nchan == 2:
+        x = np.stack([x, x[::-1]], axis=1)
+    dec, rate = decode_flac(encode_flac(x, 22050, rice=rice))
+    assert rate == 22050
+    assert np.array_equal(dec, x if nchan == 2 else x[:, None])
+
+
+@given(
+    arrays(
+        np.uint8,
+        st.tuples(st.integers(1, 24), st.integers(1, 24), st.just(3)),
+        elements=st.integers(0, 255),
+    )
+)
+@settings(max_examples=30, deadline=None)
+def test_jpeg_decoder_accepts_any_encoder_output(img):
+    """JPEG is lossy, so the property is structural: decode(encode(img))
+    never raises, preserves shape, and for a CONSTANT image (DC-only
+    blocks, exactly representable) is pixel-exact."""
+    from pyanomalydetector2_spark.operators.jpeg_codec import (
+        decode_jpeg,
+        encode_jpeg_baseline,
+    )
+
+    out = decode_jpeg(encode_jpeg_baseline(img))
+    assert out.shape == img.shape
+    # a constant image is DC-only: error is bounded by DC quantization
+    # (±1 luma/chroma step through the color transform, ≤ ~4 in RGB)
+    flat = np.full_like(img, img[0, 0])
+    got = decode_jpeg(encode_jpeg_baseline(flat))
+    assert int(np.abs(got.astype(int) - flat.astype(int)).max()) <= 4
