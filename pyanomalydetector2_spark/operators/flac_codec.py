@@ -462,12 +462,14 @@ def encode_flac(
     n, nchan = samples.shape
     if not (1 <= nchan <= 8):
         raise ValueError("1-8 channels")
+    if n == 0:
+        raise ValueError("cannot encode zero samples")
     s = samples.astype(np.int64)
     lo, hi = -(1 << (bps - 1)), (1 << (bps - 1)) - 1
     if s.min() < lo or s.max() > hi:
         raise ValueError(f"samples exceed {bps}-bit range")
 
-    blocks = [(i, min(i + 4096, n)) for i in range(0, n, 4096)] or [(0, 0)]
+    blocks = [(i, min(i + 4096, n)) for i in range(0, n, 4096)]
     body = bytearray()
     for fi, (b0, b1) in enumerate(blocks):
         body += _encode_frame(s[b0:b1], fi, rate, bps, nchan, rice)
