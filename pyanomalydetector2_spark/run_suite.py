@@ -26,7 +26,7 @@ from pyanomalydetector2_spark.constraints import (
 )
 from pyanomalydetector2_spark.datagen.clips import clips_table, dim_codec, dim_sr
 from pyanomalydetector2_spark.session import get_spark
-from pyanomalydetector2_spark.sources.catalog import SnapshotTable
+from pyanomalydetector2_spark.sources.catalog import open_table
 from pyanomalydetector2_spark.streaming.checkpoint import CheckpointLedger
 
 
@@ -85,8 +85,10 @@ def main(argv: list[str] | None = None) -> dict:
     )
     spark.sparkContext.setLogLevel("ERROR")
 
-    cur_t = SnapshotTable(os.path.join(args.warehouse, "clips_current"))
-    base_t = SnapshotTable(os.path.join(args.warehouse, "clips_baseline"))
+    # backend-probed seam: real Iceberg when the session carries the
+    # runtime + a catalog, parquet snapshot dirs otherwise
+    cur_t = open_table(spark, os.path.join(args.warehouse, "clips_current"))
+    base_t = open_table(spark, os.path.join(args.warehouse, "clips_baseline"))
     if args.skip_datagen:
         cur, base = cur_t.read(spark), base_t.read(spark)
     else:
@@ -121,8 +123,8 @@ def main(argv: list[str] | None = None) -> dict:
         salt_buckets=args.salt_buckets, commit=False,
     )
     # persist results (FIXTURES.md §B3/§B4 output contract)
-    results_t = SnapshotTable(os.path.join(args.warehouse, "results"))
-    verdicts_t = SnapshotTable(os.path.join(args.warehouse, "verdicts"))
+    results_t = open_table(spark, os.path.join(args.warehouse, "results"))
+    verdicts_t = open_table(spark, os.path.join(args.warehouse, "verdicts"))
     results_t.merge_upsert(
         res.violations, ["run_id", "bucket", "clip_id", "constraint_id"],
         partition_by=["bucket"],
@@ -152,6 +154,7 @@ def main(argv: list[str] | None = None) -> dict:
         "buckets": len(res.processed_buckets),
         "skipped_buckets": len(res.skipped_buckets),
         "cpus": args.cpus,
+        "catalog_backend": results_t.backend,
     }
     print(json.dumps(summary))
     if args.json_out:
