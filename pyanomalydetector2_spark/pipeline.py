@@ -49,11 +49,23 @@ class SeriesPipeline:
         trends_interval: int = 86400,
         trends_retention: int = 14,
         params: DetectParams | None = None,
+        spark=None,
     ):
+        """Pass ``spark`` to route the pipeline's tables through the
+        backend-probed catalog seam (real Iceberg when the session carries
+        the runtime); the default stays the parquet SnapshotTable so
+        construction needs no session."""
+        from pyanomalydetector2_spark.sources.catalog import open_table
+
         root = os.path.join(warehouse, source_name)
-        self.stats_table = SnapshotTable(os.path.join(root, "trends_stats"))
-        self.anomalies_table = SnapshotTable(os.path.join(root, "anomalies"))
-        self.topitems_table = SnapshotTable(os.path.join(root, "topitems"))
+
+        def table(name: str):
+            path = os.path.join(root, name)
+            return open_table(spark, path) if spark is not None else SnapshotTable(path)
+
+        self.stats_table = table("trends_stats")
+        self.anomalies_table = table("anomalies")
+        self.topitems_table = table("topitems")
         self.watermark = WatermarkLedger(os.path.join(root, "trends_updates.jsonl"))
         self.trends_interval = trends_interval
         self.trends_retention = trends_retention
