@@ -232,9 +232,9 @@ def image_header(payload: bytes) -> tuple[int, int, int]:
 
 
 def jpeg_header(payload: bytes) -> tuple[int, int, int]:
-    """(width, height, channels) from a JPEG SOF0/SOF1 frame header —
+    """(width, height, channels) from a JPEG SOF0/SOF1/SOF2 frame header —
     same profile jpeg_codec.decode_jpeg accepts (baseline/extended
-    sequential Huffman; progressive raises)."""
+    sequential/progressive Huffman; other modes raise)."""
     if payload[:2] != b"\xff\xd8":
         raise UnsupportedImageError("not a JPEG payload")
     pos, n = 2, len(payload)
@@ -248,15 +248,15 @@ def jpeg_header(payload: bytes) -> tuple[int, int, int]:
         if marker == 0xD9:
             break
         (seglen,) = struct.unpack_from(">H", payload, pos)
-        if marker in (0xC0, 0xC1):
+        if marker in (0xC0, 0xC1, 0xC2):
             h, w = struct.unpack_from(">HH", payload, pos + 3)
             nc = payload[pos + 7]
             return w, h, (3 if nc == 3 else nc)
-        if marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+        if marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                       0xCD, 0xCE, 0xCF):
             raise UnsupportedImageError(
-                f"SOF{marker - 0xC0}: only baseline/extended-sequential "
-                "Huffman JPEG is supported"
+                f"SOF{marker - 0xC0}: only baseline/extended-sequential/"
+                "progressive Huffman JPEG is supported"
             )
         pos += seglen
     raise UnsupportedImageError("no SOF marker found")

@@ -1,12 +1,15 @@
 """Baseline JPEG (ITU-T T.81) codec — stdlib + numpy only.
 
 VERDICT r02 stretch #8: move the biggest remaining image container from
-"deterministic fake" to REAL. Decoder handles baseline & extended
-sequential Huffman JPEG (SOF0/SOF1): 8-bit precision, 1 or 3 components,
-arbitrary sampling factors (4:4:4 / 4:2:2 / 4:2:0 / ...), restart
-markers, 8- and 16-bit quant tables. Progressive (SOF2) and arithmetic
-coding raise ``UnsupportedImageError`` — declared scope, not a silent
-wrong answer.
+"deterministic fake" to REAL. Decoder handles baseline, extended
+sequential AND progressive Huffman JPEG (SOF0/SOF1/SOF2): 8-bit
+precision, 1 or 3 components, arbitrary sampling factors (4:4:4 / 4:2:2
+/ 4:2:0 / ...), restart markers, 8- and 16-bit quant tables; progressive
+scans (spectral selection + successive approximation, EOB-run AC coding,
+AC refinement with correction bits) accumulate into a per-component
+coefficient store that is dequantized + IDCT'd once at EOI. Arithmetic
+coding, hierarchical and lossless modes raise ``UnsupportedImageError``
+— declared scope, not a silent wrong answer.
 
 The encoder emits baseline 4:4:4 with the Annex K example tables; it
 exists so tests and datagen can synthesize real containers, and so
@@ -157,7 +160,7 @@ class _BitReader:
             b = d[self.pos]
             self.pos += 1
             if b == 0xFF:
-                nxt = d[self.pos]
+                nxt = d[self.pos] if self.pos < len(d) else 0xD9
                 if nxt == 0x00:
                     self.pos += 1
                 else:  # a real marker terminates the entropy segment
@@ -213,8 +216,11 @@ def _extend(v: int, size: int) -> int:
 
 # --------------------------------------------------------------- decode --
 def decode_jpeg(payload: bytes) -> np.ndarray:
-    """Baseline/extended-sequential Huffman JPEG → (h, w, 3) uint8 RGB
-    (grayscale replicated to 3 channels)."""
+    """Huffman JPEG → (h, w, 3) uint8 RGB (grayscale replicated to 3
+    channels). Baseline (SOF0), extended sequential (SOF1), AND
+    progressive (SOF2) — every scan accumulates into a per-component
+    zigzag coefficient store; dequant + IDCT happen once at the end.
+    Arithmetic coding, hierarchical and lossless modes raise."""
     if len(payload) < 4 or payload[:2] != b"\xff\xd8":
         raise UnsupportedImageError("not a JPEG payload")
     qt: dict[int, np.ndarray] = {}
@@ -222,16 +228,19 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     huff_ac: dict[int, _HuffTable] = {}
     restart_interval = 0
     frame = None
+    saw_scan = False
     pos = 2
     n = len(payload)
-    while pos < n:
+    while pos + 1 < n:
         if payload[pos] != 0xFF:
             raise UnsupportedImageError("marker expected")
+        while pos + 1 < n and payload[pos + 1] == 0xFF:
+            pos += 1  # 0xFF fill bytes before a marker are legal
         marker = payload[pos + 1]
         pos += 2
         if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
             continue
-        if marker == 0xD9:  # EOI before SOS data
+        if marker == 0xD9:  # EOI
             break
         (seglen,) = struct.unpack_from(">H", payload, pos)
         seg = payload[pos + 2 : pos + seglen]
@@ -248,7 +257,7 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                     tbl = np.frombuffer(seg[i : i + 64], dtype=np.uint8).astype(np.int32)
                     i += 64
                 qt[tq] = tbl
-        elif marker in (0xC0, 0xC1):  # SOF0/SOF1
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/SOF1/SOF2
             prec, h, w, nc = seg[0], *struct.unpack_from(">HH", seg, 1), seg[5]
             if prec != 8:
                 raise UnsupportedImageError(f"{prec}-bit precision unsupported")
@@ -256,12 +265,12 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
             for ci in range(nc):
                 cid, hv, tq = seg[6 + 3 * ci : 9 + 3 * ci]
                 comps.append({"id": cid, "h": hv >> 4, "v": hv & 0xF, "tq": tq})
-            frame = {"h": h, "w": w, "comps": comps}
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+            frame = _init_frame(h, w, comps, progressive=(marker == 0xC2))
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                         0xCD, 0xCE, 0xCF):
             raise UnsupportedImageError(
-                f"SOF{marker - 0xC0}: only baseline/extended-sequential "
-                "Huffman JPEG is supported"
+                f"SOF{marker - 0xC0}: only baseline/extended-sequential/"
+                "progressive Huffman JPEG is supported"
             )
         elif marker == 0xC4:  # DHT
             i = 0
@@ -274,7 +283,7 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 i += 17 + nv
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack_from(">H", seg, 0)
-        elif marker == 0xDA:  # SOS — entropy data follows
+        elif marker == 0xDA:  # SOS — one of possibly many scans
             if frame is None:
                 raise UnsupportedImageError("SOS before SOF")
             ns = seg[0]
@@ -283,66 +292,243 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 cid, tt = seg[1 + 2 * ci], seg[2 + 2 * ci]
                 comp = next(c for c in frame["comps"] if c["id"] == cid)
                 scan.append((comp, tt >> 4, tt & 0xF))
-            return _decode_scan(
-                payload, pos, frame, scan, qt, huff_dc, huff_ac,
-                restart_interval,
+            ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]
+            a = seg[3 + 2 * ns]
+            pos = _decode_scan(
+                payload, pos, frame, scan, huff_dc, huff_ac,
+                restart_interval, ss, se, a >> 4, a & 0xF,
             )
+            saw_scan = True
         # APPn/COM/others: skipped
-    raise UnsupportedImageError("no SOS marker found")
+    if frame is None or not saw_scan:
+        raise UnsupportedImageError("no SOS marker found")
+    return _finalize(frame, qt)
 
 
-def _decode_scan(data, pos, frame, scan, qt, huff_dc, huff_ac, dri):
-    h, w, comps = frame["h"], frame["w"], frame["comps"]
+def _init_frame(h: int, w: int, comps: list[dict], progressive: bool) -> dict:
     hmax = max(c["h"] for c in comps)
     vmax = max(c["v"] for c in comps)
     mcux = -(-w // (8 * hmax))
     mcuy = -(-h // (8 * vmax))
     for c in comps:
-        c["bw"] = mcux * c["h"]  # blocks per row
+        c["bw"] = mcux * c["h"]  # MCU-padded blocks per row
         c["bh"] = mcuy * c["v"]
-        c["coef"] = np.zeros((c["bh"] * c["bw"], 8, 8))
-        c["pred"] = 0
+        # NON-interleaved scans cover only the component's natural grid
+        c["bw_nat"] = -(-(-(-w * c["h"] // hmax) // 8))
+        c["bh_nat"] = -(-(-(-h * c["v"] // vmax) // 8))
+        c["coefz"] = np.zeros((c["bh"] * c["bw"], 64), dtype=np.int32)
+    return {
+        "h": h, "w": w, "comps": comps, "hmax": hmax, "vmax": vmax,
+        "mcux": mcux, "mcuy": mcuy, "progressive": progressive,
+    }
+
+
+def _decode_scan(data, pos, frame, scan, huff_dc, huff_ac, dri, ss, se, ah, al):
+    """Decode ONE entropy-coded scan into the frame's coefficient stores;
+    returns the byte offset of the marker that terminated the scan."""
     rd = _BitReader(data, pos)
+    for comp, _td, _ta in scan:
+        comp["pred"] = 0
+    state = {"eobrun": 0}
+
+    def on_restart() -> None:
+        rd.reset()
+        for comp, _td, _ta in scan:
+            comp["pred"] = 0
+        state["eobrun"] = 0
+
+    if not frame["progressive"]:
+        _scan_blocks_sequential(rd, frame, scan, huff_dc, huff_ac, dri, on_restart)
+    elif ss == 0:
+        if se != 0:
+            raise UnsupportedImageError("progressive DC scan with Se != 0")
+        _scan_dc_progressive(rd, frame, scan, huff_dc, dri, ah, al, on_restart)
+    else:
+        if len(scan) != 1:
+            raise UnsupportedImageError("progressive AC scan must be single-component")
+        _scan_ac_progressive(
+            rd, frame, scan[0], huff_ac, dri, ss, se, ah, al, state, on_restart
+        )
+    # the terminating marker: either already swallowed by the fill-ahead
+    # (rd.pos points just past it) or still ahead after padding bits
+    if rd.marker is not None:
+        return rd.pos - 2
+    p = rd.pos
+    while p + 1 < len(data) and not (
+        data[p] == 0xFF and data[p + 1] not in (0x00,)
+    ):
+        p += 1
+    return p
+
+
+def _iter_mcu_blocks(frame, scan, rd, dri, on_restart):
+    """Yield (comp, td, ta, block_index) in interleaved MCU order, firing
+    restarts every ``dri`` MCUs."""
     mcu = 0
-    for my in range(mcuy):
-        for mx in range(mcux):
+    for my in range(frame["mcuy"]):
+        for mx in range(frame["mcux"]):
             if dri and mcu and mcu % dri == 0:
-                rd.reset()
-                for c in comps:
-                    c["pred"] = 0
+                on_restart()
             for comp, td, ta in scan:
-                dct, act = huff_dc[td], huff_ac[ta]
-                q = qt[comp["tq"]]
                 for by in range(comp["v"]):
                     for bx in range(comp["h"]):
-                        blk = np.zeros(64, dtype=np.int64)
-                        s = rd.decode(dct)
-                        comp["pred"] += _extend(rd.get_bits(s), s)
-                        blk[0] = comp["pred"]
-                        k = 1
-                        while k < 64:
-                            rs = rd.decode(act)
-                            r, s = rs >> 4, rs & 0xF
-                            if s == 0:
-                                if r == 15:
-                                    k += 16
-                                    continue
-                                break  # EOB
-                            k += r
-                            if k > 63:
-                                raise UnsupportedImageError("AC index overflow")
-                            blk[k] = _extend(rd.get_bits(s), s)
-                            k += 1
-                        out = np.zeros(64)
-                        out[ZIGZAG] = blk * q
                         bi = (my * comp["v"] + by) * comp["bw"] + (
                             mx * comp["h"] + bx
                         )
-                        comp["coef"][bi] = out.reshape(8, 8)
+                        yield comp, td, ta, bi
             mcu += 1
+
+
+def _iter_single_blocks(comp, dri, on_restart):
+    """Yield block indices of a NON-interleaved scan: raster over the
+    component's natural grid, mapped into the MCU-padded store; restarts
+    count data units, not MCUs."""
+    unit = 0
+    for row in range(comp["bh_nat"]):
+        for col in range(comp["bw_nat"]):
+            if dri and unit and unit % dri == 0:
+                on_restart()
+            yield row * comp["bw"] + col
+            unit += 1
+
+
+def _scan_blocks_sequential(rd, frame, scan, huff_dc, huff_ac, dri, on_restart):
+    if len(scan) == 1:
+        comp, td, ta = scan[0]
+        blocks = (
+            (comp, td, ta, bi) for bi in _iter_single_blocks(comp, dri, on_restart)
+        )
+    else:
+        blocks = _iter_mcu_blocks(frame, scan, rd, dri, on_restart)
+    for comp, td, ta, bi in blocks:
+        dct, act = huff_dc[td], huff_ac[ta]
+        blk = comp["coefz"][bi]
+        s = rd.decode(dct)
+        comp["pred"] += _extend(rd.get_bits(s), s)
+        blk[0] = comp["pred"]
+        k = 1
+        while k < 64:
+            rs = rd.decode(act)
+            r, s = rs >> 4, rs & 0xF
+            if s == 0:
+                if r == 15:
+                    k += 16
+                    continue
+                break  # EOB
+            k += r
+            if k > 63:
+                raise UnsupportedImageError("AC index overflow")
+            blk[k] = _extend(rd.get_bits(s), s)
+            k += 1
+
+
+def _scan_dc_progressive(rd, frame, scan, huff_dc, dri, ah, al, on_restart):
+    if len(scan) == 1:
+        comp, td, _ta = scan[0]
+        blocks = (
+            (comp, td, 0, bi) for bi in _iter_single_blocks(comp, dri, on_restart)
+        )
+    else:
+        blocks = _iter_mcu_blocks(frame, scan, rd, dri, on_restart)
+    for comp, td, _ta, bi in blocks:
+        blk = comp["coefz"][bi]
+        if ah == 0:  # first DC scan: full diff, shifted by the point transform
+            s = rd.decode(huff_dc[td])
+            comp["pred"] += _extend(rd.get_bits(s), s)
+            blk[0] = comp["pred"] << al
+        else:  # refinement: one bit per block (libjpeg decode_mcu_DC_refine)
+            if rd.get_bits(1):
+                blk[0] |= 1 << al
+
+
+def _scan_ac_progressive(rd, frame, sc, huff_ac, dri, ss, se, ah, al, state, on_restart):
+    comp, _td, ta = sc
+    act = huff_ac[ta]
+    for bi in _iter_single_blocks(comp, dri, on_restart):
+        blk = comp["coefz"][bi]
+        if ah == 0:
+            _ac_first_block(rd, act, blk, ss, se, al, state)
+        else:
+            _ac_refine_block(rd, act, blk, ss, se, al, state)
+
+
+def _ac_first_block(rd, act, blk, ss, se, al, state):
+    """T.81 G.1.2.2 / libjpeg decode_mcu_AC_first: EOB-run coding."""
+    if state["eobrun"] > 0:
+        state["eobrun"] -= 1
+        return
+    k = ss
+    while k <= se:
+        rs = rd.decode(act)
+        r, s = rs >> 4, rs & 0xF
+        if s == 0:
+            if r != 15:
+                state["eobrun"] = (1 << r) - 1
+                if r:
+                    state["eobrun"] += rd.get_bits(r)
+                return
+            k += 16  # ZRL
+            continue
+        k += r
+        if k > se:
+            raise UnsupportedImageError("AC index overflow")
+        blk[k] = _extend(rd.get_bits(s), s) << al
+        k += 1
+
+
+def _ac_refine_block(rd, act, blk, ss, se, al, state):
+    """T.81 G.1.2.3 / libjpeg decode_mcu_AC_refine: correction bits for
+    already-nonzero coefficients, new ±1<<al insertions elsewhere."""
+    p1, m1 = 1 << al, -1 << al
+    k = ss
+    if state["eobrun"] == 0:
+        while k <= se:
+            rs = rd.decode(act)
+            r, s = rs >> 4, rs & 0xF
+            val = 0
+            if s == 0:
+                if r != 15:  # EOB run starts at THIS block
+                    state["eobrun"] = (1 << r)
+                    if r:
+                        state["eobrun"] += rd.get_bits(r)
+                    break
+                # r == 15: ZRL — advance past 16 zero-history coefficients
+            else:
+                if s != 1:
+                    raise UnsupportedImageError("bad refinement magnitude")
+                val = p1 if rd.get_bits(1) else m1
+            while k <= se:
+                if blk[k] != 0:
+                    if rd.get_bits(1) and (blk[k] & p1) == 0:
+                        blk[k] += p1 if blk[k] >= 0 else m1
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if val and k <= se:
+                blk[k] = val
+            k += 1
+    if state["eobrun"] > 0:
+        while k <= se:
+            if blk[k] != 0:
+                if rd.get_bits(1) and (blk[k] & p1) == 0:
+                    blk[k] += p1 if blk[k] >= 0 else m1
+            k += 1
+        state["eobrun"] -= 1
+
+
+def _finalize(frame, qt) -> np.ndarray:
+    h, w = frame["h"], frame["w"]
+    hmax, vmax = frame["hmax"], frame["vmax"]
     planes = []
-    for c in comps:
-        spat = idct2_blocks(c["coef"]) + 128.0
+    for c in frame["comps"]:
+        if c["tq"] not in qt:
+            raise UnsupportedImageError(f"missing quant table {c['tq']}")
+        deq = c["coefz"].astype(np.float64) * qt[c["tq"]][np.newaxis, :]
+        raster = np.zeros_like(deq)
+        raster[:, ZIGZAG] = deq
+        spat = idct2_blocks(raster.reshape(-1, 8, 8)) + 128.0
         plane = (
             spat.reshape(c["bh"], c["bw"], 8, 8)
             .transpose(0, 2, 1, 3)

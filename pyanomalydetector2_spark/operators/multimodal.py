@@ -4,11 +4,11 @@ with typed metadata, processed by Arrow-batched ``mapInPandas`` kernels.
 Decode reality map:
 - audio: REAL for pcm_s16le and WAV/RIFF (operators/audio.py);
 - image: REAL for 24-bit BMP, 8-bit PNG (operators/image_codec.py) and
-  baseline/extended-sequential JPEG (operators/jpeg_codec.py, interop
-  proven both ways vs javax.imageio) — all stdlib+numpy, no codec
-  libraries needed; remaining containers (WebP, progressive JPEG) fall
-  back to the deterministic fake, clearly separated by container magic,
-  so tests can pin both paths;
+  baseline/extended-sequential/PROGRESSIVE JPEG (operators/jpeg_codec.py,
+  interop proven both ways vs javax.imageio incl. its progressive
+  writer) — all stdlib+numpy, no codec libraries needed; the remaining
+  container (WebP) falls back to the deterministic fake, clearly
+  separated by container magic, so tests can pin both paths;
 - video / compressed audio: STUBBED behind a deterministic fake (no pyav /
   ffmpeg in this container) — the Spark-side plumbing (schemas, batch
   iteration, column pruning, 1→N fan-out shapes) is real and tested, and
@@ -42,9 +42,9 @@ FRAME_SAMPLE_SCHEMA = "vid_id string, frame_idx int, frame_bytes binary"
 
 # --------------------------------------------------------------- kernels --
 def decode_image_kernel(payload: bytes) -> np.ndarray:
-    """REAL decode for BMP/PNG/baseline-JPEG containers (image_codec +
-    jpeg_codec, stdlib+numpy); other formats (WebP, progressive JPEG)
-    raise — this remains the seam where PIL plugs in for those."""
+    """REAL decode for BMP/PNG/JPEG containers (image_codec + jpeg_codec,
+    stdlib+numpy, progressive included); other formats (WebP) raise —
+    this remains the seam where PIL plugs in for those."""
     try:
         return decode_image(payload)
     except UnsupportedImageError as e:

@@ -46,14 +46,14 @@ def test_roundtrip_psnr_and_nonmultiple_of_8_dims():
     assert 10 * np.log10(255**2 / mse) > 28  # lossy, but clearly the image
 
 
-def test_progressive_and_garbage_rejected():
+def test_garbage_and_unsupported_modes_rejected():
     with pytest.raises(UnsupportedImageError):
         decode_jpeg(b"\x00\x01\x02\x03not a jpeg")
-    # minimal stream with an SOF2 (progressive) marker
+    # lossless-mode SOF3 stays out of scope and must raise, not garble
     img = bytearray(encode_jpeg_baseline(_test_image(8, 8)))
     sof = img.find(b"\xff\xc0")
-    img[sof + 1] = 0xC2
-    with pytest.raises(UnsupportedImageError, match="progressive|SOF2|sequential"):
+    img[sof + 1] = 0xC3
+    with pytest.raises(UnsupportedImageError, match="SOF3"):
         decode_jpeg(bytes(img))
 
 
@@ -74,8 +74,10 @@ def _jvm_decode(spark, payload: bytes):
     ).astype(np.uint8)
 
 
-def _jvm_encode(spark, img: np.ndarray) -> bytes:
-    """Encode (h, w, 3) uint8 RGB with javax.imageio's JPEG writer."""
+def _jvm_encode(spark, img: np.ndarray, progressive: bool = False) -> bytes:
+    """Encode (h, w, 3) uint8 RGB with javax.imageio's JPEG writer —
+    optionally as PROGRESSIVE (SOF2), the independent source of
+    multi-scan streams our encoder never produces."""
     jvm = spark._jvm
     h, w = img.shape[:2]
     bimg = jvm.java.awt.image.BufferedImage(
@@ -91,9 +93,15 @@ def _jvm_encode(spark, img: np.ndarray) -> bytes:
     for i, v in enumerate(packed.tolist()):
         arr[i] = int(v)
     bimg.setRGB(0, 0, w, h, arr, 0, w)
+    writer = jvm.javax.imageio.ImageIO.getImageWritersByFormatName("jpg").next()
+    param = writer.getDefaultWriteParam()
+    if progressive:
+        param.setProgressiveMode(jvm.javax.imageio.ImageWriteParam.MODE_DEFAULT)
     baos = jvm.java.io.ByteArrayOutputStream()
-    ok = jvm.javax.imageio.ImageIO.write(bimg, "jpg", baos)
-    assert ok, "no JVM JPEG writer available"
+    ios = jvm.javax.imageio.ImageIO.createImageOutputStream(baos)
+    writer.setOutput(ios)
+    writer.write(None, jvm.javax.imageio.IIOImage(bimg, None, None), param)
+    ios.flush()
     return bytes(baos.toByteArray())
 
 
@@ -127,3 +135,23 @@ def test_interop_we_decode_jvm_files(spark):
     )
     # and both are the SAME image the JVM encoded
     assert np.abs(ours.astype(int) - img.astype(int)).mean() < 12
+
+
+def test_interop_we_decode_jvm_progressive(spark):
+    """PROGRESSIVE (SOF2) interop: javax.imageio emits a genuine
+    multi-scan stream (spectral selection + successive approximation,
+    including AC refinement scans) that our encoder never produces — our
+    multi-scan coefficient accumulator must reproduce the JVM's own
+    decode. On a smooth upsampled image the two decoders differ only in
+    chroma-upsampling filter (p99 ≤ a few counts)."""
+    img = np.repeat(np.repeat(_test_image(24, 32), 4, axis=0), 4, axis=1)
+    payload = _jvm_encode(spark, img, progressive=True)
+    assert b"\xff\xc2" in payload  # really SOF2
+    ours = decode_jpeg(payload)
+    theirs = _jvm_decode(spark, payload)
+    assert ours.shape == theirs.shape == img.shape
+    diff = np.abs(theirs.astype(int) - ours.astype(int))
+    assert diff.mean() < 2 and np.percentile(diff, 99) <= 8, (
+        f"progressive decoders disagree: mean={diff.mean():.2f} "
+        f"p99={np.percentile(diff, 99)}"
+    )
