@@ -32,6 +32,7 @@ HEAVY = [
     "drift_psi",
     "minhash_lsh_pairs",
     "ngram_jaccard_pairs",
+    "embedding_near_dup_lsh",
 ]
 
 
