@@ -52,7 +52,10 @@ CLIPS_SCHEMA = (
 
 CODECS = ("pcm_s16le", "wav", "flac", "opus", "mp3")
 SAMPLE_RATES = (8000, 16000, 22050, 44100, 48000)
-CODEC_MAGIC = {"flac": b"fLaC", "opus": b"OggS", "mp3": b"ID3\x03"}
+# fake-codec magic tags (flac left this map in r03: flac rows carry REAL
+# FLAC streams now, and a legacy fake payload b"fLaC"+PCM deliberately
+# decodes as decode_ok=false — the data-version boundary is explicit)
+CODEC_MAGIC = {"opus": b"OggS", "mp3": b"ID3\x03"}
 PCM_SAMPLES = 512
 PCM_AMP = 26000.0
 VOCAB = (

@@ -178,8 +178,19 @@ def _read_utf8_number(bits: _Bits) -> int:
 
 # ------------------------------------------------------------ decoder ---
 def decode_flac(payload: bytes) -> tuple[np.ndarray, int]:
-    """FLAC stream → (samples int32 array of shape (n, channels), rate).
-    Verifies frame CRC-8/CRC-16 and the STREAMINFO MD5 when present."""
+    """FLAC stream → (samples int64 array of shape (n, channels), rate).
+    Verifies frame CRC-8/CRC-16 and the STREAMINFO MD5 when present.
+    EVERY failure on a corrupt/truncated stream surfaces as ``FlacError``
+    (the seam in audio.decode_pcm_batch catches exactly that)."""
+    try:
+        return _decode_flac_impl(payload)
+    except FlacError:
+        raise
+    except (struct.error, IndexError, ValueError) as e:
+        raise FlacError(f"corrupt FLAC stream: {e!r}") from e
+
+
+def _decode_flac_impl(payload: bytes) -> tuple[np.ndarray, int]:
     if len(payload) < 42 or payload[:4] != FLAC_MAGIC:
         raise FlacError("not a FLAC stream")
     pos = 4
@@ -323,6 +334,8 @@ def _decode_subframe(bits: _Bits, blocksize: int, bps: int) -> np.ndarray:
     wasted = 0
     if bits.read(1):
         wasted = bits.unary() + 1
+        if wasted >= bps:
+            raise FlacError("wasted bits exceed sample size")
         bps -= wasted
     if stype == 0:  # CONSTANT
         out = np.full(blocksize, bits.sread(bps), dtype=np.int64)
@@ -526,7 +539,25 @@ def _encode_frame(
     return bytes(w.out)
 
 
+class _NeedVerbatim(Exception):
+    """Residuals too wide for the 5-bit escape width field — fall back to
+    a VERBATIM subframe (always expressible, still standard FLAC)."""
+
+
 def _encode_subframe(w: _BitW, x: np.ndarray, bps: int, rice: bool = False) -> None:
+    mark = (len(w.out), w.acc, w.n)
+    try:
+        _encode_subframe_coded(w, x, bps, rice)
+    except _NeedVerbatim:
+        del w.out[mark[0]:]
+        w.acc, w.n = mark[1], mark[2]
+        w.write(0, 1)
+        w.write(1, 6)  # VERBATIM
+        w.write(0, 1)
+        w.write_vec(x, bps)
+
+
+def _encode_subframe_coded(w: _BitW, x: np.ndarray, bps: int, rice: bool = False) -> None:
     if len(x) and (x == x[0]).all():
         w.write(0, 1)
         w.write(0, 6)  # CONSTANT
@@ -560,7 +591,9 @@ def _encode_subframe(w: _BitW, x: np.ndarray, bps: int, rice: bool = False) -> N
         len(zz) and int((zz >> param).max()) > 64  # pathological rice
     )
     if escape:  # raw fixed-width residuals — vectorized both ways
-        nb = min(int(max(np.abs(resid).max(), 1)).bit_length() + 1, 31)
+        nb = int(max(np.abs(resid).max(), 1)).bit_length() + 1
+        if nb > 31:  # escape width field is 5 bits — cannot express it
+            raise _NeedVerbatim()
         w.write(15, 4)
         w.write(nb, 5)
         w.write_vec(resid, nb)

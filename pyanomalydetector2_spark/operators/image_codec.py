@@ -234,7 +234,17 @@ def image_header(payload: bytes) -> tuple[int, int, int]:
 def jpeg_header(payload: bytes) -> tuple[int, int, int]:
     """(width, height, channels) from a JPEG SOF0/SOF1/SOF2 frame header —
     same profile jpeg_codec.decode_jpeg accepts (baseline/extended
-    sequential/progressive Huffman; other modes raise)."""
+    sequential/progressive Huffman; other modes raise). Truncated/corrupt
+    streams raise UnsupportedImageError, never struct/index errors."""
+    try:
+        return _jpeg_header_impl(payload)
+    except UnsupportedImageError:
+        raise
+    except (struct.error, IndexError) as e:
+        raise UnsupportedImageError(f"corrupt JPEG header: {e!r}") from e
+
+
+def _jpeg_header_impl(payload: bytes) -> tuple[int, int, int]:
     if payload[:2] != b"\xff\xd8":
         raise UnsupportedImageError("not a JPEG payload")
     pos, n = 2, len(payload)

@@ -220,7 +220,20 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     channels). Baseline (SOF0), extended sequential (SOF1), AND
     progressive (SOF2) — every scan accumulates into a per-component
     zigzag coefficient store; dequant + IDCT happen once at the end.
-    Arithmetic coding, hierarchical and lossless modes raise."""
+    Arithmetic coding, hierarchical and lossless modes raise.
+
+    EVERY failure on a corrupt/truncated/unsupported stream surfaces as
+    ``UnsupportedImageError`` — the multimodal seam catches exactly that
+    to degrade a bad row instead of crashing the Arrow batch."""
+    try:
+        return _decode_jpeg_impl(payload)
+    except UnsupportedImageError:
+        raise
+    except (struct.error, IndexError, KeyError, StopIteration, ValueError) as e:
+        raise UnsupportedImageError(f"corrupt JPEG stream: {e!r}") from e
+
+
+def _decode_jpeg_impl(payload: bytes) -> np.ndarray:
     if len(payload) < 4 or payload[:2] != b"\xff\xd8":
         raise UnsupportedImageError("not a JPEG payload")
     qt: dict[int, np.ndarray] = {}

@@ -45,22 +45,36 @@ def cosine(a: Column, b: Column) -> Column:
 
 
 def pair_cosine_udf():
-    """Arrow-batched row-wise cosine kernel: one numpy einsum per batch over
-    the two array columns — replaces the per-element ``cosine()`` expression
-    in every re-rank hot path (VERDICT r02 "What's wrong #3"). Zero-norm
-    rows yield NULL, matching ``try_divide`` (0/0) semantics (pandas NaN →
-    Arrow null on the way back)."""
+    """Arrow-batched row-wise cosine kernel: one numpy einsum per
+    equal-dimension group per batch over the two array columns — replaces
+    the per-element ``cosine()`` expression in every re-rank hot path
+    (VERDICT r02 "What's wrong #3"). NULL semantics match (or tighten) the
+    expression it replaced: zero-norm rows → NULL (try_divide 0/0), NULL
+    or length-mismatched vectors → NULL (zip_with silently truncated a
+    ragged pair; a validation engine should not produce a cosine for one).
+    A malformed row degrades to NULL instead of crashing the Arrow batch."""
     from pyspark.sql.functions import pandas_udf
 
     @pandas_udf("double")
     def pc(a: pd.Series, b: pd.Series) -> pd.Series:
-        if len(a) == 0:
+        n = len(a)
+        if n == 0:
             return pd.Series([], dtype="float64")
-        ma = np.array(list(a), dtype=np.float64)
-        mb = np.array(list(b), dtype=np.float64)
-        num = np.einsum("ij,ij->i", ma, mb)
-        den = np.linalg.norm(ma, axis=1) * np.linalg.norm(mb, axis=1)
-        out = np.divide(num, den, out=np.full(len(num), np.nan), where=den != 0.0)
+        av, bv = a.tolist(), b.tolist()
+        out = np.full(n, np.nan)
+        by_dim: dict[int, list[int]] = {}
+        for i in range(n):
+            x, y = av[i], bv[i]
+            if x is not None and y is not None and len(x) == len(y) and len(x):
+                by_dim.setdefault(len(x), []).append(i)
+        for idxs in by_dim.values():
+            ma = np.array([av[i] for i in idxs], dtype=np.float64)
+            mb = np.array([bv[i] for i in idxs], dtype=np.float64)
+            num = np.einsum("ij,ij->i", ma, mb)
+            den = np.linalg.norm(ma, axis=1) * np.linalg.norm(mb, axis=1)
+            out[idxs] = np.divide(
+                num, den, out=np.full(len(idxs), np.nan), where=den != 0.0
+            )
         return pd.Series(out)
 
     return pc

@@ -33,11 +33,20 @@ from pyspark.sql import functions as F
 
 def iceberg_available(spark: SparkSession) -> bool:
     """True iff the Iceberg Spark runtime classes are loadable in this
-    session's JVM (jar shipped via spark.jars/--packages)."""
+    session's JVM. Probes through Spark's own Utils.classForName first —
+    jars shipped via spark.jars/--packages land in Spark's mutable
+    classloader, which the system-classloader Class.forName cannot see —
+    then falls back to Class.forName for system-classpath jars."""
+    name = "org.apache.iceberg.spark.extensions.IcebergSparkSessionExtensions"
     try:
-        spark._jvm.java.lang.Class.forName(  # type: ignore[union-attr]
-            "org.apache.iceberg.spark.extensions.IcebergSparkSessionExtensions"
+        spark._jvm.org.apache.spark.util.Utils.classForName(  # type: ignore[union-attr]
+            name, False, False
         )
+        return True
+    except Exception:
+        pass
+    try:
+        spark._jvm.java.lang.Class.forName(name)  # type: ignore[union-attr]
         return True
     except Exception:
         return False
@@ -55,10 +64,13 @@ def iceberg_catalog(spark: SparkSession) -> str | None:
 def open_table(spark: SparkSession, path: str, ident: str | None = None):
     """Backend factory: Iceberg when runtime + catalog are present, else
     the parquet SnapshotTable. ``ident`` names the Iceberg table
-    (``db.table``); defaults to a sanitized form of ``path``'s basename."""
+    (``db.table``); the default derives from the FULL path (sanitized), so
+    distinct datasets sharing a basename (two warehouses' ``results``, two
+    pipelines' ``trends_stats``) cannot collide in one Iceberg table the
+    way a basename-only key would."""
     cat = iceberg_catalog(spark) if iceberg_available(spark) else None
     if cat:
-        name = ident or re.sub(r"\W+", "_", os.path.basename(path.rstrip("/")))
+        name = ident or re.sub(r"\W+", "_", path.rstrip("/")).strip("_")
         return IcebergTable(spark, f"{cat}.default.{name}")
     return SnapshotTable(path)
 
