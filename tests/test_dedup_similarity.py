@@ -345,3 +345,30 @@ def test_default_cap_leaves_normal_corpus_unchanged(spark):
     with_default = {tuple(r) for r in lsh_candidate_pairs(sigs).collect()}
     without = {tuple(r) for r in lsh_candidate_pairs(sigs, max_bucket_size=None).collect()}
     assert with_default == without
+
+
+def test_pair_cosine_null_and_ragged_rows_degrade_to_null(spark):
+    """A NULL, empty, or length-mismatched embedding must yield NULL
+    cosine — not crash the Arrow batch (code-review r03 finding #1: the
+    numpy kernel replaced a null-safe Catalyst expression)."""
+    from pyspark.sql import functions as F
+
+    from pyanomalydetector2_spark.operators.similarity import pair_cosine_udf
+
+    df = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0], [1.0, 0.0]),    # fine → 1.0
+            (2, None, [1.0, 0.0]),          # NULL vector
+            (3, [1.0, 0.0], [1.0]),         # ragged pair
+            (4, [0.0, 0.0], [1.0, 0.0]),    # zero norm
+            (5, [], []),                    # empty vectors
+            (6, [0.0, 1.0], [1.0, 0.0]),    # fine → 0.0
+        ],
+        "id long, a array<double>, b array<double>",
+    )
+    rows = {
+        r["id"]: r["c"]
+        for r in df.select("id", pair_cosine_udf()(F.col("a"), F.col("b")).alias("c")).collect()
+    }
+    assert rows[1] == 1.0 and rows[6] == 0.0
+    assert rows[2] is None and rows[3] is None and rows[4] is None and rows[5] is None

@@ -155,3 +155,29 @@ def test_interop_we_decode_jvm_progressive(spark):
         f"progressive decoders disagree: mean={diff.mean():.2f} "
         f"p99={np.percentile(diff, 99)}"
     )
+
+
+@pytest.mark.parametrize("payload", [
+    b"\xff\xd8\xff\xc0\x00\x11\x08",          # truncated SOF
+    b"\xff\xd8\xff\xda\x00\x08\x01\x09\x00\x00\x3f\x00",  # SOS before SOF
+    b"\xff\xd8\xff\xdb\x00\x43\x00" + b"\x01" * 8,  # truncated DQT
+    b"\xff\xd8" + b"\xff\xc4\x00\x05\x00\x01",  # malformed DHT then EOF
+], ids=["trunc-sof", "sos-no-sof", "trunc-dqt", "bad-dht"])
+def test_corrupt_streams_raise_unsupported_only(payload):
+    """The decode seam catches UnsupportedImageError ONLY — every corrupt
+    or truncated stream must surface as that, never struct.error /
+    IndexError / KeyError / StopIteration (code-review r03 finding)."""
+    from pyanomalydetector2_spark.operators.image_codec import jpeg_header
+
+    with pytest.raises(UnsupportedImageError):
+        decode_jpeg(payload)
+    with pytest.raises(UnsupportedImageError):
+        jpeg_header(payload)
+
+
+def test_scan_with_unknown_component_raises_unsupported():
+    img = bytearray(encode_jpeg_baseline(_test_image(8, 8)))
+    sos = img.find(b"\xff\xda")
+    img[sos + 5] = 9  # scan names component id 9 — not in the frame
+    with pytest.raises(UnsupportedImageError):
+        decode_jpeg(bytes(img))
