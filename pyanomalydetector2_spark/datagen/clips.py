@@ -14,14 +14,15 @@ the numeric row id through a splitmix64 hash, so:
 - the per-row invariant UDF can re-derive the REFERENCE decode from the
   clip_id alone (the SNR>=30dB allclose target).
 
-Audio payload: a seeded sine wave quantized to int16 LE ("pcm_s16le"). For
-non-PCM codecs the payload is the same PCM prefixed with a 4-byte magic tag —
-a clearly-marked deterministic fake for opus/mp3 (libraries absent); flac
-rows now carry REAL FLAC streams (operators/flac_codec.py, lossless
-container); the Spark-side plumbing (binary column, Arrow batches, decode UDF
-signature) is real. Payload length is fixed at PCM_SAMPLES regardless of
-dur_ms (clip "head" — engines store full audio in object storage; the
-validation engine only needs a decodable prefix).
+Audio payload: a seeded sine wave quantized to int16 LE ("pcm_s16le").
+Every named codec carries a REAL container (r03): wav = RIFF, flac = full
+FLAC bitstream (lossless — decode == quant exactly), opus = Ogg pages with
+verified CRCs + OpusHead around declared-fake packet payloads, mp3 = exact
+MPEG-1 Layer III frame geometry around declared-fake frame payloads. Only
+the opus/mp3 CODEC payloads are fakes (libopus/ffmpeg absent); container
+walks, CRCs, and metadata are real. Payload length is fixed at PCM_SAMPLES
+regardless of dur_ms (clip "head" — engines store full audio in object
+storage; the validation engine only needs a decodable prefix).
 
 Planted violations (current snapshot only), each on its own prime stride so
 tests can count them in closed form:
@@ -52,10 +53,11 @@ CLIPS_SCHEMA = (
 
 CODECS = ("pcm_s16le", "wav", "flac", "opus", "mp3")
 SAMPLE_RATES = (8000, 16000, 22050, 44100, 48000)
-# fake-codec magic tags (flac left this map in r03: flac rows carry REAL
-# FLAC streams now, and a legacy fake payload b"fLaC"+PCM deliberately
-# decodes as decode_ok=false — the data-version boundary is explicit)
-CODEC_MAGIC = {"opus": b"OggS", "mp3": b"ID3\x03"}
+# r03: every named codec now carries a REAL container (FLAC bitstream,
+# Ogg-Opus pages, MPEG frame shells); legacy magic-tag fakes deliberately
+# decode as decode_ok=false across the data-version boundary. The map
+# remains only as the decode seam's legacy/unknown-codec guard.
+CODEC_MAGIC: dict[str, bytes] = {}
 PCM_SAMPLES = 512
 PCM_AMP = 26000.0
 VOCAB = (
@@ -225,8 +227,25 @@ def _gen_batch(
             from pyanomalydetector2_spark.operators.flac_codec import encode_flac
 
             payloads.append(encode_flac(quant[i].astype(np.int64), int(sr[i])))
+        elif codec[i] == "opus":  # REAL Ogg container, fake codec payload
+            from pyanomalydetector2_spark.operators.ogg_opus import (
+                encode_ogg_opus,
+                fake_opus_packets,
+            )
+
+            payloads.append(
+                encode_ogg_opus(fake_opus_packets(quant[i]), int(sr[i]))
+            )
+        elif codec[i] == "mp3":  # REAL frame geometry, fake codec payload
+            from pyanomalydetector2_spark.operators.mp3_frames import (
+                encode_mp3_shell,
+            )
+
+            payloads.append(encode_mp3_shell(quant[i].tobytes()))
         else:
-            payloads.append(CODEC_MAGIC.get(codec[i], b"") + quant[i].tobytes())
+            # unknown codec (planted violation rows): raw PCM under a name
+            # no decoder claims — decode_ok=false by construction
+            payloads.append(quant[i].tobytes())
 
     trans: list[str | None] = []
     null_m = _hits(eff, V_NULL_T) if planted else np.zeros(n, dtype=bool)

@@ -15,9 +15,10 @@ Codec handling — REAL paths: ``pcm_s16le`` (int16 LE → float), ``wav``
 (RIFF parse, format tags 1/7/6), ``pcm_mulaw`` / ``pcm_alaw`` (actual
 G.711 companding, operators/g711.py — byte-exact vs CPython's audioop),
 and ``flac`` (full bitstream decoder, operators/flac_codec.py — CRC-8/16
-and STREAMINFO-MD5 verified). The remaining codecs in the dim table
-(opus/mp3) carry a 4-byte magic tag over the same PCM — a clearly-marked
-deterministic fake (those need codec libraries this container lacks; see
+and STREAMINFO-MD5 verified). ``opus``/``mp3`` have REAL container walks
+(Ogg pages with CRC verification + OpusHead, operators/ogg_opus.py; exact
+MPEG frame geometry, operators/mp3_frames.py) around a clearly-marked
+fake codec payload (those need libopus/ffmpeg, absent here; see
 datagen.clips docstring).
 ``decode_pcm_batch`` is the single seam where pyav/soundfile would plug
 in. Unknown codecs → decode failure (decode_ok=false), which the suite
@@ -120,10 +121,11 @@ def decode_pcm_batch(payload: bytes | None, codec: str | None) -> np.ndarray | N
     """Decode one clip payload → float64 waveform, or None if undecodable.
 
     REAL paths: pcm_s16le (raw), wav (RIFF container parse — parse_wav),
-    G.711, and flac (flac_codec.decode_flac, integrity-verified).
-    FAKE-but-deterministic path: known magic-tagged lossy codecs (strip
-    tag, decode as PCM; opus/mp3 need codec libraries this container
-    lacks). A production build extends this body with pyav/soundfile — the
+    G.711, flac (flac_codec.decode_flac, integrity-verified), and the
+    opus/mp3 CONTAINER walks (ogg_opus/mp3_frames — CRC-checked pages /
+    exact frame geometry). Only the opus/mp3 codec payloads are the
+    declared deterministic fake (they need libopus/ffmpeg). A production
+    build swaps the packet-bytes-to-PCM step for the real decoder — the
     UDF plumbing around it is unchanged.
     """
     if payload is None or codec is None:
@@ -155,7 +157,27 @@ def decode_pcm_batch(payload: bytes | None, codec: str | None) -> np.ndarray | N
         if samples.shape[0] < PCM_SAMPLES:
             return None
         return samples[:PCM_SAMPLES, 0].astype(np.float64)
-    if codec == "pcm_s16le":
+    if codec == "opus":  # REAL Ogg/OpusHead container walk, fake codec
+        from pyanomalydetector2_spark.operators.ogg_opus import (
+            OggError,
+            opus_packet_bytes,
+        )
+
+        try:
+            raw = opus_packet_bytes(payload)
+        except (OggError, ValueError):
+            return None  # not an Ogg-Opus stream / corrupt container
+    elif codec == "mp3":  # REAL MPEG frame walk, fake codec
+        from pyanomalydetector2_spark.operators.mp3_frames import (
+            Mp3Error,
+            frame_payload_bytes,
+        )
+
+        try:
+            raw = frame_payload_bytes(payload)
+        except (Mp3Error, ValueError):
+            return None  # not an MPEG stream / corrupt container
+    elif codec == "pcm_s16le":
         raw = payload
     else:
         magic = CODEC_MAGIC.get(codec)

@@ -266,3 +266,37 @@ def test_wav_container_real_roundtrip():
     bad[20] = 3  # fmt = IEEE float
     assert parse_wav(bytes(bad)) is None
     assert decode_pcm_batch(wav, "flac") is None    # magic mismatch
+
+
+def test_opus_mp3_real_container_fake_codec_roundtrip():
+    """r03 boundary move: opus/mp3 rows carry REAL containers (Ogg pages
+    with verified CRCs + OpusHead; exact MPEG frame geometry) around the
+    declared fake codec payload — the decode seam walks the container for
+    real and still recovers the reference PCM."""
+    import numpy as np
+
+    from pyanomalydetector2_spark.datagen.clips import PCM_SAMPLES, _gen_batch
+    from pyanomalydetector2_spark.operators.audio import decode_pcm_batch
+    from pyanomalydetector2_spark.operators.mp3_frames import mp3_info
+    from pyanomalydetector2_spark.operators.ogg_opus import ogg_opus_info
+
+    pdf = _gen_batch(np.arange(0, 600, dtype=np.int64), planted=False)
+    n_checked = {"opus": 0, "mp3": 0}
+    for _, row in pdf[pdf["codec"].isin(["opus", "mp3"])].head(40).iterrows():
+        payload, codec = bytes(row["bytes"]), row["codec"]
+        dec = decode_pcm_batch(payload, codec)
+        assert dec is not None and len(dec) == PCM_SAMPLES
+        if codec == "opus":
+            info = ogg_opus_info(payload)  # full CRC-verified page walk
+            assert info["channels"] == 1
+            assert info["audio_bytes"] >= 2 * PCM_SAMPLES
+        else:
+            info = mp3_info(payload)
+            assert info["cbr"] and info["sample_rate"] == 44100
+            assert info["n_frames"] >= 3
+        n_checked[codec] += 1
+    assert n_checked["opus"] > 0 and n_checked["mp3"] > 0
+
+    # corrupting any container byte must flip to decode failure, not garbage
+    assert decode_pcm_batch(b"OggS" + b"\x00" * 100, "opus") is None
+    assert decode_pcm_batch(b"\x00" * 100, "mp3") is None

@@ -1,0 +1,123 @@
+"""Ogg-Opus and MPEG(MP3) container-parser tests: page/frame geometry
+round-trips, CRC verification actually fires, packet reassembly across
+pages, OpusHead field parse, and the MPEG header tables against published
+ISO values — the container walks are REAL even though the codec payloads
+inside stay the declared fake.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from pyanomalydetector2_spark.operators.mp3_frames import (
+    Mp3Error,
+    encode_mp3_shell,
+    frame_payload_bytes,
+    mp3_frames,
+    mp3_info,
+    parse_frame_header,
+    skip_id3v2,
+)
+from pyanomalydetector2_spark.operators.ogg_opus import (
+    OggError,
+    encode_ogg_opus,
+    fake_opus_packets,
+    ogg_crc,
+    ogg_opus_info,
+    opus_packet_bytes,
+    parse_opus_head,
+    read_pages,
+    write_page,
+)
+
+
+# ------------------------------------------------------------------ Ogg --
+def test_ogg_crc_spec_vector():
+    # CRC-32/CKSUM family with init=0, no xorout (the Ogg variant):
+    # published check value for '123456789' is 0x89A1897F
+    assert ogg_crc(b"123456789") == 0x89A1897F
+
+
+def test_ogg_page_roundtrip_and_crc_detects_corruption():
+    page = write_page(7, 0, 1234, [b"hello", b"world!"], bos=True)
+    [(hdr, packets)] = list(read_pages(page))
+    assert hdr["granule"] == 1234 and hdr["bos"] and packets == [b"hello", b"world!"]
+    bad = bytearray(page)
+    bad[-3] ^= 1  # flip a body bit
+    with pytest.raises(OggError, match="CRC"):
+        list(read_pages(bytes(bad)))
+
+
+def test_ogg_packet_spanning_255_boundaries():
+    """A packet of exactly k*255 bytes needs a 0-length terminating lacing
+    value; packets > 255 span multiple lacing entries."""
+    big = bytes(range(256)) * 2  # 512 = 255 + 255 + 2
+    exact = b"x" * 510  # 255 + 255 + 0-terminator
+    page = write_page(1, 0, 0, [big, exact, b""])
+    [(_, packets)] = list(read_pages(page))
+    assert packets == [big, exact, b""]
+
+
+def test_opus_head_fields_and_e2e_info():
+    pcm = (1000 * np.sin(np.arange(512) * 0.1)).astype(np.int64)
+    payload = encode_ogg_opus(
+        fake_opus_packets(pcm), sample_rate=16000, channels=1, pre_skip=312
+    )
+    info = ogg_opus_info(payload)
+    assert info["channels"] == 1
+    assert info["input_sample_rate"] == 16000
+    assert info["pre_skip"] == 312
+    assert info["n_audio_packets"] == 1
+    assert info["audio_bytes"] == 1024
+    # packet bytes reassemble to the exact PCM
+    assert np.array_equal(
+        np.frombuffer(opus_packet_bytes(payload), dtype="<i2"),
+        pcm.astype("<i2"),
+    )
+    with pytest.raises(OggError):
+        parse_opus_head(b"NotOpus!" + b"\x00" * 16)
+    with pytest.raises(OggError):
+        ogg_opus_info(b"OggS" + b"\x00" * 50)
+
+
+# ------------------------------------------------------------------ MP3 --
+def test_mp3_header_tables_iso_anchors():
+    """Published ISO frame sizes: MPEG-1 Layer III, 128 kbps @ 44100 →
+    417 bytes (418 padded); 320 kbps @ 44100 → 1044."""
+    def hdr_word(br_idx, padding):
+        return (
+            (0x7FF << 21) | (3 << 19) | (1 << 17) | (1 << 16)
+            | (br_idx << 12) | (0 << 10) | (padding << 9)
+        ).to_bytes(4, "big")
+
+    h = parse_frame_header(hdr_word(9, 0), 0)
+    assert (h["bitrate"], h["sample_rate"], h["length"]) == (128000, 44100, 417)
+    assert parse_frame_header(hdr_word(9, 1), 0)["length"] == 418
+    assert parse_frame_header(hdr_word(14, 0), 0)["length"] == 1044
+
+
+def test_mp3_shell_roundtrip_and_id3_skip():
+    pcm = np.arange(-512, 512, 2, dtype=np.int64).astype("<i2").tobytes()
+    payload = encode_mp3_shell(pcm)
+    info = mp3_info(payload)
+    assert info["cbr"] and info["bitrate"] == 128000
+    assert info["n_frames"] == -(-len(pcm) // 413)  # ceil over min payload
+    assert frame_payload_bytes(payload)[: len(pcm)] == pcm
+    # an ID3v2 tag in front is skipped via its syncsafe size
+    id3 = b"ID3\x04\x00\x00" + bytes([0, 0, 1, 5]) + b"\x00" * ((1 << 7) + 5)
+    assert skip_id3v2(id3 + payload) == len(id3)
+    assert mp3_info(id3 + payload)["n_frames"] == info["n_frames"]
+
+
+def test_mp3_corruption_detected():
+    payload = bytearray(encode_mp3_shell(b"\x01\x02" * 600))
+    with pytest.raises(Mp3Error, match="sync"):
+        list(mp3_frames(b"\x00" * 100))
+    payload[1] = 0x00  # destroy the first sync
+    with pytest.raises(Mp3Error):
+        list(mp3_frames(bytes(payload)))
+    # truncating mid-frame is caught, not silently accepted
+    good = encode_mp3_shell(b"\x01\x02" * 600)
+    with pytest.raises(Mp3Error, match="truncated"):
+        list(mp3_frames(good[: len(good) - 7]))
