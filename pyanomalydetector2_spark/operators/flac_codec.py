@@ -231,6 +231,36 @@ def _decode_flac_impl(payload: bytes) -> tuple[np.ndarray, int]:
     return samples, info["rate"]
 
 
+def flac_stream_info(payload: bytes) -> dict:
+    """STREAMINFO-only parse — the no-decode metadata path (rate, channels,
+    bits per sample, declared total samples, MD5 presence) for container
+    validation over corpora where decoding every clip is off the table."""
+    if len(payload) < 42 or payload[:4] != FLAC_MAGIC:
+        raise FlacError("not a FLAC stream")
+    pos = 4
+    while True:
+        if pos + 4 > len(payload):
+            raise FlacError("truncated metadata")
+        hdr = payload[pos]
+        (blen,) = struct.unpack(">I", b"\x00" + payload[pos + 1 : pos + 4])
+        body = payload[pos + 4 : pos + 4 + blen]
+        if hdr & 0x7F == 0:  # STREAMINFO
+            if len(body) < 34:
+                raise FlacError("truncated STREAMINFO")
+            sr_chan = int.from_bytes(body[10:18], "big")
+            return {
+                "rate": sr_chan >> 44,
+                "channels": ((sr_chan >> 41) & 0x7) + 1,
+                "bps": ((sr_chan >> 36) & 0x1F) + 1,
+                "total_samples": sr_chan & ((1 << 36) - 1),
+                "has_md5": body[18:34] != b"\x00" * 16,
+            }
+        if hdr & 0x80:
+            break
+        pos += 4 + blen
+    raise FlacError("missing STREAMINFO")
+
+
 def _samples_md5(samples: np.ndarray, bps: int) -> bytes:
     nbytes = (bps + 7) // 8
     le = samples.astype("<i8").tobytes()  # 8-byte LE, truncate per sample

@@ -2,7 +2,10 @@
 with typed metadata, processed by Arrow-batched ``mapInPandas`` kernels.
 
 Decode reality map:
-- audio: REAL for pcm_s16le and WAV/RIFF (operators/audio.py);
+- audio: REAL for pcm_s16le, WAV/RIFF, G.711 (operators/audio.py, g711.py)
+  and FLAC (operators/flac_codec.py, lossless with CRC/MD5 verification);
+  opus/mp3 have REAL container walks (ogg_opus.py, mp3_frames.py) around
+  the declared-fake codec payload;
 - image: REAL for 24-bit BMP, 8-bit PNG (operators/image_codec.py) and
   baseline/extended-sequential/PROGRESSIVE JPEG (operators/jpeg_codec.py,
   interop proven both ways vs javax.imageio incl. its progressive
@@ -98,6 +101,73 @@ def audio_features(clips: DataFrame) -> DataFrame:
 
     return clips.select("clip_id", "bytes", "codec").mapInPandas(
         extract, schema=AUDIO_FEATURE_SCHEMA
+    )
+
+
+AUDIO_CONTAINER_SCHEMA = (
+    "clip_id string, container string, channels int, sample_rate int, "
+    "n_units int, payload_bytes long, ok boolean"
+)
+
+
+def audio_container_meta(clips: DataFrame) -> DataFrame:
+    """REAL no-decode container metadata over the clips table — the
+    validation pass a 10^12-clip suite runs without touching sample data:
+    FLAC STREAMINFO, Ogg-Opus page walk (CRC-verified) + OpusHead, MPEG
+    frame walk, RIFF/WAVE fmt. ``n_units`` is format-natural (FLAC frames
+    → total samples, Ogg → audio packets, MPEG → frames, WAV → data
+    bytes/2). Unparseable/unknown payloads report ok=false rather than
+    failing the batch."""
+
+    def meta(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from pyanomalydetector2_spark.operators.flac_codec import (
+            FLAC_MAGIC,
+            FlacError,
+            flac_stream_info,
+        )
+        from pyanomalydetector2_spark.operators.mp3_frames import Mp3Error, mp3_info
+        from pyanomalydetector2_spark.operators.ogg_opus import OggError, ogg_opus_info
+
+        for pdf in it:
+            rows = []
+            for cid, payload, codec in zip(
+                pdf["clip_id"], pdf["bytes"], pdf["codec"]
+            ):
+                row = (cid, None, None, None, None, None, False)
+                try:
+                    if payload is None:
+                        pass
+                    elif payload[:4] == FLAC_MAGIC:
+                        i = flac_stream_info(bytes(payload))
+                        row = (cid, "flac", i["channels"], i["rate"],
+                               i["total_samples"], len(payload), True)
+                    elif payload[:4] == b"OggS":
+                        i = ogg_opus_info(bytes(payload))
+                        row = (cid, "ogg-opus", i["channels"],
+                               i["input_sample_rate"], i["n_audio_packets"],
+                               i["audio_bytes"], True)
+                    elif payload[:4] == b"RIFF":
+                        from pyanomalydetector2_spark.operators.audio import parse_wav
+
+                        wave = parse_wav(bytes(payload))
+                        if wave is not None:
+                            row = (cid, "wav", 1, None, len(wave),
+                                   len(payload), True)
+                    elif codec == "mp3":
+                        i = mp3_info(bytes(payload))
+                        row = (cid, "mpeg", None, i["sample_rate"],
+                               i["n_frames"], len(payload), True)
+                except (FlacError, OggError, Mp3Error, ValueError):
+                    pass
+                rows.append(row)
+            yield pd.DataFrame(
+                rows,
+                columns=["clip_id", "container", "channels", "sample_rate",
+                         "n_units", "payload_bytes", "ok"],
+            )
+
+    return clips.select("clip_id", "bytes", "codec").mapInPandas(
+        meta, schema=AUDIO_CONTAINER_SCHEMA
     )
 
 

@@ -121,3 +121,31 @@ def test_mp3_corruption_detected():
     good = encode_mp3_shell(b"\x01\x02" * 600)
     with pytest.raises(Mp3Error, match="truncated"):
         list(mp3_frames(good[: len(good) - 7]))
+
+
+def test_audio_container_meta_operator(spark):
+    """The DataFrame-level no-decode metadata pass: real container walks
+    per format, bad rows degrade to ok=false."""
+    from pyanomalydetector2_spark.datagen.clips import _gen_batch, clips_table
+    from pyanomalydetector2_spark.operators.multimodal import audio_container_meta
+
+    clips = clips_table(spark, 400, planted=True, n_buckets=4)
+    meta = {r["clip_id"]: r for r in audio_container_meta(clips).collect()}
+    pdf = _gen_batch(np.arange(0, 400, dtype=np.int64), planted=True)
+    by_codec = dict(zip(pdf["clip_id"], pdf["codec"]))
+    n_ok = 0
+    for cid, r in meta.items():
+        codec = by_codec[cid]
+        if codec == "flac":
+            assert r["container"] == "flac" and r["n_units"] == 512 and r["ok"]
+        elif codec == "opus":
+            assert r["container"] == "ogg-opus" and r["ok"]
+            assert r["payload_bytes"] == 1024  # 512 int16 samples
+        elif codec == "mp3":
+            assert r["container"] == "mpeg" and r["n_units"] >= 3 and r["ok"]
+        elif codec == "wav":
+            assert r["container"] == "wav" and r["n_units"] == 512 and r["ok"]
+        elif codec == "amr_nb":  # planted unknown codec: raw PCM payload
+            assert not r["ok"]
+        n_ok += bool(r["ok"])
+    assert n_ok > 300
