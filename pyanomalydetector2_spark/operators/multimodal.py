@@ -12,11 +12,11 @@ Decode reality map:
   writer) — all stdlib+numpy, no codec libraries needed; the remaining
   container (WebP) falls back to the deterministic fake, clearly
   separated by container magic, so tests can pin both paths;
-- video / compressed audio: STUBBED behind a deterministic fake (no pyav /
-  ffmpeg in this container) — the Spark-side plumbing (schemas, batch
-  iteration, column pruning, 1→N fan-out shapes) is real and tested, and
-  each ``*_kernel`` function is the single seam where a real library
-  plugs in.
+- video: REAL for uncompressed AVI (operators/video_codec.py); h264-class
+  codecs remain STUBBED behind a deterministic fake (no pyav/ffmpeg in
+  this container) — the Spark-side plumbing (schemas, batch iteration,
+  column pruning, 1→N fan-out shapes) is real and tested, and each
+  ``*_kernel`` function is the single seam where a real library plugs in.
 """
 
 from __future__ import annotations
