@@ -149,3 +149,15 @@ def test_audio_container_meta_operator(spark):
             assert not r["ok"]
         n_ok += bool(r["ok"])
     assert n_ok > 300
+
+
+def test_ogg_crc_fast_path_equals_reference():
+    """The zlib-reflection fast CRC must equal the spec-table reference on
+    arbitrary data (pins the rev8/rev32 identity)."""
+    import os
+
+    from pyanomalydetector2_spark.operators.ogg_opus import ogg_crc_reference
+
+    for n in (0, 1, 3, 27, 255, 1156, 4097):
+        d = os.urandom(n)
+        assert ogg_crc(d) == ogg_crc_reference(d)
