@@ -691,7 +691,12 @@ def q_ann_ivf_index_topk(spark: SparkSession, sf: str) -> DataFrame:
     emb = load_table(spark, sf, "embeddings").select(
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
     )
-    base = "/tmp/pyad2_ivf_index_" + hashlib.md5(sf.encode()).hexdigest()[:10]
+    # cache key covers the CORPUS FILE identity (path + mtime + size), so a
+    # regenerated embeddings.parquet can never be served a stale index
+    emb_path = os.path.join(sf, "embeddings.parquet")
+    st = os.stat(emb_path)
+    key = f"{emb_path}:{st.st_mtime_ns}:{st.st_size}"
+    base = "/tmp/pyad2_ivf_index_" + hashlib.md5(key.encode()).hexdigest()[:12]
     t_c = SnapshotTable(f"{base}/centroids")
     t_a = SnapshotTable(f"{base}/assignments")
     if t_c.current_snapshot() is None or t_a.current_snapshot() is None:
