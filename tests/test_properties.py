@@ -159,3 +159,34 @@ def test_jpeg_decoder_accepts_any_encoder_output(img):
     flat = np.full_like(img, img[0, 0])
     got = decode_jpeg(encode_jpeg_baseline(flat))
     assert int(np.abs(got.astype(int) - flat.astype(int)).max()) <= 4
+
+
+@given(
+    st.lists(st.binary(min_size=0, max_size=700), min_size=1, max_size=5),
+    st.integers(0, 2**62),
+)
+@settings(max_examples=60, deadline=None)
+def test_ogg_page_roundtrip_any_packets(packets, granule):
+    """Any packet list (including empty packets and 255-multiples) survives
+    the lacing round-trip with CRC verification intact."""
+    from pyanomalydetector2_spark.operators.ogg_opus import read_pages, write_page
+
+    page = write_page(3, 0, granule, packets)
+    [(hdr, got)] = list(read_pages(page))
+    assert got == packets and hdr["granule"] == granule
+
+
+@given(st.binary(min_size=1, max_size=3000))
+@settings(max_examples=60, deadline=None)
+def test_mp3_shell_roundtrip_any_payload(data):
+    """The MPEG shell writer + frame walk round-trips arbitrary payload
+    bytes (prefix equality; the tail is declared zero padding)."""
+    from pyanomalydetector2_spark.operators.mp3_frames import (
+        encode_mp3_shell,
+        frame_payload_bytes,
+        mp3_info,
+    )
+
+    payload = encode_mp3_shell(data)
+    assert frame_payload_bytes(payload)[: len(data)] == data
+    assert mp3_info(payload)["cbr"]
