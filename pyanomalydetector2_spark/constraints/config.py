@@ -91,6 +91,7 @@ def suite_from_dict(spec: dict) -> Suite:
             d.get("observed", "NULL"),
             d.get("expected", d["predicate"]),
             requires_audio=bool(d.get("requires_audio", False)),
+            requires_container=bool(d.get("requires_container", False)),
         )
         for d in spec.get("row_checks", [])
     )

@@ -37,6 +37,9 @@ class RowCheck:
     observed: str  # SQL expr → string shown in the violation row
     expected: str  # human-readable expectation
     requires_audio: bool = False  # needs the decoded-PCM invariant columns
+    # needs (container, container_ok) from the NO-DECODE container walk —
+    # the cheap validation tier (multimodal.with_container_meta)
+    requires_container: bool = False
 
 
 @dataclass(frozen=True)

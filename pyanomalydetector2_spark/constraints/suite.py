@@ -165,9 +165,24 @@ def run_suite(
             current = current.filter(~F.col(bucket_col).isin(skipped))
 
     needs_audio = any(c.requires_audio for c in suite.row_checks)
-    # row checks get the audio-invariant columns; every OTHER family reads
-    # the source directly so its scan prunes down to its own columns
-    audio_base = with_audio_invariants(current) if needs_audio else current
+    needs_container = any(
+        getattr(c, "requires_container", False) for c in suite.row_checks
+    )
+    # row checks get the audio-invariant / container-meta columns; every
+    # OTHER family reads the source directly so its scan prunes down to
+    # its own columns. Container meta attaches FIRST (it reads bytes);
+    # the audio-invariant projection then drops bytes as before.
+    audio_base = current
+    if needs_container:
+        from pyanomalydetector2_spark.operators.multimodal import (
+            with_container_meta,
+        )
+
+        audio_base = with_container_meta(audio_base)
+    if needs_audio:
+        audio_base = with_audio_invariants(audio_base)
+    elif needs_container:
+        audio_base = audio_base.drop("bytes")
     base = current
     if cache:  # opt-in only: helps tiny inputs, hurts at scale (see module doc)
         audio_base = audio_base.cache()

@@ -110,6 +110,78 @@ AUDIO_CONTAINER_SCHEMA = (
 )
 
 
+def _container_probe(payload, codec) -> tuple:
+    """(container, channels, sample_rate, n_units, payload_bytes, ok) for
+    one clip — real container walks only, ok=False on anything unparseable."""
+    from pyanomalydetector2_spark.operators.flac_codec import (
+        FLAC_MAGIC,
+        FlacError,
+        flac_stream_info,
+    )
+    from pyanomalydetector2_spark.operators.mp3_frames import Mp3Error, mp3_info
+    from pyanomalydetector2_spark.operators.ogg_opus import OggError, ogg_opus_info
+
+    try:
+        if payload is None:
+            pass
+        elif payload[:4] == FLAC_MAGIC:
+            i = flac_stream_info(bytes(payload))
+            return ("flac", i["channels"], i["rate"], i["total_samples"],
+                    len(payload), True)
+        elif payload[:4] == b"OggS":
+            i = ogg_opus_info(bytes(payload))
+            return ("ogg-opus", i["channels"], i["input_sample_rate"],
+                    i["n_audio_packets"], i["audio_bytes"], True)
+        elif payload[:4] == b"RIFF":
+            from pyanomalydetector2_spark.operators.audio import parse_wav
+
+            wave = parse_wav(bytes(payload))
+            if wave is not None:
+                return ("wav", 1, None, len(wave), len(payload), True)
+        elif codec == "mp3":
+            i = mp3_info(bytes(payload))
+            return ("mpeg", None, i["sample_rate"], i["n_frames"],
+                    len(payload), True)
+        elif codec == "pcm_s16le" and len(payload) >= 2:
+            return ("raw-pcm", 1, None, len(payload) // 2, len(payload), True)
+    except (FlacError, OggError, Mp3Error, ValueError):
+        pass
+    return (None, None, None, None, None, False)
+
+
+def with_container_meta(clips: DataFrame) -> DataFrame:
+    """Attach (container, container_ok) via the real container walks — the
+    cheap NO-DECODE validation tier a RowCheck(requires_container=True)
+    consumes. Keeps the ``bytes`` column (the audio-invariant pass may
+    still need it downstream)."""
+    from pyspark.sql import types as T
+    from pyspark.sql.functions import pandas_udf
+
+    ctype = T.StructType(
+        [
+            T.StructField("container", T.StringType()),
+            T.StructField("container_ok", T.BooleanType()),
+        ]
+    )
+
+    @pandas_udf(ctype)
+    def probe(payload: pd.Series, codec: pd.Series) -> pd.DataFrame:
+        data = [
+            (r[0], r[5])
+            for r in (_container_probe(p, c) for p, c in zip(payload, codec))
+        ]
+        return pd.DataFrame(data, columns=["container", "container_ok"])
+
+    from pyspark.sql import functions as F
+
+    return (
+        clips.withColumn("_cont", probe(F.col("bytes"), F.col("codec")))
+        .withColumn("container", F.col("_cont.container"))
+        .withColumn("container_ok", F.col("_cont.container_ok"))
+        .drop("_cont")
+    )
+
+
 def audio_container_meta(clips: DataFrame) -> DataFrame:
     """REAL no-decode container metadata over the clips table — the
     validation pass a 10^12-clip suite runs without touching sample data:
@@ -120,46 +192,13 @@ def audio_container_meta(clips: DataFrame) -> DataFrame:
     failing the batch."""
 
     def meta(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from pyanomalydetector2_spark.operators.flac_codec import (
-            FLAC_MAGIC,
-            FlacError,
-            flac_stream_info,
-        )
-        from pyanomalydetector2_spark.operators.mp3_frames import Mp3Error, mp3_info
-        from pyanomalydetector2_spark.operators.ogg_opus import OggError, ogg_opus_info
-
         for pdf in it:
-            rows = []
-            for cid, payload, codec in zip(
-                pdf["clip_id"], pdf["bytes"], pdf["codec"]
-            ):
-                row = (cid, None, None, None, None, None, False)
-                try:
-                    if payload is None:
-                        pass
-                    elif payload[:4] == FLAC_MAGIC:
-                        i = flac_stream_info(bytes(payload))
-                        row = (cid, "flac", i["channels"], i["rate"],
-                               i["total_samples"], len(payload), True)
-                    elif payload[:4] == b"OggS":
-                        i = ogg_opus_info(bytes(payload))
-                        row = (cid, "ogg-opus", i["channels"],
-                               i["input_sample_rate"], i["n_audio_packets"],
-                               i["audio_bytes"], True)
-                    elif payload[:4] == b"RIFF":
-                        from pyanomalydetector2_spark.operators.audio import parse_wav
-
-                        wave = parse_wav(bytes(payload))
-                        if wave is not None:
-                            row = (cid, "wav", 1, None, len(wave),
-                                   len(payload), True)
-                    elif codec == "mp3":
-                        i = mp3_info(bytes(payload))
-                        row = (cid, "mpeg", None, i["sample_rate"],
-                               i["n_frames"], len(payload), True)
-                except (FlacError, OggError, Mp3Error, ValueError):
-                    pass
-                rows.append(row)
+            rows = [
+                (cid, *_container_probe(payload, codec))
+                for cid, payload, codec in zip(
+                    pdf["clip_id"], pdf["bytes"], pdf["codec"]
+                )
+            ]
             yield pd.DataFrame(
                 rows,
                 columns=["clip_id", "container", "channels", "sample_rate",

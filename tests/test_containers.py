@@ -161,3 +161,35 @@ def test_ogg_crc_fast_path_equals_reference():
     for n in (0, 1, 3, 27, 255, 1156, 4097):
         d = os.urandom(n)
         assert ogg_crc(d) == ogg_crc_reference(d)
+
+
+def test_container_check_tier_in_suite(spark):
+    """RowCheck(requires_container=True): the cheap no-decode validation
+    tier — planted unknown-codec rows (raw PCM under 'amr_nb') fail the
+    container walk in closed form, every real-container row passes."""
+    from pyanomalydetector2_spark.constraints import run_suite
+    from pyanomalydetector2_spark.constraints.dsl import RowCheck, Suite
+    from pyanomalydetector2_spark.datagen.clips import _gen_batch, clips_table, dim_codec, dim_sr
+
+    n = 2000
+    clips = clips_table(spark, n, planted=True, n_buckets=8)
+    suite = Suite(
+        row_checks=(
+            RowCheck(
+                "container_parses",
+                "container_ok",
+                "coalesce(container, 'unparseable')",
+                "payload parses as a known real container",
+                requires_container=True,
+            ),
+        ),
+    )
+    res = run_suite(
+        clips, clips, {"dim_codec": dim_codec(spark), "dim_sr": dim_sr(spark)},
+        suite, "container-test",
+    )
+    viol = res.violations.collect()
+    pdf = _gen_batch(np.arange(0, n, dtype=np.int64), planted=True)
+    expected_bad = int((pdf["codec"] == "amr_nb").sum())
+    assert expected_bad > 0 and len(viol) == expected_bad
+    assert all(v["constraint_id"] == "container_parses" for v in viol)
