@@ -181,7 +181,12 @@ def run_suite(
         audio_base = with_container_meta(audio_base)
     if needs_audio:
         audio_base = with_audio_invariants(audio_base)
-    elif needs_container:
+    elif needs_container and not any(
+        "bytes" in c.predicate or "bytes" in c.observed
+        for c in suite.row_checks
+    ):
+        # prune bytes out of the row-check projection — but never out from
+        # under a row check whose own expression references it
         audio_base = audio_base.drop("bytes")
     base = current
     if cache:  # opt-in only: helps tiny inputs, hurts at scale (see module doc)

@@ -241,7 +241,7 @@ def _gen_batch(
                 encode_mp3_shell,
             )
 
-            payloads.append(encode_mp3_shell(quant[i].tobytes()))
+            payloads.append(encode_mp3_shell(quant[i].tobytes(), int(sr[i])))
         else:
             # unknown codec (planted violation rows): raw PCM under a name
             # no decoder claims — decode_ok=false by construction

@@ -90,6 +90,31 @@ def parse_wav(payload: bytes) -> np.ndarray | None:
     return dec.astype(np.float64)
 
 
+def wav_header_info(payload: bytes) -> dict | None:
+    """No-decode RIFF walk: fmt-chunk fields + data size, or None if the
+    container is structurally invalid (the cheap validation tier)."""
+    import struct
+
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        return None
+    pos, fmt, data_len = 12, None, None
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        sz = struct.unpack_from("<I", payload, pos + 4)[0]
+        body = payload[pos + 8 : pos + 8 + sz]
+        if cid == b"fmt " and sz >= 16 and len(body) >= 16:
+            tag, ch, sr, _br, ba, bits = struct.unpack_from("<HHIIHH", body)
+            fmt = {"format_tag": tag, "channels": ch, "sample_rate": sr,
+                   "block_align": ba, "bits": bits}
+        elif cid == b"data":
+            data_len = len(body)
+        pos += 8 + sz + (sz & 1)
+    if fmt is None or data_len is None:
+        return None
+    ba = max(fmt["block_align"], 1)
+    return {**fmt, "data_bytes": data_len, "n_samples": data_len // ba}
+
+
 def encode_wav(pcm16: np.ndarray, sr_hz: int = 16000, fmt_tag: int = 1) -> bytes:
     """Minimal RIFF/WAVE writer (test fixture + the parse_wav round-trip
     oracle): mono 16-bit PCM (tag 1), or G.711 μ-law/A-law (tags 7/6 —

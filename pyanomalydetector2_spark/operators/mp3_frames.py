@@ -38,13 +38,15 @@ class Mp3Error(ValueError):
 
 
 def skip_id3v2(payload: bytes) -> int:
-    """Return the offset past an ID3v2 tag (syncsafe 28-bit size), or 0."""
+    """Return the offset past an ID3v2 tag (syncsafe 28-bit size, plus the
+    10-byte footer when the v2.4 footer flag is set), or 0."""
     if len(payload) >= 10 and payload[:3] == b"ID3":
         sz = (
             (payload[6] << 21) | (payload[7] << 14)
             | (payload[8] << 7) | payload[9]
         )
-        return 10 + sz
+        footer = 10 if payload[5] & 0x10 else 0
+        return 10 + sz + footer
     return 0
 
 
@@ -82,15 +84,31 @@ def parse_frame_header(payload: bytes, pos: int) -> dict:
     }
 
 
-def mp3_frames(payload: bytes):
+def mp3_frames(payload: bytes, strict: bool = True):
     """Yield (offset, header dict) per frame, walking exact frame lengths
-    from after any ID3v2 tag to end of stream."""
+    from after any ID3v2 tag. Spec-valid trailers — a 128-byte ID3v1
+    'TAG' block or an appended ID3v2 tag — terminate the walk cleanly in
+    both modes. ``strict=True`` (the validation posture) raises on a
+    truncated final frame or garbage trailer; ``strict=False`` (the
+    decode posture, what real players do with stream rips) stops at the
+    last complete frame."""
     pos = skip_id3v2(payload)
     n = len(payload)
     got = False
     while pos + 4 <= n:
-        hdr = parse_frame_header(payload, pos)
+        if payload[pos : pos + 3] == b"TAG" and n - pos == 128:
+            return  # ID3v1 trailer
+        if payload[pos : pos + 3] == b"ID3":
+            return  # appended ID3v2 tag
+        try:
+            hdr = parse_frame_header(payload, pos)
+        except Mp3Error:
+            if got and not strict:
+                return
+            raise
         if pos + hdr["length"] > n:
+            if got and not strict:
+                return
             raise Mp3Error("truncated final MPEG frame")
         yield pos, hdr
         got = True
@@ -126,30 +144,46 @@ def frame_payload_bytes(payload: bytes) -> bytes:
     the codec seam input (declared fake: carries reference PCM here; a
     real build hands the frames to a real MP3 decoder)."""
     out = bytearray()
-    for off, hdr in mp3_frames(payload):
+    for off, hdr in mp3_frames(payload, strict=False):
         out += payload[off + 4 : off + hdr["length"]]
     return bytes(out)
 
 
+# (ver_bits, sr_idx) per standard MPEG sample rate — Layer III geometry
+_SHELL_GEOM = {
+    44100: (3, 0), 48000: (3, 1), 32000: (3, 2),
+    22050: (2, 0), 24000: (2, 1), 16000: (2, 2),
+    11025: (0, 0), 12000: (0, 1), 8000: (0, 2),
+}
+
+
 def encode_mp3_shell(pcm16_bytes: bytes, sample_rate: int = 44100) -> bytes:
-    """Structurally valid CBR MPEG-1 Layer III frame sequence whose payload
-    bytes carry the given data (the DECLARED fake: real frame geometry,
-    fake codec payload). 128 kbps @ 44100 → 417/418-byte frames; frames
-    are emitted until the data is exhausted, last frame zero-padded."""
-    if sample_rate != 44100:
-        raise ValueError("shell writer emits the 44100 Hz geometry only")
-    # sync=7FF, MPEG1 (11), Layer III (01), no CRC (1) → 0xFFFB
-    # bitrate idx 9 (128k), sr idx 0 (44100), padding alternates per frame
+    """Structurally valid CBR Layer III frame sequence whose payload bytes
+    carry the given data (the DECLARED fake: real frame geometry, fake
+    codec payload). The frame headers embed the ROW's sample rate — every
+    standard MPEG-1/2/2.5 rate gets its native geometry; non-MPEG rates
+    (e.g. the planted sr=12345 violation) fall back to 44100, leaving the
+    violation visible in the sr_hz COLUMN the check actually targets.
+    Frames are emitted until the data is exhausted, last frame
+    zero-padded."""
+    ver_bits, sr_idx = _SHELL_GEOM.get(sample_rate, (3, 0))
+    if sample_rate not in _SHELL_GEOM:
+        sample_rate = 44100
+    version = 1 if ver_bits == 3 else 2
+    spf = _SAMPLES[(version, 3)]
+    # one valid Layer III bitrate across all version tables
+    bitrate = 64000
+    br_idx = _BITRATES[(version, 3)].index(bitrate // 1000)
     frames = bytearray()
     pos = 0
     i = 0
     while pos < len(pcm16_bytes):
         padding = i & 1  # exercise both frame lengths deterministically
-        length = 1152 // 8 * 128000 // sample_rate + padding
+        length = spf // 8 * bitrate // sample_rate + padding
         hdr = struct.pack(
             ">I",
-            (0x7FF << 21) | (3 << 19) | (1 << 17) | (1 << 16)
-            | (9 << 12) | (0 << 10) | (padding << 9) | (0 << 6),
+            (0x7FF << 21) | (ver_bits << 19) | (1 << 17) | (1 << 16)
+            | (br_idx << 12) | (sr_idx << 10) | (padding << 9),
         )
         body = pcm16_bytes[pos : pos + length - 4]
         pos += len(body)

@@ -110,16 +110,24 @@ AUDIO_CONTAINER_SCHEMA = (
 )
 
 
+from pyanomalydetector2_spark.operators.flac_codec import (
+    FLAC_MAGIC,
+    FlacError,
+    flac_stream_info,
+)
+from pyanomalydetector2_spark.operators.mp3_frames import Mp3Error, mp3_info
+from pyanomalydetector2_spark.operators.ogg_opus import OggError, ogg_opus_info
+
+
 def _container_probe(payload, codec) -> tuple:
     """(container, channels, sample_rate, n_units, payload_bytes, ok) for
-    one clip — real container walks only, ok=False on anything unparseable."""
-    from pyanomalydetector2_spark.operators.flac_codec import (
-        FLAC_MAGIC,
-        FlacError,
-        flac_stream_info,
-    )
-    from pyanomalydetector2_spark.operators.mp3_frames import Mp3Error, mp3_info
-    from pyanomalydetector2_spark.operators.ogg_opus import OggError, ogg_opus_info
+    one clip — real container walks only, ok=False on anything
+    unparseable. ``payload_bytes`` is len(payload) for EVERY container
+    (one semantics across codecs); ``n_units`` is format-natural (FLAC →
+    declared samples, Ogg → audio packets, MPEG → frames, WAV → samples
+    per the fmt block align). Imports are module-level — this runs once
+    per row in the 10^12-clip tier, no per-call import machinery."""
+    from pyanomalydetector2_spark.operators.audio import wav_header_info
 
     try:
         if payload is None:
@@ -131,13 +139,12 @@ def _container_probe(payload, codec) -> tuple:
         elif payload[:4] == b"OggS":
             i = ogg_opus_info(bytes(payload))
             return ("ogg-opus", i["channels"], i["input_sample_rate"],
-                    i["n_audio_packets"], i["audio_bytes"], True)
+                    i["n_audio_packets"], len(payload), True)
         elif payload[:4] == b"RIFF":
-            from pyanomalydetector2_spark.operators.audio import parse_wav
-
-            wave = parse_wav(bytes(payload))
-            if wave is not None:
-                return ("wav", 1, None, len(wave), len(payload), True)
+            w = wav_header_info(bytes(payload))
+            if w is not None:
+                return ("wav", w["channels"], w["sample_rate"],
+                        w["n_samples"], len(payload), True)
         elif codec == "mp3":
             i = mp3_info(bytes(payload))
             return ("mpeg", None, i["sample_rate"], i["n_frames"],

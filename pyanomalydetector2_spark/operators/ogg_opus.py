@@ -196,6 +196,25 @@ def encode_ogg_opus(
     return bytes(out)
 
 
+def _opus_packets(payload: bytes):
+    """Yield (global_packet_index, packet, completing_page_header) —
+    classification is by PACKET index per RFC 7845 (packet 0 = OpusHead,
+    packet 1 = OpusTags, packets ≥ 2 = audio), NOT by page index: a large
+    OpusTags (embedded art) legitimately spans multiple pages."""
+    idx = 0
+    first = True
+    for hdr, packets in read_pages(payload):
+        if first:
+            if not hdr["bos"]:
+                raise OggError("first page must be a BOS page")
+            first = False
+        for p in packets:
+            yield idx, p, hdr
+            idx += 1
+    if first:
+        raise OggError("empty Ogg stream")
+
+
 def ogg_opus_info(payload: bytes) -> dict:
     """Real metadata extraction from an Ogg-Opus stream: OpusHead fields,
     packet count, and duration in 48 kHz samples (last granule − pre_skip)
@@ -204,20 +223,20 @@ def ogg_opus_info(payload: bytes) -> dict:
     n_audio = 0
     last_granule = 0
     audio_bytes = 0
-    for i, (hdr, packets) in enumerate(read_pages(payload)):
-        if i == 0:
-            if not hdr["bos"] or not packets or not packets[0].startswith(b"OpusHead"):
-                raise OggError("first page must be an OpusHead BOS page")
-            head = parse_opus_head(packets[0])
-        elif i == 1:
-            if not packets or not packets[0].startswith(b"OpusTags"):
-                raise OggError("second page must be OpusTags")
+    for idx, packet, hdr in _opus_packets(payload):
+        if idx == 0:
+            if not packet.startswith(b"OpusHead"):
+                raise OggError("packet 0 must be OpusHead")
+            head = parse_opus_head(packet)
+        elif idx == 1:
+            if not packet.startswith(b"OpusTags"):
+                raise OggError("packet 1 must be OpusTags")
         else:
-            n_audio += len(packets)
-            audio_bytes += sum(len(p) for p in packets)
+            n_audio += 1
+            audio_bytes += len(packet)
             last_granule = hdr["granule"]
     if head is None:
-        raise OggError("empty Ogg stream")
+        raise OggError("stream carries no completed OpusHead packet")
     return {
         **head,
         "n_audio_packets": n_audio,
@@ -227,14 +246,14 @@ def ogg_opus_info(payload: bytes) -> dict:
 
 
 def opus_packet_bytes(payload: bytes) -> bytes:
-    """Concatenated audio-packet bytes (pages ≥ 2) — the codec seam input.
-    In this repo those bytes are the declared fake (reference PCM); with
-    libopus present, this is exactly what a real decoder consumes."""
+    """Concatenated audio-packet bytes (packets ≥ 2 by PACKET index) — the
+    codec seam input. In this repo those bytes are the declared fake
+    (reference PCM); with libopus present, this is exactly what a real
+    decoder consumes."""
     out = bytearray()
-    for i, (_hdr, packets) in enumerate(read_pages(payload)):
-        if i >= 2:
-            for p in packets:
-                out += p
+    for idx, packet, _hdr in _opus_packets(payload):
+        if idx >= 2:
+            out += packet
     return bytes(out)
 
 

@@ -70,7 +70,8 @@ def open_table(spark: SparkSession, path: str, ident: str | None = None):
     way a basename-only key would."""
     cat = iceberg_catalog(spark) if iceberg_available(spark) else None
     if cat:
-        name = ident or re.sub(r"\W+", "_", path.rstrip("/")).strip("_")
+        # "t_" prefix keeps the identifier legal for digit-leading paths
+        name = ident or "t_" + re.sub(r"\W+", "_", path.rstrip("/")).strip("_")
         return IcebergTable(spark, f"{cat}.default.{name}")
     return SnapshotTable(path)
 

@@ -292,8 +292,8 @@ def test_opus_mp3_real_container_fake_codec_roundtrip():
             assert info["audio_bytes"] >= 2 * PCM_SAMPLES
         else:
             info = mp3_info(payload)
-            assert info["cbr"] and info["sample_rate"] == 44100
-            assert info["n_frames"] >= 3
+            assert info["cbr"] and info["sample_rate"] == row["sr_hz"]
+            assert info["n_frames"] >= 2
         n_checked[codec] += 1
     assert n_checked["opus"] > 0 and n_checked["mp3"] > 0
 

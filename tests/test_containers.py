@@ -101,8 +101,9 @@ def test_mp3_shell_roundtrip_and_id3_skip():
     pcm = np.arange(-512, 512, 2, dtype=np.int64).astype("<i2").tobytes()
     payload = encode_mp3_shell(pcm)
     info = mp3_info(payload)
-    assert info["cbr"] and info["bitrate"] == 128000
-    assert info["n_frames"] == -(-len(pcm) // 413)  # ceil over min payload
+    assert info["cbr"] and info["bitrate"] == 64000
+    # 64 kbps @ 44100 MPEG-1 L3 -> 208/209-byte frames (204/205 payload)
+    assert info["n_frames"] == -(-len(pcm) // 204)
     assert frame_payload_bytes(payload)[: len(pcm)] == pcm
     # an ID3v2 tag in front is skipped via its syncsafe size
     id3 = b"ID3\x04\x00\x00" + bytes([0, 0, 1, 5]) + b"\x00" * ((1 << 7) + 5)
@@ -133,6 +134,8 @@ def test_audio_container_meta_operator(spark):
     meta = {r["clip_id"]: r for r in audio_container_meta(clips).collect()}
     pdf = _gen_batch(np.arange(0, 400, dtype=np.int64), planted=True)
     by_codec = dict(zip(pdf["clip_id"], pdf["codec"]))
+    len_by_cid = {c: len(b) for c, b in zip(pdf["clip_id"], pdf["bytes"])}
+    row_sr = dict(zip(pdf["clip_id"], pdf["sr_hz"]))
     n_ok = 0
     for cid, r in meta.items():
         codec = by_codec[cid]
@@ -140,11 +143,12 @@ def test_audio_container_meta_operator(spark):
             assert r["container"] == "flac" and r["n_units"] == 512 and r["ok"]
         elif codec == "opus":
             assert r["container"] == "ogg-opus" and r["ok"]
-            assert r["payload_bytes"] == 1024  # 512 int16 samples
+            assert r["payload_bytes"] == len_by_cid[cid]  # one semantics
         elif codec == "mp3":
-            assert r["container"] == "mpeg" and r["n_units"] >= 3 and r["ok"]
+            assert r["container"] == "mpeg" and r["n_units"] >= 2 and r["ok"]
         elif codec == "wav":
             assert r["container"] == "wav" and r["n_units"] == 512 and r["ok"]
+            assert r["sample_rate"] == row_sr[cid] and r["channels"] == 1
         elif codec == "amr_nb":  # planted unknown codec: raw PCM payload
             assert not r["ok"]
         n_ok += bool(r["ok"])
@@ -193,3 +197,79 @@ def test_container_check_tier_in_suite(spark):
     expected_bad = int((pdf["codec"] == "amr_nb").sum())
     assert expected_bad > 0 and len(viol) == expected_bad
     assert all(v["constraint_id"] == "container_parses" for v in viol)
+
+
+def test_opus_multipage_tags_classified_by_packet_index():
+    """RFC 7845 allows OpusTags to span pages (embedded art): packets must
+    be classified by PACKET index, not page index — the big tags packet
+    must neither fail validation nor leak into the audio bytes."""
+    import struct
+
+    from pyanomalydetector2_spark.operators.ogg_opus import write_page
+
+    head = (
+        b"OpusHead" + bytes([1, 1]) + struct.pack("<HIhB", 0, 16000, 0, 0)
+    )
+    big_tags = b"OpusTags" + b"\x00" * 700  # > 1 page at our page sizing?
+    audio = b"\x11\x22" * 400
+    serial = 99
+    # split the tags packet across two pages by hand: first page carries
+    # 255*2 lacing (continued), second page completes it (lv < 255)
+    part1, part2 = big_tags[:510], big_tags[510:]
+    pages = bytearray()
+    pages += write_page(serial, 0, 0, [head], bos=True)
+    # page with an UNTERMINATED packet (all lacing values 255; granule -1
+    # per spec for a page completing no packet) — write_page can't emit
+    # unterminated packets, so build this page manually
+    from pyanomalydetector2_spark.operators.ogg_opus import ogg_crc
+
+    page = bytearray(
+        struct.pack("<4sBBqIIIB", b"OggS", 0, 0, -1, serial, 1, 0, 2)
+        + bytes([255, 255]) + part1
+    )
+    page[22:26] = struct.pack("<I", ogg_crc(bytes(page)))
+    pages += bytes(page)
+    # continuation page completes tags, then the audio packet
+    page2 = bytearray(
+        struct.pack(
+            "<4sBBqIIIB", b"OggS", 0, 1, 960, serial, 2, 0,
+            1 + 4,
+        )
+        + bytes([len(part2), 255, 255, 255, 35])
+        + part2 + audio
+    )
+    page2[22:26] = struct.pack("<I", ogg_crc(bytes(page2)))
+    pages += bytes(page2)
+
+    info = ogg_opus_info(bytes(pages))
+    assert info["n_audio_packets"] == 1 and info["audio_bytes"] == len(audio)
+    assert opus_packet_bytes(bytes(pages)) == audio
+
+
+def test_mp3_valid_trailers_and_lenient_decode():
+    """Spec-valid trailers (ID3v1 'TAG' block, appended ID3v2, v2.4 footer
+    flag) terminate the walk cleanly; a truncated final frame raises in
+    strict mode but the decode posture stops at the last complete frame."""
+    import struct
+
+    data = b"\x03\x04" * 500
+    payload = encode_mp3_shell(data, 44100)
+    n = mp3_info(payload)["n_frames"]
+
+    # ID3v1 trailer
+    assert mp3_info(payload + b"TAG" + b"\x00" * 125)["n_frames"] == n
+    # appended ID3v2 tag
+    appended = b"ID3\x04\x00\x00" + bytes([0, 0, 0, 10]) + b"\x00" * 10
+    assert mp3_info(payload + appended)["n_frames"] == n
+    # leading ID3v2.4 WITH the footer flag set (0x10): footer skipped too
+    sz = 20
+    lead = (
+        b"ID3\x04\x00\x10" + bytes([0, 0, 0, sz]) + b"\x00" * sz
+        + b"3DI\x04\x00\x10" + bytes([0, 0, 0, sz])
+    )
+    assert mp3_info(lead + payload)["n_frames"] == n
+    # truncation: strict raises, decode posture returns complete frames
+    cut = payload[:-7]
+    with pytest.raises(Mp3Error, match="truncated"):
+        mp3_info(cut)
+    assert len(frame_payload_bytes(cut)) > 0
