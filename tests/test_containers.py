@@ -273,3 +273,81 @@ def test_mp3_valid_trailers_and_lenient_decode():
     with pytest.raises(Mp3Error, match="truncated"):
         mp3_info(cut)
     assert len(frame_payload_bytes(cut)) > 0
+
+
+def test_ogg_sequence_gap_detected():
+    """A missing whole page must raise, not silently mis-assemble packets
+    (ADVICE r03): per-serial sequence numbers are checked for continuity."""
+    serial = 5
+    pages = (
+        write_page(serial, 0, 0, [b"a"], bos=True)
+        + write_page(serial, 1, 10, [b"b"])
+        + write_page(serial, 2, 20, [b"c"])
+    )
+    # drop the middle page: split on page boundaries via re-encode
+    p0 = write_page(serial, 0, 0, [b"a"], bos=True)
+    p2 = write_page(serial, 2, 20, [b"c"])
+    with pytest.raises(OggError, match="sequence gap"):
+        list(read_pages(p0 + p2))
+    # intact stream still reads fine
+    assert len(list(read_pages(pages))) == 3
+
+
+def test_ogg_continued_flag_consistency():
+    """continued flag must agree with the carry state on both sides:
+    a page claiming continuation with nothing open raises, and a page
+    following an open packet without the flag raises."""
+    import struct
+
+    serial = 8
+    # page 0 leaves an open packet (single 255 lacing value, no terminator)
+    open_page = bytearray(
+        struct.pack("<4sBBqIIIB", b"OggS", 0, 2, -1, serial, 0, 0, 1)
+        + bytes([255]) + b"x" * 255
+    )
+    open_page[22:26] = struct.pack("<I", ogg_crc(bytes(open_page)))
+
+    # follow-up WITHOUT the continued flag → inconsistent
+    closed_next = write_page(serial, 1, 0, [b"tail"])
+    with pytest.raises(OggError, match="lacks the continued flag"):
+        list(read_pages(bytes(open_page) + closed_next))
+
+    # continued flag with NO open packet → inconsistent
+    cont = bytearray(
+        struct.pack("<4sBBqIIIB", b"OggS", 0, 1, 0, serial, 1, 0, 1)
+        + bytes([4]) + b"tail"
+    )
+    cont[22:26] = struct.pack("<I", ogg_crc(bytes(cont)))
+    first = write_page(serial, 0, 0, [b"whole"], bos=True)
+    with pytest.raises(OggError, match="no packet was left open"):
+        list(read_pages(first + bytes(cont)))
+
+    # the consistent version (continued flag + open carry) reassembles
+    good = bytearray(
+        struct.pack("<4sBBqIIIB", b"OggS", 0, 1, 0, serial, 1, 0, 1)
+        + bytes([4]) + b"tail"
+    )
+    good[22:26] = struct.pack("<I", ogg_crc(bytes(good)))
+    out = list(read_pages(bytes(open_page) + bytes(good)))
+    assert out[-1][1] == [b"x" * 255 + b"tail"]
+
+
+def test_ogg_multiplexed_serials_independent_state():
+    """Interleaved logical streams keep independent seq counters and
+    carry state — a gap in one serial is caught even when another serial's
+    pages sit in between."""
+    a, b = 100, 200
+    stream = (
+        write_page(a, 0, 0, [b"a0"], bos=True)
+        + write_page(b, 0, 0, [b"b0"], bos=True)
+        + write_page(a, 1, 1, [b"a1"])
+        + write_page(b, 1, 1, [b"b1"])
+    )
+    assert len(list(read_pages(stream))) == 4
+    gap = (
+        write_page(a, 0, 0, [b"a0"], bos=True)
+        + write_page(b, 0, 0, [b"b0"], bos=True)
+        + write_page(a, 2, 1, [b"a2"])  # serial a skipped seq 1
+    )
+    with pytest.raises(OggError, match="sequence gap for serial 100"):
+        list(read_pages(gap))

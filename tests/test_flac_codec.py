@@ -242,3 +242,26 @@ def test_datagen_flac_rows_decode_losslessly():
         assert snr_db(dec, ref) > 80
         checked += 1
     assert checked == 10
+
+
+def test_frame_number_utf8_all_widths():
+    """The UTF-8-style frame-number coding must round-trip at every width
+    boundary up to the 31-bit cap (ADVICE r03: the old writer silently
+    corrupted fi >= 0x10000). Tested directly on the frame writer + the
+    decoder's number parser — no need to build a 268M-sample stream."""
+    from pyanomalydetector2_spark.operators.flac_codec import (
+        _Bits,
+        _encode_frame,
+        _read_utf8_number,
+    )
+
+    block = np.zeros((16, 1), dtype=np.int32)
+    for fi in (0, 0x7F, 0x80, 0x7FF, 0x800, 0xFFFF, 0x10000, 0x1FFFFF,
+               0x200000, 0x3FFFFFF, 0x4000000, (1 << 31) - 1):
+        frame = _encode_frame(block, fi, 16000, 16, 1, rice=False)
+        bits = _Bits(frame)
+        bits.read(32)  # sync+reserved+blocksize/rate+channels+bps codes
+        assert _read_utf8_number(bits) == fi, hex(fi)
+
+    with pytest.raises(ValueError, match="31-bit cap"):
+        _encode_frame(block, 1 << 31, 16000, 16, 1, rice=False)
