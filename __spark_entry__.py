@@ -944,6 +944,48 @@ def q_ri_violations(spark: SparkSession, sf: str) -> DataFrame:
     return v.select("doc_id", "lang")
 
 
+def _audio_corpus(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic audio corpus keyed by documents.doc_id: clip i =
+    content group i//3 re-encoded through codec variant i%3 (REAL FLAC /
+    WAV at gain 0.85 / G.711 μ-law at gain 1.15) — scales with sf through
+    the documents table while staying a pure function of the id, so the
+    numpy-precomputed oracle fingerprint table covers every sf."""
+    from pyanomalydetector2_spark.operators.audio_fp import synth_corpus
+
+    docs = load_table(spark, sf, "documents").select("doc_id")
+    return synth_corpus(spark, docs)
+
+
+def q_audio_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
+    """Spectral fingerprints over the audio corpus: decode (REAL codecs) +
+    Hann/rFFT band-energy-difference sign bits, fused in one Arrow-batched
+    pass (audio_fp.audio_fingerprints). Hash-exact vs the numpy-precomputed
+    oracle table because Spark executors run the SAME deterministic
+    decode→fingerprint code the oracle precompute ran."""
+    from pyanomalydetector2_spark.operators.audio_fp import audio_fingerprints
+
+    fp = audio_fingerprints(_audio_corpus(spark, sf), id_col="clip_id")
+    return fp.select(
+        F.col("id").alias("clip_id"),
+        F.posexplode("frames").alias("frame_idx", "hash"),
+    )
+
+
+def q_audio_near_dup(spark: SparkSession, sf: str) -> DataFrame:
+    """Audio near-duplicate pairs (VERDICT r03 next-round #1): the same
+    recording re-encoded through FLAC vs WAV vs G.711 — at different gains
+    — must collide. decode → fingerprint (persisted once) → capped banded
+    candidates on the shared pairs_from_banded machinery → JVM-side
+    bit_count Hamming re-rank. max_bucket_size=None here for oracle parity
+    (the production 10k cap is pytest-covered, same convention as
+    embedding_near_dup_lsh)."""
+    from pyanomalydetector2_spark.operators.audio_fp import audio_near_dup
+
+    return audio_near_dup(
+        _audio_corpus(spark, sf), threshold=0.85, max_bucket_size=None
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the detect1-style z-score screen on sf0.001."""
     return q_zscore_screen(spark, "/root/testdata/sf0.001")
@@ -998,6 +1040,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "uniqueness_violations": q_uniqueness_violations,
         "ri_violations": q_ri_violations,
         "near_dup_incremental": q_near_dup_incremental,
+        "audio_fingerprint": q_audio_fingerprint,
+        "audio_near_dup": q_audio_near_dup,
     }
 
 
@@ -1884,4 +1928,57 @@ def oracle_sql() -> dict[str, str]:
     # NOT isnan: a zero-norm embedding yields NULL cosine on the Spark side
     # (dropped by >=) but NaN in DuckDB, where NaN orders ABOVE all reals
     # and would pass the threshold — guard the oracle to the same semantics
+
+    # Audio fingerprints are NOT SQL-computable (FFT + codec decode), but
+    # they ARE a pure deterministic function of the corpus seed — so the
+    # oracle reads a numpy-precomputed (seed, frame_idx, hash) parquet
+    # (audio_fp.ensure_oracle_frames: synth → encode → REAL decode →
+    # fingerprint, the same code the Spark executors run) and replays
+    # banding + Hamming re-rank in SQL. The check is hash-exact end to end.
+    from pyanomalydetector2_spark.operators.audio_fp import (
+        BITS,
+        N_HASHES,
+        ensure_oracle_frames,
+    )
+
+    fp_path = ensure_oracle_frames()
+    out["audio_fingerprint"] = f"""
+        SELECT f.seed AS clip_id, f.frame_idx, f.hash
+        FROM read_parquet('{fp_path}') f
+        JOIN documents d ON f.seed = d.doc_id
+    """
+    # AS MATERIALIZED: DuckDB inlines multiply-referenced CTEs by default
+    # and re-evaluates them per reference — measured 12 s → 0.9 s at sf0.1
+    out["audio_near_dup"] = f"""
+        WITH fp AS MATERIALIZED (
+          SELECT f.seed AS id, f.frame_idx, f.hash
+          FROM read_parquet('{fp_path}') f
+          JOIN documents d ON f.seed = d.doc_id
+        ), bands AS MATERIALIZED (
+          SELECT a.id, a.frame_idx AS band,
+                 a.hash * 32768 + b.hash AS key
+          FROM fp a JOIN fp b
+            ON a.id = b.id AND b.frame_idx = a.frame_idx + 1
+          UNION ALL
+          SELECT a.id, {N_HASHES - 1} + a.frame_idx AS band,
+                 a.hash * 32768 + b.hash AS key
+          FROM fp a JOIN fp b
+            ON a.id = b.id AND b.frame_idx = a.frame_idx + 2
+        ), cand AS MATERIALIZED (
+          SELECT DISTINCT a.id AS id_a, b.id AS id_b
+          FROM bands a JOIN bands b USING (band, key)
+          WHERE a.id < b.id
+        ), ham AS (
+          SELECT c.id_a, c.id_b,
+                 SUM(bit_count(xor(fa.hash, fb.hash)))::BIGINT AS hd,
+                 COUNT(*) AS nf
+          FROM cand c
+          JOIN fp fa ON fa.id = c.id_a
+          JOIN fp fb ON fb.id = c.id_b AND fb.frame_idx = fa.frame_idx
+          GROUP BY c.id_a, c.id_b
+        )
+        SELECT id_a, id_b, round(1.0 - hd / ({BITS}.0 * nf), 6) AS sim
+        FROM ham
+        WHERE round(1.0 - hd / ({BITS}.0 * nf), 6) >= 0.85
+    """
     return out

@@ -33,6 +33,7 @@ HEAVY = [
     "minhash_lsh_pairs",
     "ngram_jaccard_pairs",
     "embedding_near_dup_lsh",
+    "audio_near_dup",
 ]
 
 
