@@ -986,6 +986,29 @@ def q_audio_near_dup(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_drift_categorical(spark: SparkSession, sf: str) -> DataFrame:
+    """Categorical drift (VERDICT r03 next-round #5): frequency-PSI + linf
+    (max share deviation — the order-free KS analog) of each source's
+    ``lang`` distribution vs the whole-corpus baseline. Fully distributed
+    (drift_scores_categorical_df): one groupBy per side, broadcast
+    baseline counts, window-ordered PSI accumulation so float addition
+    order is pinned — which is exactly what lets the DuckDB oracle match
+    hash-exactly."""
+    from pyanomalydetector2_spark.operators.drift import (
+        drift_scores_categorical_df,
+    )
+
+    docs = load_table(spark, sf, "documents")
+    out = drift_scores_categorical_df(docs, docs, "lang", group_col="source")
+    return out.select(
+        "source",
+        _r("psi").alias("psi"),
+        _r("linf").alias("linf"),
+        "cur_n",
+        "base_n",
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the detect1-style z-score screen on sf0.001."""
     return q_zscore_screen(spark, "/root/testdata/sf0.001")
@@ -1042,6 +1065,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "near_dup_incremental": q_near_dup_incremental,
         "audio_fingerprint": q_audio_fingerprint,
         "audio_near_dup": q_audio_near_dup,
+        "drift_categorical": q_drift_categorical,
     }
 
 
@@ -1980,5 +2004,47 @@ def oracle_sql() -> dict[str, str]:
         SELECT id_a, id_b, round(1.0 - hd / ({BITS}.0 * nf), 6) AS sim
         FROM ham
         WHERE round(1.0 - hd / ({BITS}.0 * nf), 6) >= 0.85
+    """
+
+    # categorical drift: identical algebra to drift_scores_categorical_df —
+    # ε-smoothed shares, PSI accumulated in category order (fixed float
+    # addition order on both engines), linf = max |p − q| (ε cancels)
+    out["drift_categorical"] = """
+        WITH cur_cnt AS MATERIALIZED (
+          SELECT source AS g, lang AS cat, count(*)::BIGINT AS cur_cat_n
+          FROM documents WHERE lang IS NOT NULL GROUP BY 1, 2
+        ), base_cnt AS MATERIALIZED (
+          SELECT lang AS cat, count(*)::BIGINT AS base_cat_n
+          FROM documents WHERE lang IS NOT NULL GROUP BY 1
+        ), cur_tot AS (
+          SELECT g, sum(cur_cat_n)::BIGINT AS cur_n FROM cur_cnt GROUP BY g
+        ), base_tot AS (
+          SELECT sum(base_cat_n)::BIGINT AS base_n FROM base_cnt
+        ), cats AS (
+          SELECT DISTINCT cat FROM (
+            SELECT cat FROM base_cnt UNION ALL SELECT cat FROM cur_cnt
+          )
+        ), t AS (
+          SELECT ct.g, c.cat, ct.cur_n, bt.base_n,
+                 COALESCE(cc.cur_cat_n, 0)::DOUBLE / ct.cur_n + 1e-06 AS p,
+                 COALESCE(bc.base_cat_n, 0)::DOUBLE / bt.base_n + 1e-06 AS q
+          FROM cur_tot ct
+          CROSS JOIN cats c
+          CROSS JOIN base_tot bt
+          LEFT JOIN cur_cnt cc ON cc.g = ct.g AND cc.cat = c.cat
+          LEFT JOIN base_cnt bc ON bc.cat = c.cat
+        ), s AS (
+          SELECT g, cur_n, base_n,
+                 SUM((p - q) * ln(p / q)) OVER (
+                   PARTITION BY g ORDER BY cat
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                 ) AS cum_psi,
+                 ABS(p - q) AS dev
+          FROM t
+        )
+        SELECT g AS source, round(max(cum_psi), 6) AS psi,
+               round(max(dev), 6) AS linf,
+               max(cur_n)::BIGINT AS cur_n, max(base_n)::BIGINT AS base_n
+        FROM s GROUP BY g
     """
     return out

@@ -117,6 +117,7 @@ def suite_from_dict(spec: dict) -> Suite:
             ks_max=float(d.get("ks_max", 0.15)),
             equi_depth=bool(d.get("equi_depth", False)),
             distributed=bool(d.get("distributed", False)),
+            categorical=bool(d.get("categorical", False)),
         )
         for d in spec.get("drift_checks", [])
     )

@@ -84,6 +84,11 @@ class DriftCheck:
     # high-cardinality bucket columns where per-bucket histograms no longer
     # fit the driver funnel; only the per-bucket SCORES come back
     distributed: bool = False
+    # categorical mode: frequency-PSI + max-share-deviation (linf, the
+    # order-free KS analog) over category counts instead of numeric bins —
+    # lo/hi/nbins/equi_depth ignored; always distributed
+    # (drift.drift_scores_categorical_df). ks_max bounds linf.
+    categorical: bool = False
 
 
 @dataclass(frozen=True)
@@ -160,6 +165,15 @@ def default_clips_suite() -> Suite:
             DriftCheck("dur_ms_drift", "dur_ms", 0.0, 20000.0, nbins=25),
             DriftCheck(
                 "sr_hz_drift", "sr_hz", 0.0, 50000.0, nbins=50, psi_max=0.1, ks_max=0.1
+            ),
+            # codec is a low-cardinality string column — frequency PSI over
+            # category counts; the planted unknown-codec rows (a category
+            # absent from the baseline, vs q = ε) breach psi_max 0.02 in
+            # every bucket even at small fixtures, while clean per-bucket
+            # sampling noise stays an order of magnitude below it
+            DriftCheck(
+                "codec_drift", "codec", 0.0, 0.0,
+                psi_max=0.02, ks_max=0.05, categorical=True,
             ),
         ),
     )

@@ -355,9 +355,11 @@ def run_suite(
     # ---- drift checks: ONE histogram pass per side for ALL uniform-bin ----
     # columns; equi-depth checks run per column (edges from the baseline's
     # quantile sketch)
-    uniform = [c for c in suite.drift_checks if not c.equi_depth and not c.distributed]
-    equi = [c for c in suite.drift_checks if c.equi_depth and not c.distributed]
-    dist = [c for c in suite.drift_checks if c.distributed]
+    cat = [c for c in suite.drift_checks if c.categorical]
+    numeric = [c for c in suite.drift_checks if not c.categorical]
+    uniform = [c for c in numeric if not c.equi_depth and not c.distributed]
+    equi = [c for c in numeric if c.equi_depth and not c.distributed]
+    dist = [c for c in numeric if c.distributed]
     scored: list[tuple] = []  # (check, score dict)
     if uniform:
         specs = [HistSpec(c.column, c.lo, c.hi, c.nbins) for c in uniform]
@@ -410,6 +412,21 @@ def run_suite(
                 )
             scored.append(
                 (c, {"group": r[bucket_col], "psi": r["psi"], "ks": r["ks"]})
+            )
+    for c in cat:
+        # categorical: frequency-PSI + linf (reported in the ks verdict
+        # slot — the order-free analog, bounded by ks_max). Always the
+        # no-collect path; scores are O(buckets) rows.
+        from pyanomalydetector2_spark.operators.drift import (
+            drift_scores_categorical_df,
+        )
+
+        frame = drift_scores_categorical_df(
+            base, baseline, c.column, group_col=bucket_col
+        )
+        for r in frame.collect():
+            scored.append(
+                (c, {"group": r[bucket_col], "psi": r["psi"], "ks": r["linf"]})
             )
     if suite.drift_checks:
         _tick("drift (all columns)")

@@ -104,6 +104,17 @@ def test_suite_violation_counts_match_oracle(spark, clips):
     }
     assert not any(drift.values())  # ×1.25 shift fails psi and ks in all buckets
 
+    # categorical drift: the planted unknown-codec rows (~1 % amr_nb, a
+    # category absent from the baseline) must breach codec_drift's
+    # psi_max=0.05 in every bucket (new category vs q = ε scores ~0.09)
+    cat_psi = [
+        r["passed"]
+        for r in res.verdicts.filter(
+            "constraint_id = 'codec_drift' AND metric = 'psi'"
+        ).collect()
+    ]
+    assert cat_psi and not any(cat_psi)
+
 
 def test_clean_baseline_passes_everything(spark, clips):
     _, base, dims = clips

@@ -274,3 +274,92 @@ def test_quantile_drift_guards(spark):
         scores = drift_scores_quantile(cur, const, "x", nbins=10)
     assert any("near-constant" in str(x.message) for x in w)
     assert scores  # still produces a (degraded) score rather than crashing
+
+
+def test_categorical_drift_semantics(spark):
+    """Frequency-PSI + linf over category counts: identical distributions
+    score ~0; a planted new category / share shift is detected; a vanished
+    category drifts against q = ε; empty baseline raises."""
+    import numpy as np
+    import pandas as pd
+    import pytest
+
+    from pyanomalydetector2_spark.operators.drift import (
+        EPS,
+        drift_scores_categorical_df,
+    )
+
+    base = spark.createDataFrame(
+        pd.DataFrame({"codec": ["flac"] * 50 + ["wav"] * 30 + ["opus"] * 20})
+    )
+    # identical → psi ≈ 0 (ε smoothing keeps it tiny but nonzero)
+    same = drift_scores_categorical_df(base, base, "codec").first()
+    assert same["psi"] < 1e-9 and same["linf"] < 1e-12
+    assert same["cur_n"] == 100 and same["base_n"] == 100
+
+    # planted new category (5 %) + share shift
+    cur = spark.createDataFrame(
+        pd.DataFrame(
+            {"codec": ["flac"] * 45 + ["wav"] * 30 + ["opus"] * 20
+             + ["amr_nb"] * 5}
+        )
+    )
+    r = drift_scores_categorical_df(cur, base, "codec").first()
+    # numpy replay of the same algebra, in category order
+    cats = sorted(["flac", "wav", "opus", "amr_nb"])
+    cur_c = {"flac": 45, "wav": 30, "opus": 20, "amr_nb": 5}
+    base_c = {"flac": 50, "wav": 30, "opus": 20, "amr_nb": 0}
+    p = np.array([cur_c[c] / 100 + EPS for c in cats])
+    q = np.array([base_c[c] / 100 + EPS for c in cats])
+    assert r["psi"] == pytest.approx(float(np.sum((p - q) * np.log(p / q))), rel=1e-12)
+    assert r["linf"] == pytest.approx(float(np.max(np.abs(p - q))), rel=1e-12)
+    assert r["psi"] > 0.05  # the new-category term dominates
+
+    # vanished category: current has no opus
+    gone = spark.createDataFrame(
+        pd.DataFrame({"codec": ["flac"] * 60 + ["wav"] * 40})
+    )
+    r2 = drift_scores_categorical_df(gone, base, "codec").first()
+    assert r2["psi"] > 0.05 and r2["linf"] >= 0.2 - 1e-9
+
+    # NULL categories excluded, not counted
+    with_null = spark.createDataFrame(
+        pd.DataFrame({"codec": ["flac"] * 50 + ["wav"] * 30 + ["opus"] * 20
+                      + [None] * 10})
+    )
+    r3 = drift_scores_categorical_df(with_null, base, "codec").first()
+    assert r3["cur_n"] == 100 and r3["psi"] < 1e-9
+
+    # empty/all-null baseline → explicit contract error
+    empty = spark.createDataFrame(
+        pd.DataFrame({"codec": pd.array([None, None], dtype="string")})
+    )
+    with pytest.raises(ValueError, match="empty or all-null"):
+        drift_scores_categorical_df(base, empty, "codec")
+
+
+def test_categorical_drift_per_group(spark):
+    """group_col mode: per-group scores against the one global baseline."""
+    import pandas as pd
+
+    from pyanomalydetector2_spark.operators.drift import (
+        drift_scores_categorical_df,
+    )
+
+    base = spark.createDataFrame(
+        pd.DataFrame({"g": [0] * 100, "codec": ["flac"] * 50 + ["wav"] * 50})
+    )
+    cur = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "g": [1] * 100 + [2] * 100,
+                "codec": (["flac"] * 50 + ["wav"] * 50)  # g=1: identical
+                + (["flac"] * 95 + ["wav"] * 5),  # g=2: shifted
+            }
+        )
+    )
+    rows = {r["g"]: r for r in
+            drift_scores_categorical_df(cur, base, "codec", group_col="g").collect()}
+    assert set(rows) == {1, 2}
+    assert rows[1]["psi"] < 1e-9
+    assert rows[2]["psi"] > 0.5 and rows[2]["linf"] > 0.4
