@@ -986,6 +986,31 @@ def q_audio_near_dup(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_ann_recall_audit(spark: SparkSession, sf: str) -> DataFrame:
+    """Sampled ANN recall audit (VERDICT r03 next-round #6): per-query
+    recall@5 of the LSH-bucketed path vs brute-force exact on the same
+    query set — the observability metric a production ANN deployment
+    gates on (recall < 1 by construction; measured, not assumed). Both
+    constituent pipelines already have SQL-replicated oracles, so the
+    audit itself is hash-exact: the oracle is literally a join of the two
+    existing oracle subqueries."""
+    from pyanomalydetector2_spark.operators.similarity import (
+        brute_force_topk,
+        lsh_bucketed_topk,
+        recall_audit,
+    )
+
+    emb = load_table(spark, sf, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
+    )
+    q = emb.filter(F.col("vec_id") < 20)
+    exact = brute_force_topk(emb, q, k=5)
+    ann = lsh_bucketed_topk(emb, q, dims=64, k=5, planes=6)
+    return recall_audit(ann, exact).select(
+        "query_id", "exact_n", "hits", _r("recall").alias("recall")
+    )
+
+
 def q_drift_categorical(spark: SparkSession, sf: str) -> DataFrame:
     """Categorical drift (VERDICT r03 next-round #5): frequency-PSI + linf
     (max share deviation — the order-free KS analog) of each source's
@@ -1066,6 +1091,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_fingerprint": q_audio_fingerprint,
         "audio_near_dup": q_audio_near_dup,
         "drift_categorical": q_drift_categorical,
+        "ann_recall_audit": q_ann_recall_audit,
     }
 
 
@@ -2046,5 +2072,25 @@ def oracle_sql() -> dict[str, str]:
                round(max(dev), 6) AS linf,
                max(cur_n)::BIGINT AS cur_n, max(base_n)::BIGINT AS base_n
         FROM s GROUP BY g
+    """
+
+    # recall audit = a join of the two already-replicated oracle pipelines
+    # (exact top-k and LSH top-k) — recall measured in SQL over their rows
+    out["ann_recall_audit"] = f"""
+        WITH exact AS MATERIALIZED ({out["embedding_topk"]}),
+        ann AS MATERIALIZED ({out["ann_lsh_topk"]}),
+        totals AS (
+          SELECT query_id, count(*)::BIGINT AS exact_n
+          FROM exact GROUP BY query_id
+        ), hits AS (
+          SELECT e.query_id, count(*)::BIGINT AS hits
+          FROM exact e JOIN ann a
+            ON a.query_id = e.query_id AND a.match_id = e.match_id
+          GROUP BY e.query_id
+        )
+        SELECT t.query_id, t.exact_n,
+               COALESCE(h.hits, 0)::BIGINT AS hits,
+               round(COALESCE(h.hits, 0)::DOUBLE / t.exact_n, 6) AS recall
+        FROM totals t LEFT JOIN hits h ON h.query_id = t.query_id
     """
     return out

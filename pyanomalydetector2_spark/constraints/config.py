@@ -25,6 +25,7 @@ import re
 import yaml
 
 from pyanomalydetector2_spark.constraints.dsl import (
+    AnnCheck,
     DriftCheck,
     RefCheck,
     RowCheck,
@@ -121,7 +122,21 @@ def suite_from_dict(spec: dict) -> Suite:
         )
         for d in spec.get("drift_checks", [])
     )
-    suite = Suite(rows, stats, uniques, refs, drifts)
+    anns = tuple(
+        AnnCheck(
+            cid(d),
+            int(d["dims"]),
+            k=int(d.get("k", 10)),
+            n_queries=int(d.get("n_queries", 50)),
+            min_recall=float(d.get("min_recall", 0.8)),
+            method=str(d.get("method", "lsh")),
+            planes=int(d.get("planes", 8)),
+            n_cells=int(d.get("n_cells", 16)),
+            nprobe=int(d.get("nprobe", 2)),
+        )
+        for d in spec.get("ann_checks", [])
+    )
+    suite = Suite(rows, stats, uniques, refs, drifts, anns)
     ids = suite.all_ids()
     dupes = {i for i in ids if ids.count(i) > 1}
     if dupes:

@@ -92,12 +92,32 @@ class DriftCheck:
 
 
 @dataclass(frozen=True)
+class AnnCheck:
+    """Sampled ANN recall audit (VERDICT r03 next-round #6): compare the
+    LSH/IVF top-k against brute-force exact top-k on a deterministic query
+    sample and gate mean recall@k. Requires an embeddings table passed to
+    ``run_suite(embeddings=...)`` — ANN recall is < 1 by construction, so
+    production measures it instead of assuming it."""
+
+    constraint_id: str
+    dims: int
+    k: int = 10
+    n_queries: int = 50
+    min_recall: float = 0.8
+    method: str = "lsh"  # "lsh" | "ivf"
+    planes: int = 8  # lsh signature width
+    n_cells: int = 16  # ivf cells
+    nprobe: int = 2  # ivf probed cells
+
+
+@dataclass(frozen=True)
 class Suite:
     row_checks: tuple[RowCheck, ...] = ()
     stat_checks: tuple[StatCheck, ...] = ()
     unique_checks: tuple[UniqueCheck, ...] = ()
     ref_checks: tuple[RefCheck, ...] = ()
     drift_checks: tuple[DriftCheck, ...] = ()
+    ann_checks: tuple[AnnCheck, ...] = ()
 
     def all_ids(self) -> list[str]:
         return [
@@ -108,6 +128,7 @@ class Suite:
                 self.unique_checks,
                 self.ref_checks,
                 self.drift_checks,
+                self.ann_checks,
             )
             for c in group
         ]

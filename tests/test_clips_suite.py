@@ -311,3 +311,39 @@ def test_opus_mp3_real_container_fake_codec_roundtrip():
     # corrupting any container byte must flip to decode failure, not garbage
     assert decode_pcm_batch(b"OggS" + b"\x00" * 100, "opus") is None
     assert decode_pcm_batch(b"\x00" * 100, "mp3") is None
+
+
+def test_ann_check_in_suite(spark, clips):
+    """AnnCheck wiring: an enabled ANN recall audit emits a corpus-level
+    verdict row (bucket -1, metric recall_at_k); enabling it without an
+    embeddings table is a hard error, not a silent skip."""
+    from pyspark.sql import functions as F
+
+    from pyanomalydetector2_spark.constraints import AnnCheck, Suite
+
+    cur, base, dims = clips
+    suite = Suite(ann_checks=(AnnCheck("ann_lsh_recall", dims=64, k=5,
+                                       n_queries=10, min_recall=0.0,
+                                       planes=4),))
+    emb = (
+        spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        .select(
+            "vec_id",
+            F.transform("embedding", lambda x: x.cast("double")).alias(
+                "embedding"
+            ),
+        )
+    )
+    res = run_suite(cur, base, dims, suite, "run_ann", embeddings=emb)
+    row = res.verdicts.filter("constraint_id = 'ann_lsh_recall'").first()
+    assert row is not None
+    assert row["bucket"] == -1 and row["metric"] == "recall_at_5"
+    assert 0.0 <= row["observed"] <= 1.0 and row["passed"]
+    assert res.passed()
+
+    with pytest.raises(ValueError, match="no embeddings"):
+        run_suite(cur, base, dims, suite, "run_ann2")
+
+    bad = Suite(ann_checks=(AnnCheck("x", dims=64, method="faiss"),))
+    with pytest.raises(ValueError, match="unknown ann method"):
+        run_suite(cur, base, dims, bad, "run_ann3", embeddings=emb)

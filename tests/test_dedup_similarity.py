@@ -372,3 +372,86 @@ def test_pair_cosine_null_and_ragged_rows_degrade_to_null(spark):
     }
     assert rows[1] == 1.0 and rows[6] == 0.0
     assert rows[2] is None and rows[3] is None and rows[4] is None and rows[5] is None
+
+
+def test_recall_audit_math(spark):
+    """Per-query recall@k: hits / exact_n with a left join so 0-hit
+    queries appear with recall 0.0, and exact_n is what exact search
+    actually found (never padded to k)."""
+    import pandas as pd
+
+    from pyanomalydetector2_spark.operators.similarity import recall_audit
+
+    exact = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "query_id": [1, 1, 1, 2, 2, 3],
+                "match_id": [10, 11, 12, 20, 21, 30],
+            }
+        )
+    )
+    ann = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "query_id": [1, 1, 1, 2, 9],
+                # q1: 2 of 3 right (13 is a false positive), q2: 1 of 2,
+                # q3: nothing, q9: ANN-only query ignored
+                "match_id": [10, 11, 13, 21, 99],
+            }
+        )
+    )
+    rows = {r["query_id"]: r for r in recall_audit(ann, exact).collect()}
+    assert set(rows) == {1, 2, 3}
+    assert rows[1]["exact_n"] == 3 and rows[1]["hits"] == 2
+    assert rows[1]["recall"] == pytest.approx(round(2 / 3, 6))
+    assert rows[2]["recall"] == 0.5
+    assert rows[3]["hits"] == 0 and rows[3]["recall"] == 0.0
+
+
+def test_sample_queries_deterministic(spark):
+    """The md5-ordered sample is a pure function of the ids — stable
+    across invocations and partitionings."""
+    from pyanomalydetector2_spark.operators.similarity import sample_queries
+
+    df = spark.range(500).withColumnRenamed("id", "vec_id")
+    s1 = sorted(r.vec_id for r in sample_queries(df, 20).collect())
+    s2 = sorted(
+        r.vec_id
+        for r in sample_queries(df.repartition(7), 20).collect()
+    )
+    assert s1 == s2 and len(s1) == 20
+
+
+def test_recall_audit_on_real_ann_paths(spark):
+    """LSH and IVF recall measured against brute force on the sf0.001
+    embeddings — sanity: recall in (0, 1], exact self-audit is 1.0."""
+    from pyspark.sql import functions as F
+
+    from pyanomalydetector2_spark.operators.similarity import (
+        brute_force_topk,
+        ivf_topk,
+        lsh_bucketed_topk,
+        recall_audit,
+        sample_queries,
+    )
+
+    emb = (
+        spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        .select(
+            "vec_id",
+            F.transform("embedding", lambda x: x.cast("double")).alias(
+                "embedding"
+            ),
+        )
+    )
+    q = sample_queries(emb, 10)
+    exact = brute_force_topk(emb, q, k=5)
+    perfect = recall_audit(exact, exact).agg(F.min("recall")).first()[0]
+    assert perfect == 1.0
+
+    for ann in (
+        lsh_bucketed_topk(emb, q, dims=64, k=5, planes=4),
+        ivf_topk(emb, q, k=5, n_cells=8, nprobe=2),
+    ):
+        r = recall_audit(ann, exact).agg(F.avg("recall")).first()[0]
+        assert 0.0 < r <= 1.0
