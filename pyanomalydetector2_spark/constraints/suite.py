@@ -242,7 +242,37 @@ def run_suite(
         return SuiteResult(run_id, empty_ver, empty_vio, [], skipped, 0, 0.0)
 
     violation_frames: list[DataFrame] = []
-    verdict_rows: list[tuple] = []  # assembled driver-side from tiny frames
+    # Verdicts are assembled as a UNION of per-family aggregate DataFrames
+    # (VERDICT r03 next-round #7): driver memory no longer scales with
+    # buckets × constraints. ``verdict_rows`` keeps only the handful of
+    # scalar whole-table rows (HLL metric, ANN recall); the bucket-shaped
+    # families build frames in ``verdict_frames``.
+    verdict_frames: list[DataFrame] = []
+    verdict_rows: list[tuple] = []
+    bucket_df = spark.createDataFrame(
+        [(int(b),) for b in buckets], "bucket int"
+    )
+
+    def _verdict_frame(
+        df: DataFrame, cid: str, metric, observed, threshold, passed, cnt=None
+    ) -> DataFrame:
+        """Shape one family's aggregate frame into VERDICT_SCHEMA columns.
+        ``df`` must carry an int ``bucket`` column; the remaining args are
+        Column expressions evaluated against it."""
+        return df.select(
+            F.lit(run_id).alias("run_id"),
+            F.col("bucket").cast("int").alias("bucket"),
+            F.lit(cid).alias("constraint_id"),
+            (F.lit(metric) if isinstance(metric, str) else metric).alias(
+                "metric"
+            ),
+            observed.cast("double").alias("observed"),
+            threshold.cast("double").alias("threshold"),
+            passed.cast("boolean").alias("passed"),
+            (F.lit(0) if cnt is None else cnt).cast("long").alias(
+                "violation_cnt"
+            ),
+        )
 
     # ---- row checks: one scan (with audio invariants), all predicates -----
     rc_viol = _row_check_violations(audio_base, suite, run_id, key_col, bucket_col)
@@ -308,50 +338,79 @@ def run_suite(
     else:
         violations = spark.createDataFrame([], VIOLATION_SCHEMA)
     violations = violations.cache()
-    counts = {
-        (r["bucket"], r["constraint_id"]): r["cnt"]
-        for r in violations.groupBy("bucket", "constraint_id")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-        .collect()
-    }
-    _tick("violations materialized + counted")
+    _tick("violations materialized")
     counted_ids = (
         [c.constraint_id for c in suite.row_checks]
         + [c.constraint_id for c in suite.unique_checks]
         + [c.constraint_id for c in suite.ref_checks]
     )
-    for cid in counted_ids:
-        for b in buckets:
-            n = counts.get((b, cid), 0)
-            verdict_rows.append(
-                (run_id, int(b), cid, "violation_cnt", float(n), 0.0, n == 0, n)
+    if counted_ids:
+        # (bucket × constraint) grid left-joined to the violation counts so
+        # zero-violation cells still emit a passing verdict — all
+        # DataFrame-side, no counts dict on the driver
+        cid_df = spark.createDataFrame(
+            [(c,) for c in counted_ids], "constraint_id string"
+        )
+        vcounts = violations.groupBy("bucket", "constraint_id").agg(
+            F.count(F.lit(1)).alias("cnt")
+        )
+        grid = bucket_df.crossJoin(F.broadcast(cid_df))
+        joined = grid.join(vcounts, ["bucket", "constraint_id"], "left")
+        n = F.coalesce(F.col("cnt"), F.lit(0))
+        verdict_frames.append(
+            joined.select(
+                F.lit(run_id).alias("run_id"),
+                F.col("bucket").cast("int").alias("bucket"),
+                "constraint_id",
+                F.lit("violation_cnt").alias("metric"),
+                n.cast("double").alias("observed"),
+                F.lit(0.0).alias("threshold"),
+                (n == 0).alias("passed"),
+                n.cast("long").alias("violation_cnt"),
             )
+        )
 
     # ---- stat checks: single-pass per-bucket column profile ---------------
     if suite.stat_checks:
         stat_cols = sorted({c.column for c in suite.stat_checks})
-        prof = column_profile(base, stat_cols, group_cols=[bucket_col])
-        pmap = {
-            (r[bucket_col], r["column"]): r.asDict() for r in prof.collect()
+        # profile rows are O(buckets × columns); persisted so the per-check
+        # verdict selects below don't recompute the scan — and they stay
+        # DataFrame-side (no driver pmap)
+        prof = column_profile(base, stat_cols, group_cols=[bucket_col]).persist()
+        _tick("stat profile (lazy)")
+        cmp_ops = {
+            "<": lambda a, b: a < b,
+            "<=": lambda a, b: a <= b,
+            ">": lambda a, b: a > b,
+            ">=": lambda a, b: a >= b,
+            "==": lambda a, b: a == b,
         }
-        _tick("stat profile")
         for c in suite.stat_checks:
-            for b in buckets:
-                row = pmap.get((b, c.column))
-                val = float(row[c.stat]) if row and row[c.stat] is not None else float("nan")
-                ok = row is not None and c.passes(val)
-                verdict_rows.append(
-                    (
-                        run_id,
-                        int(b),
-                        c.constraint_id,
-                        f"{c.column}.{c.stat}",
-                        val,
-                        float(c.threshold),
-                        bool(ok),
-                        0,
-                    )
+            rows = prof.filter(F.col("column") == c.column).withColumn(
+                "bucket", F.col(bucket_col).cast("int")
+            )
+            stat = F.col(c.stat)
+            # NULL stat (all-null column in a bucket) → observed NaN,
+            # failed — same semantics as the old driver-side float(nan)
+            verdict_frames.append(
+                _verdict_frame(
+                    rows,
+                    c.constraint_id,
+                    f"{c.column}.{c.stat}",
+                    F.coalesce(stat.cast("double"), F.lit(float("nan"))),
+                    F.lit(float(c.threshold)),
+                    # NaN must fail EVERY op: Spark orders NaN above all
+                    # doubles (NaN >= x is true), unlike the old driver-side
+                    # Python comparison where NaN compares false — pin the
+                    # old semantics explicitly
+                    F.when(F.isnan(stat.cast("double")), F.lit(False)).otherwise(
+                        F.coalesce(
+                            cmp_ops[c.op](stat.cast("double"), F.lit(c.threshold)),
+                            F.lit(False),
+                        )
+                    ),
                 )
+            )
 
     # ---- drift checks: ONE histogram pass per side for ALL uniform-bin ----
     # columns; equi-depth checks run per column (edges from the baseline's
@@ -385,9 +444,31 @@ def run_suite(
             base, baseline, c.column, c.nbins, group_col=bucket_col
         ):
             scored.append((c, s))
+    def _drift_verdicts(frame: DataFrame, c, ks_col: str) -> None:
+        """Per-bucket psi + ks verdict frames from a drift-score DataFrame —
+        the scores never reach the driver (VERDICT r03 #7). psi/ks cannot
+        be NULL here: the drift APIs validate an empty/all-null baseline
+        EAGERLY (raising the contract ValueError) and the ε-smoothed
+        algebra is total after that — a hypothetical NULL still FAILS via
+        coalesce(False) rather than vacuously passing."""
+        rows = frame.withColumn("bucket", F.col(bucket_col).cast("int"))
+        psi, ks = F.col("psi"), F.col(ks_col)
+        verdict_frames.append(
+            _verdict_frame(
+                rows, c.constraint_id, "psi", psi, F.lit(c.psi_max),
+                F.coalesce(psi <= c.psi_max, F.lit(False)),
+            )
+        )
+        verdict_frames.append(
+            _verdict_frame(
+                rows, c.constraint_id, "ks", ks, F.lit(c.ks_max),
+                F.coalesce(ks <= c.ks_max, F.lit(False)),
+            )
+        )
+
     for c in dist:
-        # no-histogram-collect path (high-cardinality bucket columns): only
-        # the per-bucket scores ever reach the driver
+        # no-histogram-collect path (high-cardinality bucket columns):
+        # scores AND verdicts stay DataFrame-side
         from pyanomalydetector2_spark.operators.drift import (
             drift_scores_df,
             drift_scores_quantile_df,
@@ -402,22 +483,11 @@ def run_suite(
                 base, baseline, c.column, c.lo, c.hi, c.nbins, group_col=bucket_col
             )
         )
-        for r in frame.collect():
-            if r["psi"] is None or r["ks"] is None:
-                # empty/all-null baseline: base_n is NULL through the whole
-                # algebra — same explicit error as the equi-depth paths
-                raise ValueError(
-                    f"drift baseline for column {c.column!r} is empty or "
-                    "all-null — cannot score distributed drift (fix the "
-                    "baseline snapshot)"
-                )
-            scored.append(
-                (c, {"group": r[bucket_col], "psi": r["psi"], "ks": r["ks"]})
-            )
+        _drift_verdicts(frame, c, "ks")
     for c in cat:
         # categorical: frequency-PSI + linf (reported in the ks verdict
         # slot — the order-free analog, bounded by ks_max). Always the
-        # no-collect path; scores are O(buckets) rows.
+        # no-collect path.
         from pyanomalydetector2_spark.operators.drift import (
             drift_scores_categorical_df,
         )
@@ -425,10 +495,7 @@ def run_suite(
         frame = drift_scores_categorical_df(
             base, baseline, c.column, group_col=bucket_col
         )
-        for r in frame.collect():
-            scored.append(
-                (c, {"group": r[bucket_col], "psi": r["psi"], "ks": r["linf"]})
-            )
+        _drift_verdicts(frame, c, "linf")
     if suite.drift_checks:
         _tick("drift (all columns)")
     for c, s in scored:
@@ -490,24 +557,34 @@ def run_suite(
             )
         _tick("ann recall audit")
 
+    # union of per-family aggregate frames + the few scalar rows; cached so
+    # the downstream actions (persist, passed(), checkpoint metrics) don't
+    # re-run the drift/profile jobs feeding it
     verdicts = spark.createDataFrame(verdict_rows, VERDICT_SCHEMA)
+    for vf in verdict_frames:
+        verdicts = verdicts.unionByName(vf)
+    verdicts = verdicts.cache()
 
     if checkpoint is not None and commit:
-        per_bucket_fail = {
-            b: sum(
-                1
-                for v in verdict_rows
-                if v[1] == b and not v[6]
-            )
-            for b in buckets
-        }
+        # per-bucket fail counts via ONE aggregation over the verdicts
+        # frame — the driver holds O(buckets) ledger marks (the ledger is
+        # per-bucket by design), never buckets × constraints
+        per_bucket_fail = dict.fromkeys((int(b) for b in buckets), 0)
+        for r in (
+            verdicts.filter(~F.col("passed"))
+            .groupBy("bucket")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .collect()
+        ):
+            if int(r["bucket"]) in per_bucket_fail:
+                per_bucket_fail[int(r["bucket"])] = int(r["cnt"])
         for b in buckets:
             checkpoint.mark_committed(
                 run_id,
                 int(b),
                 metrics={
                     "rows": row_count,
-                    "failed_constraints": per_bucket_fail[b],
+                    "failed_constraints": per_bucket_fail[int(b)],
                 },
             )
 
