@@ -249,6 +249,7 @@ def run_suite(
     # families build frames in ``verdict_frames``.
     verdict_frames: list[DataFrame] = []
     verdict_rows: list[tuple] = []
+    stat_prof: DataFrame | None = None
     bucket_df = spark.createDataFrame(
         [(int(b),) for b in buckets], "bucket int"
     )
@@ -338,6 +339,11 @@ def run_suite(
     else:
         violations = spark.createDataFrame([], VIOLATION_SCHEMA)
     violations = violations.cache()
+    # Force the cache NOW (the pre-r04 counts collect did this implicitly):
+    # without it the violations scan becomes one more concurrent leg of the
+    # final verdicts job, and running every family's scan in ONE job blew
+    # the 8 GB driver heap at the 8M-row tier (GC overhead limit).
+    violations.count()
     _tick("violations materialized")
     counted_ids = (
         [c.constraint_id for c in suite.row_checks]
@@ -377,6 +383,7 @@ def run_suite(
         # verdict selects below don't recompute the scan — and they stay
         # DataFrame-side (no driver pmap)
         prof = column_profile(base, stat_cols, group_cols=[bucket_col]).persist()
+        stat_prof = prof  # unpersisted after the verdict legs materialize
         _tick("stat profile (lazy)")
         cmp_ops = {
             "<": lambda a, b: a < b,
@@ -557,13 +564,20 @@ def run_suite(
             )
         _tick("ann recall audit")
 
-    # union of per-family aggregate frames + the few scalar rows; cached so
-    # the downstream actions (persist, passed(), checkpoint metrics) don't
-    # re-run the drift/profile jobs feeding it
+    # Materialize each family's verdict frame EAGERLY and separately
+    # (localCheckpoint): rows stay distributed — driver memory is still
+    # independent of bucket count — but the families execute as sequential
+    # jobs exactly like the pre-r04 per-family collects did. Leaving them
+    # as lazy legs of one union-job runs every family's table scan
+    # CONCURRENTLY at full parallelism, which blew the driver heap at the
+    # 8M-row materialize tier. The checkpointed frames are O(buckets ×
+    # constraints) rows, so the storage cost is negligible.
     verdicts = spark.createDataFrame(verdict_rows, VERDICT_SCHEMA)
     for vf in verdict_frames:
-        verdicts = verdicts.unionByName(vf)
+        verdicts = verdicts.unionByName(vf.localCheckpoint())
     verdicts = verdicts.cache()
+    if stat_prof is not None:  # its verdict legs are materialized above
+        stat_prof.unpersist()
 
     if checkpoint is not None and commit:
         # per-bucket fail counts via ONE aggregation over the verdicts

@@ -111,7 +111,10 @@ def main() -> None:
             "--buckets",
             str(args.buckets),
             "--cpus",
-            "32",
+            # 16, not 32: materializing 8M rows at 32 python workers
+            # crashes workers / GC-thrashes the driver on this host (the
+            # known >8-worker allocation convoy) — r04 hit it reproducibly
+            "16",
             "--warehouse",
             args.warehouse,
             "--run-id",
