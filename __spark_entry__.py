@@ -950,9 +950,18 @@ def _audio_corpus(spark: SparkSession, sf: str) -> DataFrame:
     WAV at gain 0.85 / G.711 μ-law at gain 1.15) — scales with sf through
     the documents table while staying a pure function of the id, so the
     numpy-precomputed oracle fingerprint table covers every sf."""
-    from pyanomalydetector2_spark.operators.audio_fp import synth_corpus
+    from pyanomalydetector2_spark.operators.audio_fp import (
+        ORACLE_FP_SEEDS,
+        synth_corpus,
+    )
 
-    docs = load_table(spark, sf, "documents").select("doc_id")
+    # cap at the oracle table's precomputed seed range: a future sf with
+    # more documents must not silently diverge from the oracle
+    docs = (
+        load_table(spark, sf, "documents")
+        .select("doc_id")
+        .filter(F.col("doc_id") < ORACLE_FP_SEEDS)
+    )
     return synth_corpus(spark, docs)
 
 
@@ -1008,6 +1017,26 @@ def q_ann_recall_audit(spark: SparkSession, sf: str) -> DataFrame:
     ann = lsh_bucketed_topk(emb, q, dims=64, k=5, planes=6)
     return recall_audit(ann, exact).select(
         "query_id", "exact_n", "hits", _r("recall").alias("recall")
+    )
+
+
+def q_audio_quality(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-clip audio quality metrics (the audio analog of text_quality):
+    level (rms dB), peak, clipping ratio, silence ratio, zero-crossing
+    rate — real decode + vectorized reductions fused in one Arrow pass.
+    Hash-exact vs the numpy-precomputed oracle quality table (same
+    deterministic code on both sides)."""
+    from pyanomalydetector2_spark.operators.audio_fp import audio_quality
+
+    q = audio_quality(_audio_corpus(spark, sf), id_col="clip_id")
+    return q.select(
+        F.col("id").alias("clip_id"),
+        "n_samples",
+        _r("rms_db").alias("rms_db"),
+        _r("peak").alias("peak"),
+        _r("clipping_ratio").alias("clipping_ratio"),
+        _r("silence_ratio").alias("silence_ratio"),
+        _r("zcr").alias("zcr"),
     )
 
 
@@ -1092,6 +1121,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_near_dup": q_audio_near_dup,
         "drift_categorical": q_drift_categorical,
         "ann_recall_audit": q_ann_recall_audit,
+        "audio_quality": q_audio_quality,
     }
 
 
@@ -1989,9 +2019,21 @@ def oracle_sql() -> dict[str, str]:
         BITS,
         N_HASHES,
         ensure_oracle_frames,
+        ensure_oracle_quality,
     )
 
     fp_path = ensure_oracle_frames()
+    q_path = ensure_oracle_quality()
+    out["audio_quality"] = f"""
+        SELECT q.seed AS clip_id, q.n_samples,
+               round(q.rms_db, 6) AS rms_db,
+               round(q.peak, 6) AS peak,
+               round(q.clipping_ratio, 6) AS clipping_ratio,
+               round(q.silence_ratio, 6) AS silence_ratio,
+               round(q.zcr, 6) AS zcr
+        FROM read_parquet('{q_path}') q
+        JOIN documents d ON q.seed = d.doc_id
+    """
     out["audio_fingerprint"] = f"""
         SELECT f.seed AS clip_id, f.frame_idx, f.hash
         FROM read_parquet('{fp_path}') f

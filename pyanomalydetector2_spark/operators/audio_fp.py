@@ -68,8 +68,8 @@ WIN = 1024
 HOP = 512
 N_BANDS = 16
 BITS = N_BANDS - 1  # 15 bits per frame transition
-N_FRAMES = 1 + (N_SAMPLES - WIN) // HOP  # 7
-N_HASHES = N_FRAMES - 1  # 6
+N_FRAMES = 1 + (N_SAMPLES - WIN) // HOP  # 31
+N_HASHES = N_FRAMES - 1  # 30
 
 # -- synthetic corpus (deterministic; groups of 3 re-encodes per base) ------
 VARIANT_CODECS = ("flac", "wav", "pcm_mulaw")
@@ -196,9 +196,87 @@ def fingerprint(pcm: np.ndarray) -> np.ndarray | None:
     return (bits << np.arange(BITS)[None, :]).sum(axis=1).astype(np.int32)
 
 
+def quality_metrics(pcm: np.ndarray) -> tuple | None:
+    """Deterministic per-clip audio quality metrics over decoded PCM
+    (int16 scale) — the audio analog of text.token_metrics for a
+    training-data pipeline: level, clipping, silence, and spectral-ish
+    activity, each a cheap vectorized reduction.
+
+    Returns (n_samples, rms_db, peak, clipping_ratio, silence_ratio, zcr):
+    - rms_db: 20·log10(rms / 32768), −200.0 for digital silence;
+    - peak: max |x| / 32768;
+    - clipping_ratio: share of samples at full scale (|x| ≥ 32767);
+    - silence_ratio: share of samples below 1 % full scale;
+    - zcr: zero-crossing rate (sign products < 0) over n−1 transitions.
+    """
+    if pcm is None or len(pcm) == 0:
+        return None
+    x = np.asarray(pcm, dtype=np.float64)
+    n = len(x)
+    rms = float(np.sqrt(np.mean(x * x)))
+    rms_db = 20.0 * np.log10(rms / 32768.0) if rms > 0 else -200.0
+    peak = float(np.max(np.abs(x))) / 32768.0
+    clipping = float(np.mean(np.abs(x) >= 32767.0))
+    silence = float(np.mean(np.abs(x) < 327.68))
+    zcr = float(np.mean(x[:-1] * x[1:] < 0)) if n > 1 else 0.0
+    return (n, float(rms_db), peak, clipping, silence, zcr)
+
+
 # -- Spark operators --------------------------------------------------------
 
 FP_SCHEMA = "id long, frames array<int>"
+QUALITY_SCHEMA = (
+    "id long, n_samples long, rms_db double, peak double, "
+    "clipping_ratio double, silence_ratio double, zcr double"
+)
+
+
+def audio_quality(
+    df: DataFrame,
+    id_col: str = "clip_id",
+    payload_col: str = "bytes",
+    codec_col: str = "codec",
+) -> DataFrame:
+    """Per-clip quality metrics for every decodable clip — decode + metric
+    reductions fused in one Arrow-batched pass (same shape as
+    ``audio_fingerprints``: ``bytes`` never crosses a shuffle).
+    Undecodable clips are dropped; the suite's decode check owns them."""
+    cols = df.select(
+        F.col(id_col).alias("id"),
+        F.col(payload_col).alias("payload"),
+        F.col(codec_col).alias("codec"),
+    )
+
+    def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        names = [
+            "n_samples", "rms_db", "peak",
+            "clipping_ratio", "silence_ratio", "zcr",
+        ]
+        for pdf in it:
+            out: dict[str, list] = {"id": []}
+            for c in names:
+                out[c] = []
+            for i, payload, codec in zip(
+                pdf["id"], pdf["payload"], pdf["codec"]
+            ):
+                m = quality_metrics(decode_full(payload, codec))
+                if m is None:
+                    continue
+                out["id"].append(i)
+                for c, v in zip(names, m):
+                    out[c].append(v)
+            yield pd.DataFrame(
+                {
+                    "id": pd.array(out["id"], dtype="int64"),
+                    "n_samples": pd.array(out["n_samples"], dtype="int64"),
+                    **{
+                        c: pd.array(out[c], dtype="float64")
+                        for c in names[1:]
+                    },
+                }
+            )
+
+    return cols.mapInPandas(gen, schema=QUALITY_SCHEMA)
 
 
 def audio_fingerprints(
@@ -366,35 +444,38 @@ def synth_corpus(spark: SparkSession, ids_df: DataFrame) -> DataFrame:
 
 # -- oracle precompute ------------------------------------------------------
 
-# bump the version suffix on ANY change to synth/encode/decode/fingerprint
-# math — the cache must never serve fingerprints from older code
-ORACLE_FP_DIR = "/tmp/pyad2_audio_fp_oracle_v3"
+# bump the version suffix on ANY change to synth/encode/decode/fingerprint/
+# quality math — the cache must never serve results from older code
+ORACLE_FP_DIR = "/tmp/pyad2_audio_fp_oracle_v4"
 ORACLE_FP_SEEDS = 5000  # covers doc_id range at every shipped sf
 
 
-def ensure_oracle_frames(
-    n_seeds: int = ORACLE_FP_SEEDS, out_dir: str = ORACLE_FP_DIR
-) -> str:
-    """Precompute the (seed, frame_idx, hash) fingerprint table with plain
-    numpy (synth → encode → DECODE → fingerprint, the same functions the
-    Spark UDF runs) and cache it as parquet for the DuckDB oracle. A pure
-    function of the seed — regenerated only when absent."""
-    path = os.path.join(out_dir, "frames.parquet")
-    if os.path.exists(path):
-        return path
+def _ensure_oracle_tables(n_seeds: int, out_dir: str) -> tuple[str, str]:
+    """Precompute BOTH oracle tables with plain numpy — the (seed,
+    frame_idx, hash) fingerprint table AND the per-seed quality-metric
+    table — in one synth→encode→DECODE pass (the same functions the Spark
+    UDFs run), cached as parquet for the DuckDB oracle. Pure functions of
+    the seed — regenerated only when absent."""
+    fpath = os.path.join(out_dir, "frames.parquet")
+    qpath = os.path.join(out_dir, "quality.parquet")
+    if os.path.exists(fpath) and os.path.exists(qpath):
+        return fpath, qpath
     os.makedirs(out_dir, exist_ok=True)
     seeds = np.arange(n_seeds, dtype=np.int64)
     bases, variants = seeds // 3, seeds % 3
     rows_seed, rows_frame, rows_hash = [], [], []
+    qrows: list[tuple] = []
     for start in range(0, n_seeds, 128):
         sl = slice(start, min(start + 128, n_seeds))
         pcm = synth_near_dup_pcm(bases[sl])
         for j, s in enumerate(seeds[sl]):
             payload, codec = encode_variant(pcm[j], int(variants[sl][j]))
-            fp = fingerprint(decode_full(payload, codec))
+            dec = decode_full(payload, codec)
+            fp = fingerprint(dec)
             rows_seed.extend([int(s)] * len(fp))
             rows_frame.extend(range(len(fp)))
             rows_hash.extend(int(h) for h in fp)
+            qrows.append((int(s), *quality_metrics(dec)))
     pdf = pd.DataFrame(
         {
             "seed": np.array(rows_seed, dtype=np.int64),
@@ -402,7 +483,27 @@ def ensure_oracle_frames(
             "hash": np.array(rows_hash, dtype=np.int32),
         }
     )
-    tmp = path + ".tmp"
-    pdf.to_parquet(tmp, index=False)
-    os.replace(tmp, path)
-    return path
+    qdf = pd.DataFrame(
+        qrows,
+        columns=[
+            "seed", "n_samples", "rms_db", "peak",
+            "clipping_ratio", "silence_ratio", "zcr",
+        ],
+    ).astype({"seed": np.int64, "n_samples": np.int64})
+    for path, frame in ((fpath, pdf), (qpath, qdf)):
+        tmp = path + ".tmp"
+        frame.to_parquet(tmp, index=False)
+        os.replace(tmp, path)
+    return fpath, qpath
+
+
+def ensure_oracle_frames(
+    n_seeds: int = ORACLE_FP_SEEDS, out_dir: str = ORACLE_FP_DIR
+) -> str:
+    return _ensure_oracle_tables(n_seeds, out_dir)[0]
+
+
+def ensure_oracle_quality(
+    n_seeds: int = ORACLE_FP_SEEDS, out_dir: str = ORACLE_FP_DIR
+) -> str:
+    return _ensure_oracle_tables(n_seeds, out_dir)[1]

@@ -196,3 +196,51 @@ def test_oracle_frames_deterministic(tmp_path):
         fp = _fp_of(payload, codec)
         got = pdf[pdf["seed"] == seed].sort_values("frame_idx")["hash"].to_numpy()
         assert np.array_equal(got, fp)
+
+
+def test_quality_metrics_math():
+    """Known-signal checks for each metric (pure numpy, no Spark)."""
+    # full-scale square wave: peak 1.0, all samples "clipped", zcr 0.5
+    sq = np.tile(np.array([32767.0, 32767.0, -32767.0, -32767.0]), 1000)
+    n, rms_db, peak, clip, sil, zcr = A.quality_metrics(sq)
+    assert n == 4000 and peak == pytest.approx(32767 / 32768)
+    assert clip == 1.0 and sil == 0.0
+    assert zcr == pytest.approx(0.5, abs=1e-3)
+    assert rms_db == pytest.approx(20 * np.log10(32767 / 32768), abs=1e-6)
+
+    # digital silence: -200 dB floor, silence_ratio 1
+    z = np.zeros(100)
+    n, rms_db, peak, clip, sil, zcr = A.quality_metrics(z)
+    assert rms_db == -200.0 and peak == 0.0 and sil == 1.0 and zcr == 0.0
+
+    # half-scale sine: rms ≈ 0.5/√2 FS → ≈ -9.03 dB, no clipping
+    t = np.arange(8000)
+    s = 16384.0 * np.sin(2 * np.pi * 440 * t / 8000)
+    n, rms_db, peak, clip, sil, zcr = A.quality_metrics(s)
+    assert rms_db == pytest.approx(20 * np.log10(0.5 / np.sqrt(2)), abs=0.05)
+    assert clip == 0.0 and 0.0 < sil < 0.05
+
+    assert A.quality_metrics(np.array([])) is None
+    assert A.quality_metrics(None) is None
+
+
+def test_audio_quality_operator(spark):
+    """Spark operator vs direct numpy on the same corpus; undecodable
+    clips dropped."""
+    ids = spark.range(30).withColumnRenamed("id", "doc_id")
+    corpus = A.synth_corpus(spark, ids)
+    got = {r.id: r for r in A.audio_quality(corpus).collect()}
+    assert set(got) == set(range(30))
+    pcm = A.synth_near_dup_pcm(np.arange(30) // 3)
+    for j in (0, 1, 2, 17):
+        payload, codec = A.encode_variant(pcm[j], j % 3)
+        exp = A.quality_metrics(A.decode_full(payload, codec))
+        r = got[j]
+        assert (r.n_samples, r.rms_db, r.peak, r.clipping_ratio,
+                r.silence_ratio, r.zcr) == exp
+
+    bad = spark.createDataFrame(
+        pd.DataFrame({"clip_id": [99], "bytes": [b"junk"],
+                      "codec": ["flac"]})
+    )
+    assert A.audio_quality(bad).count() == 0
