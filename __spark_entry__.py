@@ -995,6 +995,24 @@ def q_audio_near_dup(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_audio_near_dup_incremental(spark: SparkSession, sf: str) -> DataFrame:
+    """Incremental audio dedup ingest: near-dup pairs touching the new
+    batch (clip_id < 100), computed by probing the batch's fingerprint
+    bands against the stored corpus fingerprint index
+    (audio_fp.audio_near_dup_incremental) — decode runs only on the batch,
+    pair generation is proportional to the batch, not the corpus (shared
+    incremental_pairs_from_banded probe with the MinHash text path)."""
+    from pyanomalydetector2_spark.operators.audio_fp import (
+        audio_near_dup_incremental,
+    )
+
+    clips = _audio_corpus(spark, sf)
+    new = clips.filter(F.col("clip_id") < _INCR_CUT)
+    return audio_near_dup_incremental(
+        clips, new, threshold=0.85, max_bucket_size=None
+    )  # oracle has no cap (same convention as near_dup_incremental)
+
+
 def q_ann_recall_audit(spark: SparkSession, sf: str) -> DataFrame:
     """Sampled ANN recall audit (VERDICT r03 next-round #6): per-query
     recall@5 of the LSH-bucketed path vs brute-force exact on the same
@@ -1119,6 +1137,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "near_dup_incremental": q_near_dup_incremental,
         "audio_fingerprint": q_audio_fingerprint,
         "audio_near_dup": q_audio_near_dup,
+        "audio_near_dup_incremental": q_audio_near_dup_incremental,
         "drift_categorical": q_drift_categorical,
         "ann_recall_audit": q_ann_recall_audit,
         "audio_quality": q_audio_quality,
@@ -2041,7 +2060,7 @@ def oracle_sql() -> dict[str, str]:
     """
     # AS MATERIALIZED: DuckDB inlines multiply-referenced CTEs by default
     # and re-evaluates them per reference — measured 12 s → 0.9 s at sf0.1
-    out["audio_near_dup"] = f"""
+    audio_nd_sql = f"""
         WITH fp AS MATERIALIZED (
           SELECT f.seed AS id, f.frame_idx, f.hash
           FROM read_parquet('{fp_path}') f
@@ -2073,6 +2092,12 @@ def oracle_sql() -> dict[str, str]:
         FROM ham
         WHERE round(1.0 - hd / ({BITS}.0 * nf), 6) >= 0.85
     """
+    out["audio_near_dup"] = audio_nd_sql
+    # incremental ingest emits exactly the full pair set restricted to
+    # pairs touching the batch (banding is identical, oracle has no cap)
+    out["audio_near_dup_incremental"] = (
+        audio_nd_sql + f" AND (id_a < {_INCR_CUT} OR id_b < {_INCR_CUT})"
+    )
 
     # categorical drift: identical algebra to drift_scores_categorical_df —
     # ε-smoothed shares, PSI accumulated in category order (fixed float

@@ -339,17 +339,13 @@ def fp_banded(fp_df: DataFrame) -> DataFrame:
     ).select("id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
 
 
-def audio_near_dup_pairs(
-    fp_df: DataFrame,
-    threshold: float = 0.85,
-    max_bucket_size: int | None = 10_000,
+def _hamming_rerank(
+    pairs: DataFrame, fp_df: DataFrame, threshold: float
 ) -> DataFrame:
-    """(id_a, id_b, sim) near-duplicate pairs over fingerprints: capped
-    banded candidate generation (shared ``pairs_from_banded``) + JVM-side
-    Hamming re-rank (sim = 1 − hamming/total bits, rounded to 6)."""
-    from pyanomalydetector2_spark.operators.dedup import pairs_from_banded
-
-    pairs = pairs_from_banded(fp_banded(fp_df), max_bucket_size)
+    """JVM-side Hamming re-rank of candidate (id_a, id_b) pairs against a
+    (id, frames) fingerprint frame: sim = 1 − hamming/total bits, rounded
+    to 6, filtered to ``threshold``. ``zip_with`` + ``bit_count`` inside
+    codegen — no Python in the pair loop."""
     fa = fp_df.select(F.col("id").alias("id_a"), F.col("frames").alias("fa"))
     fb = fp_df.select(F.col("id").alias("id_b"), F.col("frames").alias("fb"))
     # single-division algebra (x / (BITS * n)) so the DuckDB oracle's
@@ -372,6 +368,20 @@ def audio_near_dup_pairs(
     )
 
 
+def audio_near_dup_pairs(
+    fp_df: DataFrame,
+    threshold: float = 0.85,
+    max_bucket_size: int | None = 10_000,
+) -> DataFrame:
+    """(id_a, id_b, sim) near-duplicate pairs over fingerprints: capped
+    banded candidate generation (shared ``pairs_from_banded``) + JVM-side
+    Hamming re-rank (sim = 1 − hamming/total bits, rounded to 6)."""
+    from pyanomalydetector2_spark.operators.dedup import pairs_from_banded
+
+    pairs = pairs_from_banded(fp_banded(fp_df), max_bucket_size)
+    return _hamming_rerank(pairs, fp_df, threshold)
+
+
 def audio_near_dup(
     clips_df: DataFrame,
     threshold: float = 0.85,
@@ -390,6 +400,75 @@ def audio_near_dup(
     persisted-IVF-index pattern, similarity.ivf_assignments)."""
     fp = audio_fingerprints(clips_df, id_col, payload_col, codec_col).persist()
     return audio_near_dup_pairs(fp, threshold, max_bucket_size)
+
+
+def audio_near_dup_incremental(
+    clips_df: DataFrame,
+    new_clips_df: DataFrame,
+    index_fp: DataFrame | None = None,
+    index_banded: DataFrame | None = None,
+    threshold: float = 0.85,
+    max_bucket_size: int | None = 10_000,
+    id_col: str = "clip_id",
+    payload_col: str = "bytes",
+    codec_col: str = "codec",
+) -> DataFrame:
+    """Incremental audio near-dup ingest: pairs touching at least one NEW
+    clip, WITHOUT re-decoding the corpus — the audio analog of
+    ``dedup.near_dup_jaccard_incremental``. Decode (the most expensive step
+    in this pipeline: real FLAC/WAV/G.711 bitstream work) runs ONLY on the
+    batch; the corpus contributes its stored fingerprint index.
+
+    - ``new_clips_df``: the newly ingested batch (clips-shaped).
+    - ``index_fp``: the stored (id, frames) fingerprint table of the
+      existing corpus (``audio_fingerprints`` materialized across runs,
+      e.g. via a SnapshotTable). Must NOT contain the batch. When None it
+      is computed from ``clips_df`` minus the batch (testing convenience —
+      that path re-decodes the corpus once).
+    - ``index_banded``: optionally the PRE-BANDED (id, band, key) index
+      (``fp_banded(index_fp)`` stored partitioned by band — the production
+      10^12-tier layout, same as the MinHash side): the per-batch cost is
+      then one scan of the banded table, no index-wide re-band shuffle.
+
+    Candidate generation rides the shared ``incremental_pairs_from_banded``
+    probe (broadcast semi join on the batch's key set prunes the index scan
+    BEFORE any bucket aggregation; hot buckets capped pre-materialization);
+    the Hamming re-rank reads index fingerprints only for pair members
+    (semi-join prune), so every stage is batch-proportional."""
+    from pyanomalydetector2_spark.operators.dedup import (
+        incremental_pairs_from_banded,
+    )
+
+    fp_new = audio_fingerprints(
+        new_clips_df, id_col, payload_col, codec_col
+    ).persist()
+    if index_fp is None:
+        old = clips_df.join(new_clips_df.select(id_col), id_col, "left_anti")
+        # persist: the index frame is consumed twice (banding + re-rank) and
+        # its lineage here contains the corpus decode — without the persist
+        # the convenience path decodes the corpus once per consumer
+        index_fp = audio_fingerprints(
+            old, id_col, payload_col, codec_col
+        ).persist()
+    if index_banded is None:
+        index_banded = fp_banded(index_fp)
+    banded_new = fp_banded(fp_new).localCheckpoint()
+    pairs = incremental_pairs_from_banded(
+        index_banded, banded_new, max_bucket_size
+    ).localCheckpoint()
+    # re-rank fingerprints: the batch's fresh frame plus index rows pruned
+    # to pair members — never the whole index, never the corpus audio
+    ids = (
+        pairs.select(F.col("id_a").alias("id"))
+        .union(pairs.select(F.col("id_b").alias("id")))
+        .distinct()
+    )
+    fp_members = (
+        fp_new.select("id", "frames")
+        .union(index_fp.select("id", "frames"))
+        .join(ids, "id", "semi")
+    )
+    return _hamming_rerank(pairs, fp_members, threshold)
 
 
 def audio_fp_bucket_stats(

@@ -402,7 +402,30 @@ def incremental_candidate_pairs(
         if index_sigs is None:
             raise ValueError("pass index_sigs or index_banded")
         index_banded = _banded(index_sigs, bands, rows_per_band)
-    banded_all = index_banded.select("id", "band", "key").union(banded_new)
+    return incremental_pairs_from_banded(
+        index_banded, banded_new, max_bucket_size
+    )
+
+
+def incremental_pairs_from_banded(
+    index_banded: DataFrame,
+    banded_new: DataFrame,
+    max_bucket_size: int | None = 10_000,
+) -> DataFrame:
+    """Banding-agnostic incremental-probe core: distinct (id_a < id_b)
+    pairs touching at least one id from ``banded_new``, given two
+    pre-banded (id, band, key) frames. Shared by the MinHash text path
+    (``incremental_candidate_pairs``) and the audio fingerprint path
+    (``audio_fp.audio_near_dup_incremental``) — both store a banded index
+    across runs and probe each new batch against it, so pair generation is
+    proportional to the batch, not the corpus.
+
+    ``banded_new`` is consumed by four operators (union, key set, its own
+    bucket agg, the join) — callers should ``localCheckpoint()`` it first
+    so the batch banding computes once."""
+    banded_all = index_banded.select("id", "band", "key").union(
+        banded_new.select("id", "band", "key")
+    )
     # probe-side prune FIRST: only buckets containing a new member can emit
     # pairs, and the batch's key set is small by definition → broadcast semi
     # join keeps the index side at one SCAN (no index-wide aggregation; the

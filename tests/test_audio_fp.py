@@ -244,3 +244,51 @@ def test_audio_quality_operator(spark):
                       "codec": ["flac"]})
     )
     assert A.audio_quality(bad).count() == 0
+
+
+def test_incremental_matches_full_filtered(spark):
+    """audio_near_dup_incremental emits exactly the full pair set
+    restricted to pairs touching the batch — via both the testing path
+    (index computed from corpus minus batch) and the production path
+    (stored fingerprint index + PRE-BANDED index frame, no corpus
+    re-decode, no index-wide re-band)."""
+    from pyspark.sql import functions as F
+
+    ids = spark.range(120).withColumnRenamed("id", "doc_id")
+    corpus = A.synth_corpus(spark, ids)
+    cut = 30
+    new = corpus.filter(F.col("clip_id") < cut)
+
+    full = {
+        (r.id_a, r.id_b): r.sim
+        for r in A.audio_near_dup(
+            corpus, threshold=0.85, max_bucket_size=None
+        ).collect()
+    }
+    exp = {k: v for k, v in full.items() if k[0] < cut or k[1] < cut}
+    assert exp and len(exp) < len(full)  # both new×new and index-only pairs exist
+
+    got = {
+        (r.id_a, r.id_b): r.sim
+        for r in A.audio_near_dup_incremental(
+            corpus, new, threshold=0.85, max_bucket_size=None
+        ).collect()
+    }
+    assert got == exp
+
+    # production layout: stored (id, frames) + stored banded index
+    old = corpus.filter(F.col("clip_id") >= cut)
+    index_fp = A.audio_fingerprints(old).localCheckpoint()
+    index_banded = A.fp_banded(index_fp).localCheckpoint()
+    got2 = {
+        (r.id_a, r.id_b): r.sim
+        for r in A.audio_near_dup_incremental(
+            new,  # clips_df unused when the stored index is supplied
+            new,
+            index_fp=index_fp,
+            index_banded=index_banded,
+            threshold=0.85,
+            max_bucket_size=None,
+        ).collect()
+    }
+    assert got2 == exp

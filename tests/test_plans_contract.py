@@ -34,6 +34,7 @@ HEAVY = [
     "ngram_jaccard_pairs",
     "embedding_near_dup_lsh",
     "audio_near_dup",
+    "audio_near_dup_incremental",
 ]
 
 
