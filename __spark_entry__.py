@@ -995,6 +995,25 @@ def q_audio_near_dup(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_ann_ivf_pq_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """ANN scale path #3 — IVF-PQ (product quantization, Jégou et al.
+    2011): coarse IVF cells + per-sub-space codeword codes form a stored
+    compressed index ~50× smaller than the vectors; ADC scoring is rounded
+    cosine against the codeword reconstruction, so the probe never reads
+    the embeddings table. Codebook = sub-vectors of the 32 smallest-h60
+    corpus rows (deterministic, no k-means state), encoding = argmin of
+    round(L2, 6) with smallest-j ties — fully SQL-replayable, hash-exact
+    (similarity.ivf_pq_topk; the persisted-index probe path
+    ivf_pq_probe_topk is pytest-proven result-identical)."""
+    from pyanomalydetector2_spark.operators.similarity import ivf_pq_topk
+
+    emb = load_table(spark, sf, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
+    )
+    q = emb.filter(F.col("vec_id") < 20)
+    return ivf_pq_topk(emb, q, k=5, n_cells=16, nprobe=2, m_sub=8, n_codes=32)
+
+
 def q_audio_near_dup_incremental(spark: SparkSession, sf: str) -> DataFrame:
     """Incremental audio dedup ingest: near-dup pairs touching the new
     batch (clip_id < 100), computed by probing the batch's fingerprint
@@ -1122,6 +1141,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dup": q_embedding_near_dup,
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
+        "ann_ivf_pq_topk": q_ann_ivf_pq_topk,
         "ann_ivf_index_topk": q_ann_ivf_index_topk,
         "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
         "item_conds": q_item_conds,
@@ -1997,6 +2017,69 @@ def oracle_sql() -> dict[str, str]:
     # the persisted-index IVF path is result-identical to the fresh path by
     # construction, so it shares the fresh path's oracle verbatim
     out["ann_ivf_index_topk"] = out["ann_ivf_topk"]
+    # IVF-PQ: coarse assignment/probe replayed as in ann_ivf_topk; PQ codes
+    # replayed with list slicing (sub-space m = elements m*8+1 .. m*8+8,
+    # 1-based), reconstruction = ordered concat of codeword slices, ADC
+    # score = the SAME round(list_cosine_similarity, 6) as every other
+    # similarity oracle — hash-exact, not recall-pinned
+    out["ann_ivf_pq_topk"] = f"""
+        WITH e AS MATERIALIZED (
+          SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+        ), cents AS (
+          SELECT vec_id AS cid, v AS cv FROM e
+          ORDER BY {_H60.format(x='vec_id::VARCHAR')}, vec_id
+          LIMIT 16
+        ), cb AS MATERIALIZED (
+          SELECT (row_number() OVER (ORDER BY h, cid) - 1) AS j, bv FROM (
+            SELECT {_H60.format(x='vec_id::VARCHAR')} AS h, vec_id AS cid,
+                   v AS bv
+            FROM e ORDER BY 1, 2 LIMIT 32
+          )
+        ), csims AS (
+          SELECT e.vec_id, c.cid,
+                 round(list_cosine_similarity(e.v, c.cv), 6) AS s
+          FROM e, cents c
+        ), ranked AS MATERIALIZED (
+          SELECT vec_id, cid,
+                 row_number() OVER (PARTITION BY vec_id
+                                    ORDER BY s DESC, cid) AS rn
+          FROM csims
+        ), assign AS (
+          SELECT vec_id, cid AS cell FROM ranked WHERE rn = 1
+        ), qprobe AS (
+          SELECT vec_id, cid AS cell FROM ranked
+          WHERE rn <= 2 AND vec_id < 20
+        ), cand AS (
+          SELECT q.vec_id AS query_id, a.vec_id AS match_id
+          FROM qprobe q JOIN assign a USING (cell)
+          WHERE a.vec_id <> q.vec_id
+        ), codes AS MATERIALIZED (
+          SELECT vec_id, m, j AS code FROM (
+            SELECT e.vec_id, t.m, c.j,
+                   row_number() OVER (PARTITION BY e.vec_id, t.m
+                     ORDER BY round(list_distance(
+                                 e.v[t.m*8+1 : t.m*8+8],
+                                 c.bv[t.m*8+1 : t.m*8+8]), 6), c.j) AS rn
+            FROM e, range(8) t(m), cb c
+          ) WHERE rn = 1
+        ), recon AS MATERIALIZED (
+          SELECT k.vec_id,
+                 flatten(list(c.bv[k.m*8+1 : k.m*8+8] ORDER BY k.m)) AS xhat
+          FROM codes k JOIN cb c ON c.j = k.code
+          GROUP BY k.vec_id
+        ), sims AS (
+          SELECT c.query_id, c.match_id,
+                 round(list_cosine_similarity(qe.v, r.xhat), 6) AS cosine
+          FROM cand c
+          JOIN e qe ON qe.vec_id = c.query_id
+          JOIN recon r ON r.vec_id = c.match_id
+        )
+        SELECT query_id, match_id, cosine, rank::INT AS rank FROM (
+          SELECT *, row_number() OVER (PARTITION BY query_id
+                                       ORDER BY cosine DESC, match_id) AS rank
+          FROM sims
+        ) WHERE rank <= 5
+    """
     out["embedding_near_dup_lsh"] = f"""
         WITH e AS (
           SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings

@@ -661,3 +661,185 @@ def embedding_lsh_bucket_stats(
         F.col(id_col).alias("id"), F.posexplode(sig).alias("band", "key")
     )
     return bucket_stats_from_banded(banded, max_bucket_size)
+
+
+# -- IVF-PQ: product-quantized compressed index ------------------------------
+#
+# The memory/IO scale path past IVF-flat: at the 10^12-vector tier the
+# candidate re-rank is dominated by reading the embeddings themselves
+# (64 dims × 8 B = 512 B/row). Product quantization (Jégou et al., "Product
+# Quantization for Nearest Neighbor Search", TPAMI 2011 — public literature)
+# stores each vector as M sub-space codeword indices (M bytes-ish): the
+# probe scans a (id, cell, codes) index ~50× smaller than the vectors and
+# never touches the embeddings table at query time.
+#
+# Determinism (the repo's oracle convention, same as ivf_topk's medoid
+# centroids): the codebook is NOT trained k-means state — sub-codebook m's
+# entries are the sub-vectors of the ``n_codes`` corpus rows with the
+# smallest h60(id). Encoding = per-sub-space argmin of ROUNDED (6 dp) L2
+# distance, ties → smallest codeword index. ADC scoring = rounded cosine
+# of the query against the RECONSTRUCTION (concatenated codewords) — the
+# exact algebra DuckDB replays with list slicing + list_cosine_similarity,
+# so the contract check is hash-exact, not recall-pinned.
+
+
+def pq_codebook(
+    corpus: DataFrame,
+    n_codes: int = 32,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(j, bv) deterministic codebook rows: the ``n_codes`` corpus rows
+    with the smallest h60(id), j = dense 0-based rank in that order.
+    Sub-codebook m is column slice [m·d, (m+1)·d) of these rows. KB-sized
+    and persistable next to the centroids."""
+    w = Window.orderBy("_h", "_cid")
+    return (
+        corpus.select(
+            F.col(id_col).alias("_cid"), F.col(vec_col).alias("bv"),
+            h60(F.col(id_col).cast("string")).alias("_h"),
+        )
+        .orderBy("_h", "_cid")
+        .limit(n_codes)
+        .select((F.row_number().over(w) - 1).alias("j"), "bv")
+    )
+
+
+def _pq_matrix(cb_rows) -> np.ndarray | None:
+    """Collected codebook rows → (n_codes × dims) float64 matrix ordered
+    by j, or None for an empty corpus."""
+    if not cb_rows:
+        return None
+    cb_rows = sorted(cb_rows, key=lambda r: r["j"])
+    return np.array([r["bv"] for r in cb_rows], dtype=np.float64)
+
+
+def _pq_encode_udf(cb: np.ndarray, m_sub: int):
+    """codes(vec) = per-sub-space argmin of round(L2, 6) against the
+    broadcast codebook matrix; ties → smallest j (np.argmin is first-min).
+    One broadcasted (batch × n_codes × d) difference per sub-space per
+    Arrow batch — no Python per row."""
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import ArrayType, IntegerType
+
+    dims = cb.shape[1]
+    d = dims // m_sub
+
+    @pandas_udf(ArrayType(IntegerType()))
+    def enc(vec: pd.Series) -> pd.Series:
+        x = np.array(list(vec), dtype=np.float64)
+        n = len(x)
+        codes = np.empty((n, m_sub), dtype=np.int32)
+        for m in range(m_sub):
+            sl = slice(m * d, (m + 1) * d)
+            diff = x[:, None, sl] - cb[None, :, sl]
+            dist = np.round(np.sqrt(np.einsum("nkd,nkd->nk", diff, diff)), 6)
+            codes[:, m] = np.argmin(dist, axis=1)
+        return pd.Series(list(codes))
+
+    return enc
+
+
+def _pq_reconstruct_udf(cb: np.ndarray, m_sub: int):
+    """codes → reconstructed vector (concatenated codewords): a gather
+    against the broadcast codebook, no arithmetic — feeds the shared
+    ``pair_cosine_udf`` re-rank so ADC scoring is the SAME rounded-cosine
+    algebra as every other similarity path (and its DuckDB oracle)."""
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import ArrayType, DoubleType
+
+    dims = cb.shape[1]
+    d = dims // m_sub
+
+    @pandas_udf(ArrayType(DoubleType()))
+    def rec(codes: pd.Series) -> pd.Series:
+        c = np.array(list(codes), dtype=np.int64)
+        xhat = np.empty((len(c), dims), dtype=np.float64)
+        for m in range(m_sub):
+            sl = slice(m * d, (m + 1) * d)
+            xhat[:, sl] = cb[c[:, m], sl]
+        return pd.Series(list(xhat))
+
+    return rec
+
+
+def pq_index(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    codebook: DataFrame,
+    m_sub: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, cell, codes): the full persistable compressed index — coarse
+    IVF cell plus PQ codes, computed in ONE pass over the corpus (both
+    kernels ride the same scan/batch). Snapshot partitioned by ``cell``:
+    a probe then reads only the probed cells' files, each row ~M ints
+    instead of a dims-sized vector."""
+    arrays = _ivf_arrays(centroids.collect())
+    cb = _pq_matrix(codebook.collect())
+    if arrays is None or cb is None:
+        return corpus.select(
+            F.col(id_col),
+            F.lit(None).cast("long").alias("cell"),
+            F.lit(None).cast("array<int>").alias("codes"),
+        ).limit(0)
+    cent_ids, cent_t = arrays
+    return corpus.select(
+        F.col(id_col),
+        F.element_at(_ivf_probe_udf(cent_ids, cent_t, 1)(F.col(vec_col)), 1)
+        .alias("cell"),
+        _pq_encode_udf(cb, m_sub)(F.col(vec_col)).alias("codes"),
+    )
+
+
+def ivf_pq_probe_topk(
+    index: DataFrame,
+    queries: DataFrame,
+    centroids: DataFrame,
+    codebook: DataFrame,
+    k: int = 10,
+    nprobe: int = 2,
+    m_sub: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ADC top-k against a stored compressed index: queries probe their
+    ``nprobe`` nearest cells, candidates come from the (id, cell, codes)
+    index ALONE — the corpus embeddings are never read at query time —
+    and scoring is rounded cosine(query, reconstruction). Returns
+    (query_id, match_id, cosine, rank); self-matches excluded."""
+    arrays = _ivf_arrays(centroids.collect())
+    cb = _pq_matrix(codebook.collect())
+    if arrays is None or cb is None:
+        return _empty_topk(queries, id_col)
+    cent_ids, cent_t = arrays
+    c = index.select(
+        F.col(id_col).alias("match_id"),
+        "cell",
+        _pq_reconstruct_udf(cb, m_sub)(F.col("codes")).alias("cv"),
+    )
+    return _ivf_rerank(c, queries, cent_ids, cent_t, k, nprobe, id_col, vec_col)
+
+
+def ivf_pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_cells: int = 16,
+    nprobe: int = 2,
+    m_sub: int = 8,
+    n_codes: int = 32,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Fresh-path IVF-PQ: build centroids + codebook + compressed index,
+    then ADC top-k. Result-identical to ``ivf_pq_probe_topk`` over a
+    snapshotted index by construction (same deterministic centroids,
+    codebook, and codes)."""
+    cents = ivf_centroids(corpus, n_cells, id_col=id_col, vec_col=vec_col)
+    cb = pq_codebook(corpus, n_codes, id_col=id_col, vec_col=vec_col)
+    idx = pq_index(corpus, cents, cb, m_sub, id_col=id_col, vec_col=vec_col)
+    return ivf_pq_probe_topk(
+        idx, queries, cents, cb, k, nprobe, m_sub, id_col, vec_col
+    )

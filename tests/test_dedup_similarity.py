@@ -455,3 +455,83 @@ def test_recall_audit_on_real_ann_paths(spark):
     ):
         r = recall_audit(ann, exact).agg(F.avg("recall")).first()[0]
         assert 0.0 < r <= 1.0
+
+
+def test_ivf_pq_probe_identical_compact_and_sane(spark, tmp_path):
+    """IVF-PQ: (a) the snapshotted compressed index probed via
+    ivf_pq_probe_topk is result-identical to the fresh ivf_pq_topk;
+    (b) the stored index carries only (id, cell, codes) — no vectors;
+    (c) ADC scores equal rounded cosine against the numpy reconstruction
+    (independent replay); (d) exact-duplicate vectors share identical
+    (cell, codes) — quantization is a pure function of the vector."""
+    import numpy as np
+
+    from pyanomalydetector2_spark.operators.similarity import (
+        ivf_centroids,
+        ivf_pq_probe_topk,
+        ivf_pq_topk,
+        pq_codebook,
+        pq_index,
+    )
+    from pyanomalydetector2_spark.sources.catalog import SnapshotTable
+
+    df, _mat = _emb_frame(spark, n=120, dim=16, n_dups=8)
+    queries = df.filter("vec_id < 10")
+
+    cents = ivf_centroids(df, n_cells=8)
+    cb = pq_codebook(df, n_codes=16)
+    idx = pq_index(df, cents, cb, m_sub=4)
+    assert set(idx.columns) == {"vec_id", "cell", "codes"}
+    t = SnapshotTable(str(tmp_path / "pq_index"))
+    t.write_snapshot(idx, partition_by=["cell"])
+
+    got = {
+        tuple(r)
+        for r in ivf_pq_probe_topk(
+            t.read(spark), queries, cents, cb, k=5, nprobe=2, m_sub=4
+        ).collect()
+    }
+    fresh_rows = ivf_pq_topk(
+        df, queries, k=5, nprobe=2, m_sub=4, n_codes=16, n_cells=8
+    ).collect()
+    fresh = {tuple(r) for r in fresh_rows}
+    assert got == fresh and len(fresh) == 50  # 10 queries × k=5
+
+    # independent numpy replay of codes + reconstruction for one query's
+    # top match
+    cb_rows = sorted(cb.collect(), key=lambda r: r["j"])
+    cbm = np.array([r["bv"] for r in cb_rows], dtype=np.float64)
+    vecs = {r["vec_id"]: np.array(r["embedding"]) for r in df.collect()}
+    d = 16 // 4
+    for r in fresh_rows[:10]:
+        x = vecs[r["match_id"]]
+        xhat = np.empty(16)
+        for m in range(4):
+            sl = slice(m * d, (m + 1) * d)
+            dist = np.round(
+                np.sqrt(((x[sl][None, :] - cbm[:, sl]) ** 2).sum(1)), 6
+            )
+            xhat[sl] = cbm[int(np.argmin(dist)), sl]
+        q = vecs[r["query_id"]]
+        exp = round(
+            float(q @ xhat / (np.linalg.norm(q) * np.linalg.norm(xhat))), 6
+        )
+        assert r["cosine"] == exp
+
+    # exact-duplicate vectors quantize identically: append a bit-exact
+    # copy of vec 0 under a new id and require identical (cell, codes)
+    import pandas as _pd
+
+    v0 = vecs[0].tolist()
+    df2 = df.union(
+        spark.createDataFrame(
+            _pd.DataFrame({"vec_id": [999], "embedding": [v0]})
+        )
+    )
+    idx2 = {
+        r["vec_id"]: (r["cell"], tuple(r["codes"]))
+        for r in pq_index(df2, cents, cb, m_sub=4)
+        .filter("vec_id IN (0, 999)")
+        .collect()
+    }
+    assert idx2[0] == idx2[999]

@@ -82,7 +82,8 @@ def test_ann_paths_stay_bucketed(spark):
     the join key — a cartesian there means the candidate pruning is gone.
     (brute-force embedding_topk is the one INTENTIONAL cross join and is
     excluded by design.)"""
-    for name in ("ann_lsh_topk", "ann_ivf_topk", "ann_ivf_index_topk"):
+    for name in ("ann_lsh_topk", "ann_ivf_topk", "ann_ivf_index_topk",
+                 "ann_ivf_pq_topk"):
         a = _audit(spark, name)
         assert a["cartesian"] == 0, f"{name}: bucket join degraded to cartesian"
         assert a["bnlj"] == 0, f"{name}: bucket join degraded to nested loop"
