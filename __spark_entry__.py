@@ -1077,6 +1077,45 @@ def q_audio_quality(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_audio_container_consistency(spark: SparkSession, sf: str) -> DataFrame:
+    """Declared-vs-container cross-field integrity: dur_ms and sr_hz as a
+    producer WROTE them vs what the payload's own container header says
+    (multimodal.audio_container_consistency — header walk only, never a
+    sample decode). Declared columns are planted deterministically: every
+    clip truly holds 16384 samples @ 8 kHz (2048 ms); clip_id % 7 == 3
+    rows declare a stale +500 ms duration, clip_id % 11 == 5 rows declare
+    a resampled-but-never-resampled 16 kHz. Spark must recover the truth
+    from real FLAC STREAMINFO / RIFF fmt / raw-G.711 byte counts; the
+    DuckDB oracle replays only the arithmetic — so a container parser that
+    misreads a single field hash-mismatches."""
+    from pyanomalydetector2_spark.operators.multimodal import (
+        audio_container_consistency,
+    )
+
+    clips = _audio_corpus(spark, sf).select(
+        "*",
+        (
+            F.lit(2048)
+            + F.when(F.col("clip_id") % 7 == 3, F.lit(500)).otherwise(F.lit(0))
+        ).alias("dur_ms"),
+        F.when(F.col("clip_id") % 11 == 5, F.lit(16000))
+        .otherwise(F.lit(8000))
+        .alias("sr_hz"),
+    )
+    out = audio_container_consistency(clips)
+    # -1 sentinel instead of NULL for the raw-G.711 rows (no container
+    # rate): keeps the driver's value-hash free of null-float coercion
+    return out.select(
+        "clip_id",
+        "container",
+        F.coalesce(F.col("container_sr"), F.lit(-1)).alias("container_sr"),
+        "container_samples",
+        "container_dur_ms",
+        "dur_ok",
+        "sr_ok",
+    )
+
+
 def q_drift_categorical(spark: SparkSession, sf: str) -> DataFrame:
     """Categorical drift (VERDICT r03 next-round #5): frequency-PSI + linf
     (max share deviation — the order-free KS analog) of each source's
@@ -1161,6 +1200,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "drift_categorical": q_drift_categorical,
         "ann_recall_audit": q_ann_recall_audit,
         "audio_quality": q_audio_quality,
+        "audio_container_consistency": q_audio_container_consistency,
     }
 
 
@@ -2181,6 +2221,47 @@ def oracle_sql() -> dict[str, str]:
     out["audio_near_dup_incremental"] = (
         audio_nd_sql + f" AND (id_a < {_INCR_CUT} OR id_b < {_INCR_CUT})"
     )
+
+    # declared-vs-container consistency: the oracle replays only the
+    # planted arithmetic (every corpus clip truly holds 16384 samples @
+    # 8 kHz; variant 2 is raw G.711 with no container rate, so duration
+    # derives from the DECLARED sr — catching the stale-metadata rows
+    # either way); Spark must recover the same numbers from real
+    # FLAC STREAMINFO / RIFF fmt walks and raw byte counts
+    from pyanomalydetector2_spark.operators.audio_fp import (
+        N_SAMPLES as _AFP_N,
+        ORACLE_FP_SEEDS,
+        SR_HZ as _AFP_SR,
+    )
+
+    out["audio_container_consistency"] = f"""
+        WITH c AS (
+          SELECT doc_id AS clip_id, doc_id % 3 AS v,
+                 2048 + CASE WHEN doc_id % 7 = 3 THEN 500 ELSE 0 END
+                   AS dur_ms,
+                 CASE WHEN doc_id % 11 = 5 THEN 16000 ELSE 8000 END
+                   AS sr_hz
+          FROM documents WHERE doc_id < {ORACLE_FP_SEEDS}
+        ), m AS (
+          SELECT clip_id, dur_ms, sr_hz,
+                 CASE WHEN v = 0 THEN 'flac' WHEN v = 1 THEN 'wav'
+                      ELSE 'raw-g711' END AS container,
+                 CASE WHEN v <= 1 THEN {_AFP_SR} ELSE -1 END
+                   AS container_sr,
+                 CAST({_AFP_N} AS BIGINT) AS container_samples,
+                 CASE WHEN v <= 1 THEN {_AFP_SR} ELSE sr_hz END
+                   AS rate_used
+          FROM c
+        )
+        SELECT clip_id, container, container_sr, container_samples,
+               (container_samples * 1000) // rate_used AS container_dur_ms,
+               CASE WHEN abs(dur_ms - (container_samples * 1000)
+                                      // rate_used) <= 50
+                    THEN 1 ELSE 0 END AS dur_ok,
+               CASE WHEN container_sr = -1 OR container_sr = sr_hz
+                    THEN 1 ELSE 0 END AS sr_ok
+        FROM m
+    """
 
     # categorical drift: identical algebra to drift_scores_categorical_df —
     # ε-smoothed shares, PSI accumulated in category order (fixed float
