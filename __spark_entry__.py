@@ -57,6 +57,7 @@ _IGNORE_DIFF_RATE = 0.05
 # q_ann_ivf_index_topk)
 _IVF_INDEX_CACHE: dict[str, str] = {}
 _AUDIO_FP_INDEX_CACHE: dict[str, str] = {}
+_AUDIO_CORPUS_CACHE: dict[str, str] = {}
 _TRENDS_MIN_COUNT = 3
 # TPC-H cuts — Spark compares the TIMESTAMP_NTZ column to an NTZ literal
 # (tz-proof AND pushed to the scan); the oracle uses the same naive literal
@@ -954,25 +955,47 @@ def _audio_corpus(
     the documents table while staying a pure function of the id, so the
     numpy-precomputed oracle fingerprint table covers every sf.
 
-    ``max_id``/id predicates must be applied HERE (on the id source, where
-    they push to the parquet scan), never as a filter on the returned
-    frame: synth runs in mapInPandas, which Catalyst cannot push a
-    predicate through, so a post-synth filter encodes the whole corpus
-    first."""
+    ``max_id``/id predicates must be applied HERE (they prune at the
+    stored table's parquet scan), never as a filter above a synth call:
+    synth runs in mapInPandas, which Catalyst cannot push a predicate
+    through."""
     from pyanomalydetector2_spark.operators.audio_fp import (
+        ORACLE_FP_DIR,
         ORACLE_FP_SEEDS,
         synth_corpus,
     )
 
-    # cap at the oracle table's precomputed seed range: a future sf with
-    # more documents must not silently diverge from the oracle
-    cut = ORACLE_FP_SEEDS if max_id is None else min(max_id, ORACLE_FP_SEEDS)
-    docs = (
-        load_table(spark, sf, "documents")
-        .select("doc_id")
-        .filter(F.col("doc_id") < cut)
-    )
-    return synth_corpus(spark, docs)
+    import os
+    import tempfile
+
+    # The synthesized corpus is MATERIALIZED once per process per id
+    # source (clips-shaped parquet in a fresh mkdtemp, same
+    # corpus-identity key convention as the index caches): every audio
+    # query then reads a stored table — the engine's real input shape —
+    # so benchmarks charge decode/fingerprint work, not datagen, and an
+    # id predicate prunes at the parquet scan instead of dying above
+    # mapInPandas.
+    doc_path = os.path.join(sf, "documents.parquet")
+    st = os.stat(doc_path)
+    key = f"{doc_path}:{st.st_mtime_ns}:{st.st_size}:{ORACLE_FP_DIR}"
+    base = _AUDIO_CORPUS_CACHE.get(key)
+    if base is None:
+        # cap at the oracle table's precomputed seed range: a future sf
+        # with more documents must not silently diverge from the oracle
+        docs = (
+            load_table(spark, sf, "documents")
+            .select("doc_id")
+            .filter(F.col("doc_id") < ORACLE_FP_SEEDS)
+        )
+        base = tempfile.mkdtemp(prefix="pyad2_audio_corpus_")
+        synth_corpus(spark, docs).write.mode("overwrite").parquet(
+            f"{base}/clips"
+        )
+        _AUDIO_CORPUS_CACHE[key] = base
+    clips = spark.read.parquet(f"{base}/clips")
+    if max_id is not None:
+        clips = clips.filter(F.col("clip_id") < max_id)
+    return clips
 
 
 def q_audio_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
@@ -1051,10 +1074,8 @@ def q_audio_near_dup_incremental(spark: SparkSession, sf: str) -> DataFrame:
     from pyanomalydetector2_spark.sources.catalog import SnapshotTable
 
     clips = _audio_corpus(spark, sf)
-    # batch synthesized from a PRE-filtered id source: a filter on the
-    # synthesized frame cannot push through mapInPandas, so it would
-    # encode the whole corpus to keep 100 clips (measured 12.6 s → 2 s
-    # at sf0.1)
+    # max_id prunes at the stored corpus's parquet scan — never filter
+    # above a synth mapInPandas (measured 12.6 s → 2 s at sf0.1)
     new = _audio_corpus(spark, sf, max_id=_INCR_CUT)
 
     doc_path = os.path.join(sf, "documents.parquet")
