@@ -435,10 +435,6 @@ def audio_near_dup_incremental(
     BEFORE any bucket aggregation; hot buckets capped pre-materialization);
     the Hamming re-rank reads index fingerprints only for pair members
     (semi-join prune), so every stage is batch-proportional."""
-    from pyanomalydetector2_spark.operators.dedup import (
-        incremental_pairs_from_banded,
-    )
-
     fp_new = audio_fingerprints(
         new_clips_df, id_col, payload_col, codec_col
     ).persist()
@@ -450,6 +446,28 @@ def audio_near_dup_incremental(
         index_fp = audio_fingerprints(
             old, id_col, payload_col, codec_col
         ).persist()
+    return fp_near_dup_against_index(
+        fp_new, index_fp, index_banded, threshold, max_bucket_size
+    )
+
+
+def fp_near_dup_against_index(
+    fp_new: DataFrame,
+    index_fp: DataFrame,
+    index_banded: DataFrame | None = None,
+    threshold: float = 0.85,
+    max_bucket_size: int | None = 10_000,
+) -> DataFrame:
+    """Probe core shared by ``audio_near_dup_incremental`` and the
+    Structured Streaming ingest (``streaming.audio_ingest``): pairs
+    touching at least one fingerprint from ``fp_new``, given the already
+    computed batch fingerprints and the stored corpus index. Every stage
+    is batch-proportional (broadcast-semi key prune before any bucket
+    aggregation; re-rank reads index fingerprints only for pair members)."""
+    from pyanomalydetector2_spark.operators.dedup import (
+        incremental_pairs_from_banded,
+    )
+
     if index_banded is None:
         index_banded = fp_banded(index_fp)
     banded_new = fp_banded(fp_new).localCheckpoint()

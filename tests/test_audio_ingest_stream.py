@@ -1,0 +1,139 @@
+"""Structured Streaming audio ingest tests (streaming/audio_ingest.py).
+
+Covers what the contract query can't: the quarantine gate (bad clips
+never enter the index and are reported with the gate they hit), the
+exactly-once pair accounting across micro-batches, and checkpointed
+resume (new files continue from the stored index without re-ingesting
+or re-pairing the old ones).
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import functions as F
+
+from pyanomalydetector2_spark.operators import audio_fp as A
+from pyanomalydetector2_spark.streaming.audio_ingest import (
+    ingest_audio_stream,
+    ingested_pairs,
+    quarantined,
+)
+
+DUR_MS = 2048  # every synth clip: 16384 samples @ 8000 Hz
+SR_HZ = 8000
+
+
+def _corpus(spark, lo: int, hi: int):
+    ids = spark.range(lo, hi).withColumnRenamed("id", "doc_id")
+    return A.synth_corpus(spark, ids).select(
+        "clip_id",
+        "bytes",
+        "codec",
+        F.lit(DUR_MS).alias("dur_ms"),
+        F.lit(SR_HZ).alias("sr_hz"),
+    )
+
+
+def _one_shot_pairs(spark, lo: int, hi: int) -> dict:
+    df = A.audio_near_dup(
+        _corpus(spark, lo, hi), threshold=0.85, max_bucket_size=None
+    )
+    return {(r.id_a, r.id_b): r.sim for r in df.collect()}
+
+
+def test_ingest_end_to_end_with_quarantine(spark, tmp_path):
+    """Good clips pair exactly like the one-shot batch path; the junk
+    clip and the duration-lying clip are quarantined with the right gate
+    flags and contribute no pairs."""
+    src = str(tmp_path / "src")
+    state = str(tmp_path / "state")
+    good = _corpus(spark, 0, 24)
+
+    pcm = A.synth_near_dup_pcm(np.array([0]))[0]
+    wav_payload, wav_codec = A.encode_variant(pcm, 1)  # real WAV clip
+    bad = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "clip_id": [1000, 1001],
+                "bytes": [b"definitely not audio", wav_payload],
+                "codec": ["flac", wav_codec],
+                "dur_ms": [DUR_MS, 9999],  # 1001 lies about duration
+                "sr_hz": [SR_HZ, SR_HZ],
+            }
+        )
+    ).select(
+        F.col("clip_id").cast("long").alias("clip_id"),
+        "bytes",
+        "codec",
+        F.col("dur_ms").cast("int").alias("dur_ms"),
+        F.col("sr_hz").cast("int").alias("sr_hz"),
+    )
+    good.unionByName(bad).repartition(3).write.parquet(src)
+
+    ingest_audio_stream(
+        spark, src, state, threshold=0.85, max_bucket_size=None
+    )
+
+    q = {r.clip_id: r for r in quarantined(spark, state).collect()}
+    assert set(q) == {1000, 1001}
+    assert q[1000].probe_failed and not q[1000].dur_mismatch
+    assert q[1001].dur_mismatch and not q[1001].probe_failed
+
+    got_rows = ingested_pairs(spark, state).collect()
+    got = {(r.id_a, r.id_b): r.sim for r in got_rows}
+    assert len(got_rows) == len(got)  # each pair emitted exactly once
+    assert got == _one_shot_pairs(spark, 0, 24) and got
+    assert not any(1000 in k or 1001 in k for k in got)
+
+    # the quarantined clips never reached the index either
+    fp_ids = {
+        r.id
+        for r in spark.read.parquet(f"{state}/fp/batch=*").select("id").collect()
+    }
+    assert fp_ids == set(range(24))
+
+
+def test_ingest_resume_is_incremental(spark, tmp_path):
+    """A second invocation after new files arrive continues from the
+    checkpoint: old batch outputs are untouched (same files, same pairs),
+    only the new clips are fingerprinted, and the accumulated pair set
+    equals the one-shot set over the whole corpus — cross-batch pairs
+    found by probing the stored index, not by re-pairing old clips."""
+    src = str(tmp_path / "src")
+    state = str(tmp_path / "state")
+
+    cut = 17  # mid-group: group 5 = {15, 16, 17} straddles the cut
+    _corpus(spark, 0, cut).repartition(2).write.parquet(src)
+    ingest_audio_stream(
+        spark, src, state, threshold=0.85, max_bucket_size=None
+    )
+    first_pairs = {
+        (r.id_a, r.id_b): r.sim for r in ingested_pairs(spark, state).collect()
+    }
+    assert first_pairs == _one_shot_pairs(spark, 0, cut)
+    first_batches = sorted(os.listdir(f"{state}/pairs"))
+    first_mtimes = {
+        d: os.stat(f"{state}/pairs/{d}").st_mtime_ns for d in first_batches
+    }
+
+    # clip 17 completes group 5 → guaranteed cross-batch near-dups
+    # against already-indexed clips 15 and 16
+    _corpus(spark, cut, 22).coalesce(1).write.mode("append").parquet(src)
+    ingest_audio_stream(
+        spark, src, state, threshold=0.85, max_bucket_size=None
+    )
+
+    later_batches = sorted(os.listdir(f"{state}/pairs"))
+    assert len(later_batches) > len(first_batches)
+    for d in first_batches:  # old batch dirs not rewritten
+        assert os.stat(f"{state}/pairs/{d}").st_mtime_ns == first_mtimes[d]
+
+    got = {
+        (r.id_a, r.id_b): r.sim for r in ingested_pairs(spark, state).collect()
+    }
+    assert got == _one_shot_pairs(spark, 0, 22)
+    cross = {k for k in got if k not in first_pairs and min(k) < cut <= max(k)}
+    assert cross  # the stored index actually got probed
