@@ -34,14 +34,19 @@ across restarts):
 
     {state_dir}/pairs/batch=N/       (id_a, id_b, sim)
     {state_dir}/quarantine/batch=N/  offending clip ids + which gate hit
-    {state_dir}/fp/batch=N/          (id, frames)
-    {state_dir}/banded/batch=N/      (id, band, key)
+    {state_dir}/fp/batch=N/          (id, frames) index deltas
+    {state_dir}/banded/batch=N/      (id, band, key) index deltas
+    {state_dir}/fp_base/gen=B/       compacted index thru batch B
+    {state_dir}/banded_base/gen=B/   compacted bands, clustered by band
     {state_dir}/ckpt/                Structured Streaming checkpoint
 
 Scale shape: per-batch work is batch-proportional (the index contributes
-one pruned scan, never a re-band shuffle); the index grows as appended
-parquet, compactable offline by rewriting {state_dir}/banded partitioned
-by band (the layout `__spark_entry__.q_audio_near_dup_incremental` uses).
+one pruned scan, never a re-band shuffle), and probe cost stays flat as
+batches accumulate because `compact_audio_index` periodically folds the
+per-batch deltas into a single generation (readers resolve newest
+complete base + later deltas; `vacuum_audio_index` reclaims the folded
+dirs) — without it, a long-lived stream pays per-file open cost on
+thousands of tiny delta files.
 """
 
 from __future__ import annotations
@@ -56,22 +61,54 @@ CLIPS_SCHEMA = (
 )
 
 
-def _batch_dirs(path: str) -> list[str]:
+def _batch_dirs(path: str) -> list[tuple[int, str]]:
     if not os.path.isdir(path):
         return []
     return sorted(
-        f"{path}/{f}" for f in os.listdir(path) if f.startswith("batch=")
+        (int(f.split("=", 1)[1]), f"{path}/{f}")
+        for f in os.listdir(path)
+        if f.startswith("batch=")
     )
 
 
-def _read_state(spark: SparkSession, path: str, schema) -> DataFrame:
-    """Read an append-state directory, or an empty frame of the right
-    schema before the first batch lands. Concrete directory list, not a
-    glob: a glob path makes every read re-probe for a streaming-sink
-    metadata dir (a logged FileNotFound per read)."""
-    dirs = _batch_dirs(path)
-    if dirs:
-        return spark.read.parquet(*dirs)
+def _latest_gen(path: str) -> tuple[int, str] | None:
+    """Newest COMPLETE compacted generation (``gen=N`` with ``_SUCCESS``)
+    under ``path``, or None. An interrupted compaction leaves a gen dir
+    without ``_SUCCESS``; it is invisible here, so readers fall back to
+    the delta dirs it failed to fold — compaction is crash-safe by
+    construction."""
+    if not os.path.isdir(path):
+        return None
+    gens = [
+        (int(f.split("=", 1)[1]), f"{path}/{f}")
+        for f in os.listdir(path)
+        if f.startswith("gen=")
+        and os.path.exists(f"{path}/{f}/_SUCCESS")
+    ]
+    return max(gens) if gens else None
+
+
+def _state_paths(state_dir: str, comp: str) -> list[str]:
+    """Concrete read list for one index component (``fp`` / ``banded``):
+    the newest complete compacted base (if any) plus every delta batch
+    AFTER the generation it folded. Concrete directories, not a glob: a
+    glob path makes every read re-probe for a streaming-sink metadata
+    dir (a logged FileNotFound per read)."""
+    base = _latest_gen(f"{state_dir}/{comp}_base")
+    folded_thru = base[0] if base else -1
+    paths = [base[1]] if base else []
+    paths += [d for n, d in _batch_dirs(f"{state_dir}/{comp}") if n > folded_thru]
+    return paths
+
+
+def _read_state(
+    spark: SparkSession, state_dir: str, comp: str, schema
+) -> DataFrame:
+    """Read an index component (compacted base + deltas), or an empty
+    frame of the right schema before the first batch lands."""
+    paths = _state_paths(state_dir, comp)
+    if paths:
+        return spark.read.parquet(*paths)
     return spark.createDataFrame([], schema)
 
 
@@ -84,13 +121,20 @@ def ingest_audio_stream(
     dur_tol_ms: int = 50,
     max_files_per_trigger: int = 1,
     shuffle_partitions: int | None = None,
+    compact_after: int | None = None,
 ) -> None:
     """Run the ingest over everything currently in ``source_dir``
     (Trigger.AvailableNow: drains the backlog in
     ``max_files_per_trigger``-file micro-batches, then stops — the same
     cron-batch-to-streaming upgrade shape as ``streaming_rollup``).
     Re-invoking after new files arrive continues from the checkpoint:
-    already-processed files are not re-ingested."""
+    already-processed files are not re-ingested.
+
+    ``compact_after``: once the drain stops, if at least that many index
+    delta batches sit beyond the newest compacted generation, fold them
+    (`compact_audio_index`) and reclaim the folded dirs
+    (`vacuum_audio_index`) — post-drain is exactly when no reader is
+    mid-query, so the maintenance is safe by construction."""
     from pyanomalydetector2_spark.operators.audio_fp import (
         audio_fingerprints,
         fp_banded,
@@ -131,8 +175,8 @@ def ingest_audio_stream(
         ).select("clip_id", "bytes", "codec")
 
         fp_new = audio_fingerprints(ok, id_col="clip_id").localCheckpoint()
-        index_fp = _read_state(sess, f"{state_dir}/fp", fp_schema)
-        index_banded = _read_state(sess, f"{state_dir}/banded", banded_schema)
+        index_fp = _read_state(sess, state_dir, "fp", fp_schema)
+        index_banded = _read_state(sess, state_dir, "banded", banded_schema)
         pairs = fp_near_dup_against_index(
             fp_new,
             index_fp,
@@ -171,6 +215,16 @@ def ingest_audio_stream(
             .start()
         )
         q.awaitTermination()
+        if compact_after is not None:
+            base = _latest_gen(f"{state_dir}/banded_base")
+            folded_thru = base[0] if base else -1
+            n_deltas = sum(
+                1 for n, _ in _batch_dirs(f"{state_dir}/banded")
+                if n > folded_thru
+            )
+            if n_deltas >= compact_after:
+                compact_audio_index(spark, state_dir)
+                vacuum_audio_index(state_dir)
     finally:
         if shuffle_partitions is not None:
             spark.conf.set("spark.sql.shuffle.partitions", prev)
@@ -180,9 +234,85 @@ def ingested_pairs(spark: SparkSession, state_dir: str) -> DataFrame:
     """All near-dup pairs emitted so far, across every micro-batch. Equal
     to the one-shot ``audio_near_dup`` pair set over the ingested corpus
     (see module docstring for why no cross-batch dedup is needed)."""
-    return spark.read.parquet(*_batch_dirs(f"{state_dir}/pairs"))
+    return spark.read.parquet(
+        *(d for _, d in _batch_dirs(f"{state_dir}/pairs"))
+    )
 
 
 def quarantined(spark: SparkSession, state_dir: str) -> DataFrame:
     """All quarantined clips so far, with the gate(s) each one hit."""
-    return spark.read.parquet(*_batch_dirs(f"{state_dir}/quarantine"))
+    return spark.read.parquet(
+        *(d for _, d in _batch_dirs(f"{state_dir}/quarantine"))
+    )
+
+
+def compact_audio_index(spark: SparkSession, state_dir: str) -> int:
+    """Fold the per-batch index deltas into one compacted generation —
+    the maintenance job that keeps probe cost flat as batches accumulate.
+
+    Each micro-batch appends a tiny ``fp/batch=N`` + ``banded/batch=N``
+    directory; after thousands of batches the probe's index scan pays a
+    per-file open cost that dwarfs the data (the classic streaming
+    small-files problem). This job reads the CURRENT resolved state
+    (previous base + deltas) and rewrites it as ``{comp}_base/gen=B``
+    where B is the newest batch with its ``banded`` delta on disk — the
+    last batch whose writes all completed, since ``process`` writes
+    pairs → fp → banded in that order. The banded base is repartitioned
+    by band so each band's keys cluster into few files (the same layout
+    the batch incremental index uses).
+
+    Crash-safe and read-consistent without coordination: readers only
+    trust a gen with ``_SUCCESS`` and keep reading deltas > its id, so a
+    torn compaction changes nothing, and a completed one is adopted
+    atomically. Run it OFFLINE (between ``ingest_audio_stream``
+    invocations — the stream itself reads state only at batch start).
+    Deltas stay on disk until ``vacuum_audio_index``; a batch replayed
+    after a mid-batch crash rewrites its (deterministic, already-folded)
+    delta dirs, which readers correctly ignore. Returns the folded-thru
+    batch id, or -1 if there is nothing to fold."""
+    banded = _batch_dirs(f"{state_dir}/banded")
+    if not banded:
+        return -1
+    folded_thru = banded[-1][0]
+    bases = [_latest_gen(f"{state_dir}/{c}_base") for c in ("fp", "banded")]
+    if all(b is not None and b[0] >= folded_thru for b in bases):
+        return folded_thru  # both components already at this generation
+    fp_schema = "id long, frames array<int>"
+    banded_schema = "id long, band int, key int"
+    # materialize BEFORE overwriting: the new gen may need to re-read the
+    # old one, and dynamic overwrite of the dir being read is undefined
+    fp = _read_state(spark, state_dir, "fp", fp_schema).localCheckpoint()
+    bd = _read_state(spark, state_dir, "banded", banded_schema).localCheckpoint()
+    fp.write.mode("overwrite").parquet(f"{state_dir}/fp_base/gen={folded_thru}")
+    bd.repartition("band").write.mode("overwrite").parquet(
+        f"{state_dir}/banded_base/gen={folded_thru}"
+    )
+    return folded_thru
+
+
+def vacuum_audio_index(state_dir: str) -> list[str]:
+    """Delete index deltas folded into the newest complete generation of
+    BOTH components, plus superseded older generations. Pure directory
+    surgery — safe any time no reader is mid-query, because readers
+    resolve against the newest complete gen, which survives. Returns the
+    deleted paths."""
+    import shutil
+
+    gens = [_latest_gen(f"{state_dir}/{c}_base") for c in ("fp", "banded")]
+    if any(g is None for g in gens):
+        return []
+    folded_thru = min(g[0] for g in gens)  # only what BOTH bases cover
+    doomed = []
+    for comp in ("fp", "banded"):
+        doomed += [
+            d for n, d in _batch_dirs(f"{state_dir}/{comp}") if n <= folded_thru
+        ]
+        base_dir = f"{state_dir}/{comp}_base"
+        doomed += [
+            f"{base_dir}/{f}"
+            for f in os.listdir(base_dir)
+            if f.startswith("gen=") and int(f.split("=", 1)[1]) < folded_thru
+        ]
+    for d in doomed:
+        shutil.rmtree(d)
+    return doomed

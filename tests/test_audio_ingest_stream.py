@@ -17,9 +17,12 @@ from pyspark.sql import functions as F
 
 from pyanomalydetector2_spark.operators import audio_fp as A
 from pyanomalydetector2_spark.streaming.audio_ingest import (
+    _read_state,
+    compact_audio_index,
     ingest_audio_stream,
     ingested_pairs,
     quarantined,
+    vacuum_audio_index,
 )
 
 DUR_MS = 2048  # every synth clip: 16384 samples @ 8000 Hz
@@ -137,3 +140,88 @@ def test_ingest_resume_is_incremental(spark, tmp_path):
     assert got == _one_shot_pairs(spark, 0, 22)
     cross = {k for k in got if k not in first_pairs and min(k) < cut <= max(k)}
     assert cross  # the stored index actually got probed
+
+
+def _index_snapshot(spark, state):
+    fp = {
+        r.id: tuple(r.frames)
+        for r in _read_state(
+            spark, state, "fp", "id long, frames array<int>"
+        ).collect()
+    }
+    bd = {
+        (r.id, r.band, r.key)
+        for r in _read_state(
+            spark, state, "banded", "id long, band int, key int"
+        ).collect()
+    }
+    return fp, bd
+
+
+def test_compaction_preserves_state_and_resume(spark, tmp_path):
+    """Folding the per-batch index deltas into a compacted generation and
+    vacuuming the folded dirs changes NOTHING the readers see: resolved
+    index content is identical, an incomplete (no _SUCCESS) generation is
+    ignored, and a post-compaction ingest probing base + fresh deltas
+    still reproduces the one-shot pair set."""
+    src = str(tmp_path / "src")
+    state = str(tmp_path / "state")
+    cut = 17
+    _corpus(spark, 0, cut).repartition(3).write.parquet(src)
+    ingest_audio_stream(
+        spark, src, state, threshold=0.85, max_bucket_size=None
+    )
+    before = _index_snapshot(spark, state)
+    assert set(before[0]) == set(range(cut))
+
+    # a torn compaction (gen dir without _SUCCESS) must be invisible
+    torn = f"{state}/fp_base/gen=99"
+    os.makedirs(torn)
+    with open(f"{torn}/garbage", "w") as f:
+        f.write("not parquet")
+    assert _index_snapshot(spark, state) == before
+    import shutil
+
+    shutil.rmtree(torn)
+
+    folded = compact_audio_index(spark, state)
+    assert folded == 2  # 3 source files → batches 0..2
+    assert _index_snapshot(spark, state) == before
+    # idempotent: nothing newer to fold
+    assert compact_audio_index(spark, state) == folded
+
+    removed = vacuum_audio_index(state)
+    assert removed and not os.listdir(f"{state}/fp")
+    assert _index_snapshot(spark, state) == before
+
+    # resume after compaction: new clips probe the compacted base
+    _corpus(spark, cut, 22).coalesce(1).write.mode("append").parquet(src)
+    ingest_audio_stream(
+        spark, src, state, threshold=0.85, max_bucket_size=None
+    )
+    got = {
+        (r.id_a, r.id_b): r.sim for r in ingested_pairs(spark, state).collect()
+    }
+    assert got == _one_shot_pairs(spark, 0, 22)
+    assert any(min(k) < cut <= max(k) for k in got)  # base was probed
+
+    # auto-compaction knob: the new delta (batch=3) folds into gen=3
+    # on the next drain once the threshold is met
+    _corpus(spark, 22, 25).coalesce(1).write.mode("append").parquet(src)
+    ingest_audio_stream(
+        spark, src, state, threshold=0.85, max_bucket_size=None,
+        compact_after=1,
+    )
+    assert _latest_gen_id(state) == 4
+    assert not os.listdir(f"{state}/fp")
+    got = {
+        (r.id_a, r.id_b): r.sim for r in ingested_pairs(spark, state).collect()
+    }
+    assert got == _one_shot_pairs(spark, 0, 25)
+
+
+def _latest_gen_id(state: str) -> int:
+    from pyanomalydetector2_spark.streaming.audio_ingest import _latest_gen
+
+    gen = _latest_gen(f"{state}/fp_base")
+    return gen[0] if gen else -1
