@@ -1246,6 +1246,52 @@ def q_audio_ingest_stream(spark: SparkSession, sf: str) -> DataFrame:
     return ingested_pairs(spark, state).select("id_a", "id_b", "sim")
 
 
+def q_audio_dup_clusters(spark: SparkSession, sf: str) -> DataFrame:
+    """Audio duplicate-cluster resolution: connected components
+    (dedup.dup_clusters min-label propagation) over the spectral
+    near-dup pairs — the same cluster machinery the text side uses, keyed
+    on audio content. Oracle = recursive-CTE reachability over the SQL
+    pair replay."""
+    from pyanomalydetector2_spark.operators.audio_fp import audio_near_dup
+    from pyanomalydetector2_spark.operators.dedup import dup_clusters
+
+    pairs = audio_near_dup(
+        _audio_corpus(spark, sf), threshold=0.85, max_bucket_size=None
+    )
+    out = dup_clusters(pairs.select("id_a", "id_b"))
+    return out.select(F.col("id").alias("clip_id"), "cluster_id")
+
+
+def q_audio_keep_best(spark: SparkSession, sf: str) -> DataFrame:
+    """The end-to-end AUDIO dedup decision: spectral near-dup clusters →
+    keep the loudest member per cluster (max rms_db, ties → smallest
+    clip_id), mark the rest as drops — fingerprint, cluster, quality
+    score and decision all computed from the clip bytes by this engine.
+    The corpus parquet is scanned twice (pairs, quality) but each pass is
+    one Arrow-batched decode with no shuffle of ``bytes``."""
+    from pyanomalydetector2_spark.operators.audio_fp import (
+        audio_near_dup,
+        audio_quality,
+    )
+    from pyanomalydetector2_spark.operators.dedup import (
+        dup_clusters,
+        keep_best_per_cluster,
+    )
+
+    corpus = _audio_corpus(spark, sf)
+    pairs = audio_near_dup(corpus, threshold=0.85, max_bucket_size=None)
+    clusters = dup_clusters(pairs.select("id_a", "id_b"))
+    scores = audio_quality(corpus).select(
+        F.col("id").alias("clip_id"), "rms_db"
+    )
+    out = keep_best_per_cluster(
+        clusters, scores, id_col="clip_id", score_col="rms_db"
+    )
+    return out.select(
+        "clip_id", "cluster_id", _r("score").alias("score"), "keep"
+    )
+
+
 def q_drift_categorical(spark: SparkSession, sf: str) -> DataFrame:
     """Categorical drift (VERDICT r03 next-round #5): frequency-PSI + linf
     (max share deviation — the order-free KS analog) of each source's
@@ -1332,6 +1378,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_quality": q_audio_quality,
         "audio_container_consistency": q_audio_container_consistency,
         "audio_ingest_stream": q_audio_ingest_stream,
+        "audio_dup_clusters": q_audio_dup_clusters,
+        "audio_keep_best": q_audio_keep_best,
     }
 
 
@@ -2313,9 +2361,10 @@ def oracle_sql() -> dict[str, str]:
         JOIN documents d ON f.seed = d.doc_id
     """
     # AS MATERIALIZED: DuckDB inlines multiply-referenced CTEs by default
-    # and re-evaluates them per reference — measured 12 s → 0.9 s at sf0.1
-    audio_nd_sql = f"""
-        WITH fp AS MATERIALIZED (
+    # and re-evaluates them per reference — measured 12 s → 0.9 s at sf0.1.
+    # The CTE block (no WITH, no final SELECT) is shared by the pair
+    # queries and the cluster/keep-best recursions built on top of it.
+    audio_nd_ctes = f"""fp AS MATERIALIZED (
           SELECT f.seed AS id, f.frame_idx, f.hash
           FROM read_parquet('{fp_path}') f
           JOIN documents d ON f.seed = d.doc_id
@@ -2341,24 +2390,63 @@ def oracle_sql() -> dict[str, str]:
           JOIN fp fa ON fa.id = c.id_a
           JOIN fp fb ON fb.id = c.id_b AND fb.frame_idx = fa.frame_idx
           GROUP BY c.id_a, c.id_b
-        )
-        SELECT id_a, id_b, round(1.0 - hd / ({BITS}.0 * nf), 6) AS sim
-        FROM ham
-        WHERE round(1.0 - hd / ({BITS}.0 * nf), 6) >= 0.85
-    """
+        ), apairs AS MATERIALIZED (
+          SELECT id_a, id_b, round(1.0 - hd / ({BITS}.0 * nf), 6) AS sim
+          FROM ham
+          WHERE round(1.0 - hd / ({BITS}.0 * nf), 6) >= 0.85
+        )"""
+    audio_nd_sql = (
+        f"WITH {audio_nd_ctes} SELECT id_a, id_b, sim FROM apairs"
+    )
     out["audio_near_dup"] = audio_nd_sql
     # incremental ingest emits exactly the full pair set restricted to
     # pairs touching the batch (banding is identical, oracle has no cap)
     out["audio_near_dup_incremental"] = (
-        audio_nd_sql + f" AND (id_a < {_INCR_CUT} OR id_b < {_INCR_CUT})"
+        audio_nd_sql + f" WHERE id_a < {_INCR_CUT} OR id_b < {_INCR_CUT}"
     )
     # the streaming drain accumulates exactly the one-shot pair set over
     # the streamed id range (each pair found once, at its later member's
     # micro-batch — see streaming/audio_ingest.py module docstring), so
     # the batch oracle restricted to that range applies verbatim
     out["audio_ingest_stream"] = (
-        audio_nd_sql + f" AND id_b < {_STREAM_CUT}"
+        audio_nd_sql + f" WHERE id_b < {_STREAM_CUT}"
     )
+    # connected components over the audio pairs (same recursion as the
+    # text dup_clusters oracle) + the keep-best decision scored by the
+    # precomputed quality table — both engines rank by bit-identical
+    # numpy rms_db, so the keep flag is hash-exact
+    audio_comp_ctes = f"""{audio_nd_ctes},
+        edges AS (
+          SELECT id_a AS s, id_b AS d FROM apairs
+          UNION ALL
+          SELECT id_b, id_a FROM apairs
+        ),
+        reach AS (
+          SELECT s AS id, s AS r FROM edges
+          UNION
+          SELECT e.d AS id, reach.r FROM reach JOIN edges e ON reach.id = e.s
+        ),
+        comp AS (
+          SELECT id AS clip_id, min(r) AS cluster_id FROM reach GROUP BY 1
+        )"""
+    out["audio_dup_clusters"] = f"""
+        WITH RECURSIVE {audio_comp_ctes}
+        SELECT clip_id, cluster_id FROM comp
+    """
+    out["audio_keep_best"] = f"""
+        WITH RECURSIVE {audio_comp_ctes},
+        ranked AS (
+          SELECT c.clip_id, c.cluster_id, q.rms_db,
+                 row_number() OVER (PARTITION BY c.cluster_id
+                                    ORDER BY q.rms_db DESC, c.clip_id)
+                   AS rn
+          FROM comp c
+          JOIN read_parquet('{q_path}') q ON q.seed = c.clip_id
+        )
+        SELECT clip_id, cluster_id, round(rms_db, 6) AS score,
+               (rn = 1) AS keep
+        FROM ranked
+    """
 
     # declared-vs-container consistency: the oracle replays only the
     # planted arithmetic (every corpus clip truly holds 16384 samples @
