@@ -457,20 +457,25 @@ def fp_near_dup_against_index(
     index_banded: DataFrame | None = None,
     threshold: float = 0.85,
     max_bucket_size: int | None = 10_000,
+    banded_new: DataFrame | None = None,
 ) -> DataFrame:
     """Probe core shared by ``audio_near_dup_incremental`` and the
     Structured Streaming ingest (``streaming.audio_ingest``): pairs
     touching at least one fingerprint from ``fp_new``, given the already
     computed batch fingerprints and the stored corpus index. Every stage
     is batch-proportional (broadcast-semi key prune before any bucket
-    aggregation; re-rank reads index fingerprints only for pair members)."""
+    aggregation; re-rank reads index fingerprints only for pair members).
+    ``banded_new``: pass the batch's already-materialized banding to skip
+    the recompute — callers that also persist the bands (the streaming
+    ingest appends them to the index) band the batch exactly once."""
     from pyanomalydetector2_spark.operators.dedup import (
         incremental_pairs_from_banded,
     )
 
     if index_banded is None:
         index_banded = fp_banded(index_fp)
-    banded_new = fp_banded(fp_new).localCheckpoint()
+    if banded_new is None:
+        banded_new = fp_banded(fp_new).localCheckpoint()
     pairs = incremental_pairs_from_banded(
         index_banded, banded_new, max_bucket_size
     ).localCheckpoint()

@@ -175,6 +175,8 @@ def ingest_audio_stream(
         ).select("clip_id", "bytes", "codec")
 
         fp_new = audio_fingerprints(ok, id_col="clip_id").localCheckpoint()
+        banded_new = fp_banded(fp_new).localCheckpoint()  # banded ONCE:
+        # the probe and the index append share this materialization
         index_fp = _read_state(sess, state_dir, "fp", fp_schema)
         index_banded = _read_state(sess, state_dir, "banded", banded_schema)
         pairs = fp_near_dup_against_index(
@@ -183,6 +185,7 @@ def ingest_audio_stream(
             index_banded,
             threshold=threshold,
             max_bucket_size=max_bucket_size,
+            banded_new=banded_new,
         )
         pairs.write.mode("overwrite").parquet(
             f"{state_dir}/pairs/batch={batch_id}"
@@ -193,7 +196,7 @@ def ingest_audio_stream(
         fp_new.write.mode("overwrite").parquet(
             f"{state_dir}/fp/batch={batch_id}"
         )
-        fp_banded(fp_new).write.mode("overwrite").parquet(
+        banded_new.write.mode("overwrite").parquet(
             f"{state_dir}/banded/batch={batch_id}"
         )
 

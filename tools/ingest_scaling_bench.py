@@ -1,0 +1,168 @@
+"""Two-parallelism scaling evidence for the Structured Streaming audio
+ingest (streaming/audio_ingest.py) — the same N-vs-4N ladder shape as
+tools/scaling_bench.py, applied to the streaming drain.
+
+The source backlog is materialized ONCE (synth + encode is datagen, the
+producer's side of the fence); each level then drains the identical
+backlog through a fresh checkpoint/state in its own subprocess (a JVM's
+master is fixed at startup) and reports clips/sec for the drain alone:
+container gate -> decode + spectral fingerprint -> probe the stored
+banded index -> index append. Two micro-batches, so the second batch
+exercises the real stored-index probe path.
+
+Levels default to local[1] vs local[4] — both below this host's ~4-8
+worker page-allocation ceiling (see scaling_bench.py docstring; the
+ceiling is a hypervisor property, not an engine property).
+
+Results append to BENCH/scaling.jsonl tagged {"kind": "ingest"}.
+
+Usage: python tools/ingest_scaling_bench.py [--clips 40000] [--files 2]
+       [--small 1] [--large 4] [--repeat 2]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import subprocess
+import sys
+import tempfile
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+SRC_DEFAULT = "/tmp/pyad2_ingest_scale_src"
+
+
+def _child_materialize(clips: int, files: int, src: str, cpus: int) -> None:
+    sys.path.insert(0, REPO)
+    from pyspark.sql import functions as F
+
+    from pyanomalydetector2_spark.operators.audio_fp import synth_corpus
+    from pyanomalydetector2_spark.session import get_spark
+
+    spark = get_spark(cpus=cpus, app_name="ingest-scale-datagen")
+    spark.sparkContext.setLogLevel("ERROR")
+    corpus = synth_corpus(
+        spark, spark.range(clips).withColumnRenamed("id", "doc_id")
+    ).select(
+        "clip_id",
+        "bytes",
+        "codec",
+        F.lit(2048).alias("dur_ms"),
+        F.lit(8000).alias("sr_hz"),
+    )
+    corpus.repartition(files).write.mode("overwrite").parquet(src)
+    spark.stop()
+
+
+def _child_drain(src: str, cpus: int) -> None:
+    sys.path.insert(0, REPO)
+    from pyanomalydetector2_spark.session import get_spark
+    from pyanomalydetector2_spark.streaming.audio_ingest import (
+        ingest_audio_stream,
+        ingested_pairs,
+    )
+
+    spark = get_spark(cpus=cpus, app_name=f"ingest-scale-{cpus}")
+    spark.sparkContext.setLogLevel("ERROR")
+    spark.range(10).count()  # absorb first-job/JVM warmup outside the timer
+    state = tempfile.mkdtemp(prefix="pyad2_ingest_scale_state_")
+    t0 = time.time()
+    ingest_audio_stream(
+        spark,
+        src,
+        state,
+        threshold=0.85,
+        shuffle_partitions=max(2 * cpus, 4),
+    )
+    wall = time.time() - t0
+    n_pairs = ingested_pairs(spark, state).count()
+    clips = spark.read.parquet(src).count()
+    shutil.rmtree(state, ignore_errors=True)
+    print(json.dumps({"wall_sec": round(wall, 2), "clips": clips,
+                      "pairs": n_pairs}))
+    spark.stop()
+
+
+def _run(argv: list[str]) -> dict:
+    r = subprocess.run(
+        [sys.executable, os.path.abspath(__file__), *argv],
+        cwd=REPO, capture_output=True, text=True, timeout=3600,
+    )
+    if r.returncode != 0:
+        print(r.stdout[-2000:], r.stderr[-2000:], file=sys.stderr)
+        raise SystemExit(f"child {argv} failed")
+    return json.loads(r.stdout.strip().splitlines()[-1])
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--clips", type=int, default=40_000)
+    ap.add_argument("--files", type=int, default=2)
+    ap.add_argument("--small", type=int, default=1)
+    ap.add_argument("--large", type=int, default=4)
+    ap.add_argument("--repeat", type=int, default=2)
+    ap.add_argument("--src", default=SRC_DEFAULT)
+    ap.add_argument("--reuse-src", action="store_true")
+    # child modes
+    ap.add_argument("--materialize", action="store_true")
+    ap.add_argument("--drain", action="store_true")
+    ap.add_argument("--cpus", type=int, default=16)
+    args = ap.parse_args()
+
+    if args.materialize:
+        _child_materialize(args.clips, args.files, args.src, args.cpus)
+        return
+    if args.drain:
+        _child_drain(args.src, args.cpus)
+        return
+
+    if not (args.reuse_src and os.path.exists(f"{args.src}/_SUCCESS")):
+        # 16 workers for datagen: past ~16 this host's allocation convoy
+        # crashes python workers (see scaling_bench.py)
+        _run(["--materialize", "--clips", str(args.clips),
+              "--files", str(args.files), "--src", args.src,
+              "--cpus", "16"])
+    time.sleep(10)  # page-cache writeback settle, as in scaling_bench
+
+    results = {}
+    pairs = set()
+    for cpus in (args.small, args.large):
+        best = None
+        for _ in range(args.repeat):
+            out = _run(["--drain", "--src", args.src, "--cpus", str(cpus)])
+            if best is None or out["wall_sec"] < best["wall_sec"]:
+                best = out
+            time.sleep(5)
+        results[cpus] = best
+        pairs.add(best["pairs"])
+    assert len(pairs) == 1, f"levels disagree on pair count: {pairs}"
+
+    thr = {c: r["clips"] / r["wall_sec"] for c, r in results.items()}
+    factor = args.large / args.small
+    eff = (thr[args.large] / thr[args.small]) / factor
+    final = {
+        "kind": "ingest",
+        "clips": args.clips,
+        "files": args.files,
+        "small_cpus": args.small,
+        "large_cpus": args.large,
+        "small_clips_per_sec": round(thr[args.small], 1),
+        "large_clips_per_sec": round(thr[args.large], 1),
+        "small_wall_sec": results[args.small]["wall_sec"],
+        "large_wall_sec": results[args.large]["wall_sec"],
+        "pairs": next(iter(pairs)),
+        "scaling_efficiency": round(eff, 3),
+        "target": 0.8,
+        "meets_target": eff >= 0.8,
+    }
+    os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+    with open(os.path.join(REPO, "BENCH", "scaling.jsonl"), "a") as f:
+        f.write(json.dumps({"final": final}) + "\n")
+    print(json.dumps(final, indent=2))
+
+
+if __name__ == "__main__":
+    main()
