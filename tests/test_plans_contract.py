@@ -35,6 +35,8 @@ HEAVY = [
     "embedding_near_dup_lsh",
     "audio_near_dup",
     "audio_near_dup_incremental",
+    "audio_dup_clusters",
+    "audio_keep_best",
 ]
 
 
