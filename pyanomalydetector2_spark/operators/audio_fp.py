@@ -317,6 +317,94 @@ def audio_fingerprints(
     return cols.mapInPandas(gen, schema=FP_SCHEMA)
 
 
+INGEST_GATE_SCHEMA = (
+    "id long, codec string, container string, probe_failed boolean, "
+    "dur_mismatch boolean, sr_mismatch boolean, frames array<int>"
+)
+
+
+def ingest_gate_fingerprints(
+    df: DataFrame,
+    id_col: str = "clip_id",
+    payload_col: str = "bytes",
+    codec_col: str = "codec",
+    dur_col: str = "dur_ms",
+    sr_col: str = "sr_hz",
+    dur_tol_ms: int = 50,
+) -> DataFrame:
+    """The streaming-ingest hot path fused into ONE Arrow pass: container
+    consistency gate (same semantics as
+    ``multimodal.with_consistency_fields``: mismatch flags are
+    vacuous-False when the container carries no evidence) + decode +
+    spectral fingerprint. Fusing matters because ``bytes`` dominates the
+    batch — composed operators each pull the payload column across the
+    JVM→Python boundary, the fused pass pulls it exactly once and emits
+    only the small gate/fingerprint columns (``frames`` is NULL for
+    gate-failed or undecodable clips). One row out per row in, so the
+    quarantine split and the fingerprint frame are cheap filters over one
+    materialization."""
+    from pyanomalydetector2_spark.operators.multimodal import (
+        _consistency_probe,
+    )
+
+    cols = df.select(
+        F.col(id_col).alias("id"),
+        F.col(payload_col).alias("payload"),
+        F.col(codec_col).alias("codec"),
+        F.col(dur_col).cast("long").alias("dur_ms"),
+        F.col(sr_col).cast("long").alias("sr_hz"),
+    )
+    tol = int(dur_tol_ms)
+
+    def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {k: [] for k in ("id", "codec", "container",
+                                   "probe_failed", "dur_mismatch",
+                                   "sr_mismatch", "frames")}
+            for i, payload, codec, dur_ms, sr_hz in zip(
+                pdf["id"], pdf["payload"], pdf["codec"],
+                pdf["dur_ms"], pdf["sr_hz"],
+            ):
+                container, csr, samples, srate, ok = _consistency_probe(
+                    payload, codec
+                )
+                rate = srate if srate is not None else sr_hz
+                dur_bad = (
+                    samples is not None
+                    and rate
+                    and abs(int(dur_ms) - samples * 1000 // rate) > tol
+                )
+                sr_bad = csr is not None and csr != sr_hz
+                frames = None
+                if ok and not dur_bad and not sr_bad:
+                    fp = fingerprint(decode_full(payload, codec))
+                    frames = fp.tolist() if fp is not None else None
+                out["id"].append(i)
+                out["codec"].append(codec)
+                out["container"].append(container)
+                out["probe_failed"].append(not ok)
+                out["dur_mismatch"].append(bool(dur_bad))
+                out["sr_mismatch"].append(bool(sr_bad))
+                out["frames"].append(frames)
+            yield pd.DataFrame(
+                {
+                    "id": pd.array(out["id"], dtype="int64"),
+                    "codec": pd.array(out["codec"], dtype="object"),
+                    "container": pd.array(out["container"], dtype="object"),
+                    "probe_failed": pd.array(
+                        out["probe_failed"], dtype="bool"
+                    ),
+                    "dur_mismatch": pd.array(
+                        out["dur_mismatch"], dtype="bool"
+                    ),
+                    "sr_mismatch": pd.array(out["sr_mismatch"], dtype="bool"),
+                    "frames": pd.Series(out["frames"], dtype="object"),
+                }
+            )
+
+    return cols.mapInPandas(gen, schema=INGEST_GATE_SCHEMA)
+
+
 def fp_banded(fp_df: DataFrame) -> DataFrame:
     """(id, band, key): band i's key = frame hashes i,i+1 packed into 30
     bits (adjacent family), plus skip-gram bands pairing hashes i,i+2

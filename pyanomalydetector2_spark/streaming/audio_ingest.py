@@ -6,12 +6,14 @@ The batch-side audio operators (`operators.audio_fp`,
 `operators.multimodal`) compose here into the shape a training-data lake
 actually runs: clips ARRIVE (file-source stream), each micro-batch is
 
-  1. gated   — declared-vs-container consistency check
-               (`with_consistency_fields`); rows whose container walk
+  1. gated   — declared-vs-container consistency check (same semantics
+               as `with_consistency_fields`); rows whose container walk
                fails or whose declared metadata contradicts the header go
                to a quarantine table, never into the index,
-  2. hashed  — decode + spectral fingerprint, one Arrow pass
-               (`audio_fingerprints`),
+  2. hashed  — decode + spectral fingerprint; steps 1–2 run as ONE fused
+               Arrow pass (`audio_fp.ingest_gate_fingerprints`) so the
+               batch's dominant column (`bytes`) crosses the JVM→Python
+               boundary exactly once,
   3. probed  — the batch's bands against the STORED banded index through
                the shared `fp_near_dup_against_index` core (broadcast-semi
                key prune, capped buckets, JVM Hamming re-rank): emitted
@@ -112,6 +114,81 @@ def _read_state(
     return spark.createDataFrame([], schema)
 
 
+def process_batch(
+    batch: DataFrame,
+    batch_id: int,
+    state_dir: str,
+    threshold: float = 0.85,
+    max_bucket_size: int | None = 10_000,
+    dur_tol_ms: int = 50,
+) -> None:
+    """One micro-batch of the ingest: gate → quarantine split →
+    fingerprint → probe the stored index → append to the index (module
+    docstring steps 1–4). Module-level rather than a closure so tests can
+    drive it directly — in particular the crash-replay contract: writes
+    are ordered pairs → fp → banded into ``batch={batch_id}`` dirs, so a
+    replay after ANY partial failure overwrites exactly its own output
+    and the index can never contain a batch whose pairs were lost.
+
+    The gate + decode + fingerprint run as ONE fused Arrow pass
+    (``ingest_gate_fingerprints``): ``bytes`` dominates a clips batch,
+    and composing the two operators would pull it across the JVM→Python
+    boundary twice; the fused pass pulls it once and materializes only
+    the small gate/fingerprint columns, off which the quarantine split
+    and the index frames are plain filters."""
+    from pyanomalydetector2_spark.operators.audio_fp import (
+        fp_banded,
+        fp_near_dup_against_index,
+        ingest_gate_fingerprints,
+    )
+
+    sess = batch.sparkSession
+    gated = ingest_gate_fingerprints(
+        batch, dur_tol_ms=dur_tol_ms
+    ).localCheckpoint()
+    gated.filter(
+        F.col("probe_failed")
+        | F.col("dur_mismatch")
+        | F.col("sr_mismatch")
+    ).select(
+        F.col("id").alias("clip_id"),
+        "codec",
+        "container",
+        "probe_failed",
+        "dur_mismatch",
+        "sr_mismatch",
+    ).write.mode("overwrite").parquet(
+        f"{state_dir}/quarantine/batch={batch_id}"
+    )
+    fp_new = gated.filter(F.col("frames").isNotNull()).select("id", "frames")
+    banded_new = fp_banded(fp_new).localCheckpoint()  # banded ONCE:
+    # the probe and the index append share this materialization
+    index_fp = _read_state(sess, state_dir, "fp", "id long, frames array<int>")
+    index_banded = _read_state(
+        sess, state_dir, "banded", "id long, band int, key int"
+    )
+    pairs = fp_near_dup_against_index(
+        fp_new,
+        index_fp,
+        index_banded,
+        threshold=threshold,
+        max_bucket_size=max_bucket_size,
+        banded_new=banded_new,
+    )
+    pairs.write.mode("overwrite").parquet(
+        f"{state_dir}/pairs/batch={batch_id}"
+    )
+    # index the batch only AFTER its pairs landed: a crash between the
+    # two writes replays the batch into the same batch= dirs, so the
+    # index can never contain a batch whose pairs were lost
+    fp_new.write.mode("overwrite").parquet(
+        f"{state_dir}/fp/batch={batch_id}"
+    )
+    banded_new.write.mode("overwrite").parquet(
+        f"{state_dir}/banded/batch={batch_id}"
+    )
+
+
 def ingest_audio_stream(
     spark: SparkSession,
     source_dir: str,
@@ -135,69 +212,15 @@ def ingest_audio_stream(
     (`compact_audio_index`) and reclaim the folded dirs
     (`vacuum_audio_index`) — post-drain is exactly when no reader is
     mid-query, so the maintenance is safe by construction."""
-    from pyanomalydetector2_spark.operators.audio_fp import (
-        audio_fingerprints,
-        fp_banded,
-        fp_near_dup_against_index,
-    )
-    from pyanomalydetector2_spark.operators.multimodal import (
-        with_consistency_fields,
-    )
-
-    fp_schema = "id long, frames array<int>"
-    banded_schema = "id long, band int, key int"
 
     def process(batch: DataFrame, batch_id: int) -> None:
-        sess = batch.sparkSession
-        # persist, not localCheckpoint: both consumers (quarantine split)
-        # reuse the materialized gate lazily without the extra eager job —
-        # micro-batches are small enough that per-job overhead dominates
-        gated = with_consistency_fields(batch, dur_tol_ms=dur_tol_ms).persist()
-        bad = gated.filter(
-            ~F.col("container_probe_ok")
-            | ~F.col("container_dur_ok")
-            | ~F.col("container_sr_ok")
-        )
-        bad.select(
-            "clip_id",
-            "codec",
-            "container",
-            (~F.col("container_probe_ok")).alias("probe_failed"),
-            (~F.col("container_dur_ok")).alias("dur_mismatch"),
-            (~F.col("container_sr_ok")).alias("sr_mismatch"),
-        ).write.mode("overwrite").parquet(
-            f"{state_dir}/quarantine/batch={batch_id}"
-        )
-        ok = gated.filter(
-            F.col("container_probe_ok")
-            & F.col("container_dur_ok")
-            & F.col("container_sr_ok")
-        ).select("clip_id", "bytes", "codec")
-
-        fp_new = audio_fingerprints(ok, id_col="clip_id").localCheckpoint()
-        banded_new = fp_banded(fp_new).localCheckpoint()  # banded ONCE:
-        # the probe and the index append share this materialization
-        index_fp = _read_state(sess, state_dir, "fp", fp_schema)
-        index_banded = _read_state(sess, state_dir, "banded", banded_schema)
-        pairs = fp_near_dup_against_index(
-            fp_new,
-            index_fp,
-            index_banded,
+        process_batch(
+            batch,
+            batch_id,
+            state_dir,
             threshold=threshold,
             max_bucket_size=max_bucket_size,
-            banded_new=banded_new,
-        )
-        pairs.write.mode("overwrite").parquet(
-            f"{state_dir}/pairs/batch={batch_id}"
-        )
-        # index the batch only AFTER its pairs landed: a crash between the
-        # two writes replays the batch into the same batch= dirs, so the
-        # index can never contain a batch whose pairs were lost
-        fp_new.write.mode("overwrite").parquet(
-            f"{state_dir}/fp/batch={batch_id}"
-        )
-        banded_new.write.mode("overwrite").parquet(
-            f"{state_dir}/banded/batch={batch_id}"
+            dur_tol_ms=dur_tol_ms,
         )
 
     # micro-batches are orders of magnitude smaller than a full corpus
@@ -246,6 +269,48 @@ def quarantined(spark: SparkSession, state_dir: str) -> DataFrame:
     """All quarantined clips so far, with the gate(s) each one hit."""
     return spark.read.parquet(
         *(d for _, d in _batch_dirs(f"{state_dir}/quarantine"))
+    )
+
+
+def ingest_summary(spark: SparkSession, state_dir: str) -> DataFrame:
+    """Per-micro-batch observability: pair and quarantine counts (broken
+    out by which gate fired) — the metrics an ingest operator watches.
+    Built on the permanent per-batch outputs (``pairs``/``quarantine``
+    survive index compaction), with the directory name as a discovered
+    ``batch`` partition column, so one partition-pruned scan per side.
+    Batches with no activity on a side report 0, driven off the
+    directory spine (a batch that emitted nothing still has its dirs)."""
+    spine = spark.createDataFrame(
+        [(n,) for n, _ in _batch_dirs(f"{state_dir}/pairs")], "batch int"
+    )
+    pairs = (
+        spark.read.parquet(f"{state_dir}/pairs")
+        .groupBy("batch")
+        .agg(F.count("*").alias("n_pairs"))
+    )
+    quar = (
+        spark.read.parquet(f"{state_dir}/quarantine")
+        .groupBy("batch")
+        .agg(
+            F.count("*").alias("n_quarantined"),
+            F.sum(F.col("probe_failed").cast("long")).alias("n_probe_failed"),
+            F.sum(F.col("dur_mismatch").cast("long")).alias("n_dur_mismatch"),
+            F.sum(F.col("sr_mismatch").cast("long")).alias("n_sr_mismatch"),
+        )
+    )
+    out = spine.join(pairs, "batch", "left").join(quar, "batch", "left")
+    return out.select(
+        "batch",
+        *[
+            F.coalesce(F.col(c), F.lit(0)).alias(c)
+            for c in (
+                "n_pairs",
+                "n_quarantined",
+                "n_probe_failed",
+                "n_dur_mismatch",
+                "n_sr_mismatch",
+            )
+        ],
     )
 
 

@@ -20,7 +20,9 @@ from pyanomalydetector2_spark.streaming.audio_ingest import (
     _read_state,
     compact_audio_index,
     ingest_audio_stream,
+    ingest_summary,
     ingested_pairs,
+    process_batch,
     quarantined,
     vacuum_audio_index,
 )
@@ -225,3 +227,147 @@ def _latest_gen_id(state: str) -> int:
 
     gen = _latest_gen(f"{state}/fp_base")
     return gen[0] if gen else -1
+
+
+def test_crash_replay_restores_exact_state(spark, tmp_path):
+    """The write-order invariant (pairs → fp → banded) under replay:
+    whichever write a crash lands after, redelivering the batch rebuilds
+    a state identical to a crash-free run — pairs are never lost, never
+    duplicated, and the index never holds a batch whose pairs are
+    missing. Drives process_batch directly (Structured Streaming's
+    contract is exactly 'the same batch id is redelivered')."""
+    import shutil
+
+    state = str(tmp_path / "state")
+    b0, b1 = _corpus(spark, 0, 9), _corpus(spark, 9, 17)
+    process_batch(b0, 0, state, max_bucket_size=None)
+    process_batch(b1, 1, state, max_bucket_size=None)
+    want_pairs = {
+        (r.id_a, r.id_b): r.sim for r in ingested_pairs(spark, state).collect()
+    }
+    assert want_pairs == _one_shot_pairs(spark, 0, 17)
+    want_index = _index_snapshot(spark, state)
+
+    # crash after pairs, before ANY index write: pairs survive the tear,
+    # the index holds only batch 0 — replay rebuilds batch 1's index
+    shutil.rmtree(f"{state}/fp/batch=1")
+    shutil.rmtree(f"{state}/banded/batch=1")
+    got = {
+        (r.id_a, r.id_b): r.sim for r in ingested_pairs(spark, state).collect()
+    }
+    assert got == want_pairs  # invariant: no indexed batch without pairs
+    process_batch(b1, 1, state, max_bucket_size=None)
+    assert _index_snapshot(spark, state) == want_index
+    assert {
+        (r.id_a, r.id_b): r.sim for r in ingested_pairs(spark, state).collect()
+    } == want_pairs
+
+    # crash between the two index writes: fp present, bands missing —
+    # the replay probes an index that already contains the batch's own
+    # fingerprints, which must not change the emitted pairs (sim is a
+    # ratio: duplicated member rows scale hd and nf together)
+    shutil.rmtree(f"{state}/banded/batch=1")
+    process_batch(b1, 1, state, max_bucket_size=None)
+    assert _index_snapshot(spark, state) == want_index
+    assert {
+        (r.id_a, r.id_b): r.sim for r in ingested_pairs(spark, state).collect()
+    } == want_pairs
+
+
+def test_fused_gate_fingerprints_matches_composed(spark):
+    """ingest_gate_fingerprints (one Arrow pass over bytes) must agree
+    row-for-row with the composed operators it fuses —
+    with_consistency_fields gate flags AND audio_fingerprints frames —
+    on a corpus mixing good clips, junk, a duration liar, an sr liar,
+    and a container-consistent but fingerprint-short clip."""
+    from pyanomalydetector2_spark.operators.audio import encode_wav
+    from pyanomalydetector2_spark.operators.audio_fp import (
+        audio_fingerprints,
+        ingest_gate_fingerprints,
+    )
+    from pyanomalydetector2_spark.operators.multimodal import (
+        with_consistency_fields,
+    )
+
+    good = _corpus(spark, 0, 12)
+    pcm = A.synth_near_dup_pcm(np.array([1]))[0]
+    wav_payload, _ = A.encode_variant(pcm, 1)
+    short_wav = encode_wav(np.zeros(100, dtype=np.int16), SR_HZ)
+    extra = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "clip_id": [100, 101, 102, 103],
+                "bytes": [b"junk", wav_payload, wav_payload, short_wav],
+                "codec": ["flac", "wav", "wav", "wav"],
+                "dur_ms": [DUR_MS, 9999, DUR_MS, 12],
+                "sr_hz": [SR_HZ, SR_HZ, 16000, SR_HZ],
+            }
+        )
+    ).select(
+        F.col("clip_id").cast("long").alias("clip_id"),
+        "bytes",
+        "codec",
+        F.col("dur_ms").cast("int").alias("dur_ms"),
+        F.col("sr_hz").cast("int").alias("sr_hz"),
+    )
+    clips = good.unionByName(extra)
+
+    fused = {r.id: r for r in ingest_gate_fingerprints(clips).collect()}
+    assert set(fused) == set(range(12)) | {100, 101, 102, 103}
+
+    gate = {r.clip_id: r for r in with_consistency_fields(clips).collect()}
+    for cid, g in gate.items():
+        f = fused[cid]
+        assert f.probe_failed == (not g.container_probe_ok), cid
+        assert f.dur_mismatch == (not g.container_dur_ok), cid
+        assert f.sr_mismatch == (not g.container_sr_ok), cid
+        assert f.container == g.container, cid
+
+    ok_ids = {
+        cid
+        for cid, g in gate.items()
+        if g.container_probe_ok and g.container_dur_ok and g.container_sr_ok
+    }
+    frames = {
+        r.id: r.frames
+        for r in audio_fingerprints(
+            clips.filter(F.col("clip_id").isin(*ok_ids))
+        ).collect()
+    }
+    for cid in fused:
+        if cid in frames:
+            assert fused[cid].frames == frames[cid], cid
+        else:
+            assert fused[cid].frames is None, cid
+    assert fused[103].frames is None  # gate-ok but too short to fingerprint
+    assert not fused[103].probe_failed and not fused[103].dur_mismatch
+
+
+def test_ingest_summary(spark, tmp_path):
+    """Per-batch metrics off the permanent outputs: pair counts and the
+    quarantine breakdown by gate, zeros for quiet batches."""
+    state = str(tmp_path / "state")
+    process_batch(_corpus(spark, 0, 6), 0, state, max_bucket_size=None)
+
+    pcm = A.synth_near_dup_pcm(np.array([0]))[0]
+    wav_payload, wav_codec = A.encode_variant(pcm, 1)
+    bad = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "clip_id": [1000, 1001],
+                "bytes": [b"junk", wav_payload],
+                "codec": ["flac", wav_codec],
+                "dur_ms": [2048, 9999],
+                "sr_hz": [SR_HZ, SR_HZ],
+            }
+        )
+    )
+    process_batch(bad, 1, state, max_bucket_size=None)
+
+    rows = {r.batch: r for r in ingest_summary(spark, state).collect()}
+    assert set(rows) == {0, 1}
+    n0 = len(_one_shot_pairs(spark, 0, 6))
+    assert rows[0].n_pairs == n0 and rows[0].n_quarantined == 0
+    assert rows[1].n_pairs == 0 and rows[1].n_quarantined == 2
+    assert rows[1].n_probe_failed == 1 and rows[1].n_dur_mismatch == 1
+    assert rows[1].n_sr_mismatch == 0

@@ -54,6 +54,7 @@ def _child_materialize(clips: int, files: int, src: str, cpus: int) -> None:
         F.lit(8000).alias("sr_hz"),
     )
     corpus.repartition(files).write.mode("overwrite").parquet(src)
+    print(json.dumps({"materialized": clips, "files": files}))
     spark.stop()
 
 
