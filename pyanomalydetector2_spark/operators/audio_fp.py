@@ -546,16 +546,21 @@ def fp_near_dup_against_index(
     threshold: float = 0.85,
     max_bucket_size: int | None = 10_000,
     banded_new: DataFrame | None = None,
+    broadcast_keys: bool = True,
 ) -> DataFrame:
     """Probe core shared by ``audio_near_dup_incremental`` and the
     Structured Streaming ingest (``streaming.audio_ingest``): pairs
     touching at least one fingerprint from ``fp_new``, given the already
     computed batch fingerprints and the stored corpus index. Every stage
-    is batch-proportional (broadcast-semi key prune before any bucket
-    aggregation; re-rank reads index fingerprints only for pair members).
+    is batch-proportional (key prune before any bucket aggregation;
+    re-rank reads index fingerprints only for pair members).
     ``banded_new``: pass the batch's already-materialized banding to skip
     the recompute — callers that also persist the bands (the streaming
-    ingest appends them to the index) band the batch exactly once."""
+    ingest appends them to the index) band the batch exactly once.
+    ``broadcast_keys``: prune strategy, see
+    ``dedup.incremental_pairs_from_banded`` — broadcast for small
+    batches, shuffled semi once the batch key set outgrows a driver
+    round-trip."""
     from pyanomalydetector2_spark.operators.dedup import (
         incremental_pairs_from_banded,
     )
@@ -565,7 +570,7 @@ def fp_near_dup_against_index(
     if banded_new is None:
         banded_new = fp_banded(fp_new).localCheckpoint()
     pairs = incremental_pairs_from_banded(
-        index_banded, banded_new, max_bucket_size
+        index_banded, banded_new, max_bucket_size, broadcast_keys
     ).localCheckpoint()
     # re-rank fingerprints: the batch's fresh frame plus index rows pruned
     # to pair members — never the whole index, never the corpus audio

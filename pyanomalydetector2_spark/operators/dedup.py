@@ -411,6 +411,7 @@ def incremental_pairs_from_banded(
     index_banded: DataFrame,
     banded_new: DataFrame,
     max_bucket_size: int | None = 10_000,
+    broadcast_keys: bool = True,
 ) -> DataFrame:
     """Banding-agnostic incremental-probe core: distinct (id_a < id_b)
     pairs touching at least one id from ``banded_new``, given two
@@ -422,17 +423,29 @@ def incremental_pairs_from_banded(
 
     ``banded_new`` is consumed by four operators (union, key set, its own
     bucket agg, the join) — callers should ``localCheckpoint()`` it first
-    so the batch banding computes once."""
+    so the batch banding computes once.
+
+    ``broadcast_keys``: the prune strategy. True (default) hints a
+    broadcast semi — right when the batch is SMALL relative to the index
+    (the key set collects to the driver once and the index side stays at
+    one scan, no index-wide shuffle). For LARGE batches the broadcast
+    itself becomes the serial bottleneck (keys grow linearly with the
+    batch: driver collect + per-executor hashtable build scale with
+    batch size, not with cores) — pass False to let the semi join
+    shuffle both sides instead, which is fully parallel and what you
+    want once batch ≈ index. The streaming ingest picks per batch by
+    measured banding size."""
     banded_all = index_banded.select("id", "band", "key").union(
         banded_new.select("id", "band", "key")
     )
     # probe-side prune FIRST: only buckets containing a new member can emit
-    # pairs, and the batch's key set is small by definition → broadcast semi
-    # join keeps the index side at one SCAN (no index-wide aggregation; the
-    # pre-prune version aggregated bucket arrays for EVERY corpus bucket
-    # before the join could discard them)
+    # pairs (no index-wide aggregation; the pre-prune version aggregated
+    # bucket arrays for EVERY corpus bucket before the join could discard
+    # them)
     keys_new = banded_new.select("band", "key").distinct()
-    probed = banded_all.join(F.broadcast(keys_new), ["band", "key"], "semi")
+    if broadcast_keys:
+        keys_new = F.broadcast(keys_new)
+    probed = banded_all.join(keys_new, ["band", "key"], "semi")
     all_b = _capped_buckets(probed, max_bucket_size)
     new_b = _capped_buckets(banded_new, max_bucket_size).withColumnRenamed(
         "ids", "ids_new"

@@ -167,6 +167,10 @@ def process_batch(
     index_banded = _read_state(
         sess, state_dir, "banded", "id long, band int, key int"
     )
+    # prune strategy by MEASURED batch size (count on the checkpointed
+    # frame is a cached-partition scan): small batches broadcast their key
+    # set (index stays at one scan); large batches would serialize on the
+    # driver collect + hashtable build, so they take the shuffled semi
     pairs = fp_near_dup_against_index(
         fp_new,
         index_fp,
@@ -174,6 +178,7 @@ def process_batch(
         threshold=threshold,
         max_bucket_size=max_bucket_size,
         banded_new=banded_new,
+        broadcast_keys=banded_new.count() <= 1_000_000,
     )
     pairs.write.mode("overwrite").parquet(
         f"{state_dir}/pairs/batch={batch_id}"
