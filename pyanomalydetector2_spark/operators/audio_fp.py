@@ -547,6 +547,7 @@ def fp_near_dup_against_index(
     max_bucket_size: int | None = 10_000,
     banded_new: DataFrame | None = None,
     broadcast_keys: bool = True,
+    prune: bool = True,
 ) -> DataFrame:
     """Probe core shared by ``audio_near_dup_incremental`` and the
     Structured Streaming ingest (``streaming.audio_ingest``): pairs
@@ -557,10 +558,10 @@ def fp_near_dup_against_index(
     ``banded_new``: pass the batch's already-materialized banding to skip
     the recompute — callers that also persist the bands (the streaming
     ingest appends them to the index) band the batch exactly once.
-    ``broadcast_keys``: prune strategy, see
-    ``dedup.incremental_pairs_from_banded`` — broadcast for small
-    batches, shuffled semi once the batch key set outgrows a driver
-    round-trip."""
+    ``broadcast_keys`` / ``prune``: prune strategy, see
+    ``dedup.incremental_pairs_from_banded`` — broadcast the key set for
+    small batches, shuffled semi once the batch key set outgrows a
+    driver round-trip, and no prune at all while index ≲ batch."""
     from pyanomalydetector2_spark.operators.dedup import (
         incremental_pairs_from_banded,
     )
@@ -570,11 +571,15 @@ def fp_near_dup_against_index(
     if banded_new is None:
         banded_new = fp_banded(fp_new).localCheckpoint()
     pairs = incremental_pairs_from_banded(
-        index_banded, banded_new, max_bucket_size, broadcast_keys
+        index_banded, banded_new, max_bucket_size, broadcast_keys, prune
     ).localCheckpoint()
     # re-rank fingerprints: the batch's fresh frame plus index rows pruned
     # to pair members — never the whole index, never the corpus audio
-    ids = (
+    # broadcast the pair-member id set: it is bounded by 2× the emitted
+    # pairs (batch-proportional under the bucket cap), while the right
+    # side contains the WHOLE index — a shuffled semi here would shuffle
+    # the index by id every batch
+    ids = F.broadcast(
         pairs.select(F.col("id_a").alias("id"))
         .union(pairs.select(F.col("id_b").alias("id")))
         .distinct()

@@ -412,6 +412,7 @@ def incremental_pairs_from_banded(
     banded_new: DataFrame,
     max_bucket_size: int | None = 10_000,
     broadcast_keys: bool = True,
+    prune: bool = True,
 ) -> DataFrame:
     """Banding-agnostic incremental-probe core: distinct (id_a < id_b)
     pairs touching at least one id from ``banded_new``, given two
@@ -421,9 +422,9 @@ def incremental_pairs_from_banded(
     across runs and probe each new batch against it, so pair generation is
     proportional to the batch, not the corpus.
 
-    ``banded_new`` is consumed by four operators (union, key set, its own
-    bucket agg, the join) — callers should ``localCheckpoint()`` it first
-    so the batch banding computes once.
+    ``banded_new`` is consumed by two operators (the union and the key
+    set) — callers should ``localCheckpoint()`` it first so the batch
+    banding computes once.
 
     ``broadcast_keys``: the prune strategy. True (default) hints a
     broadcast semi — right when the batch is SMALL relative to the index
@@ -434,27 +435,60 @@ def incremental_pairs_from_banded(
     batch size, not with cores) — pass False to let the semi join
     shuffle both sides instead, which is fully parallel and what you
     want once batch ≈ index. The streaming ingest picks per batch by
-    measured banding size."""
-    banded_all = index_banded.select("id", "band", "key").union(
-        banded_new.select("id", "band", "key")
+    measured banding size.
+
+    ``prune``: whether to run the probe-side key prune at all. The prune
+    pays for itself when the index dwarfs the batch (the mature-stream
+    steady state: it keeps the bucket aggregation batch-proportional);
+    when index ≲ batch (a young stream, a bulk backfill) the key set
+    covers nearly every bucket, so the distinct + semi join are pure
+    overhead — pass False to aggregate index ∪ new directly. Correctness
+    is prune-independent: a bucket with no new member emits nothing
+    either way (empty ``ids_new``)."""
+    banded_all = (
+        index_banded.select("id", "band", "key")
+        .withColumn("is_new", F.lit(False))
+        .union(
+            banded_new.select("id", "band", "key").withColumn(
+                "is_new", F.lit(True)
+            )
+        )
     )
     # probe-side prune FIRST: only buckets containing a new member can emit
     # pairs (no index-wide aggregation; the pre-prune version aggregated
     # bucket arrays for EVERY corpus bucket before the join could discard
     # them)
-    keys_new = banded_new.select("band", "key").distinct()
-    if broadcast_keys:
-        keys_new = F.broadcast(keys_new)
-    probed = banded_all.join(keys_new, ["band", "key"], "semi")
-    all_b = _capped_buckets(probed, max_bucket_size)
-    new_b = _capped_buckets(banded_new, max_bucket_size).withColumnRenamed(
-        "ids", "ids_new"
+    if prune:
+        keys_new = banded_new.select("band", "key").distinct()
+        if broadcast_keys:
+            keys_new = F.broadcast(keys_new)
+        probed = banded_all.join(keys_new, ["band", "key"], "semi")
+    else:
+        probed = banded_all
+    # ONE flagged aggregation builds both member arrays (all ids + the
+    # new-member subset via NULL-skipping collect_list) — an earlier shape
+    # aggregated banded_new a second time and joined the two bucket
+    # frames, paying two extra batch-sized shuffles per micro-batch for
+    # the same pair set. The cap binds on the all-members size: within a
+    # probed bucket new ⊆ all, so a batch-side-only overflow is impossible
+    # and the single prune is semantics-identical to capping both sides.
+    if max_bucket_size is not None:
+        hot = (
+            probed.groupBy("band", "key")
+            .agg(F.count(F.lit(1)).alias("sz"))
+            .filter(F.col("sz") > max_bucket_size)
+        )
+        probed = probed.join(hot, ["band", "key"], "anti")
+    buckets = probed.groupBy("band", "key").agg(
+        F.collect_list("id").alias("ids"),
+        F.collect_list(F.when(F.col("is_new"), F.col("id"))).alias(
+            "ids_new"
+        ),
     )
-    buckets = new_b.join(all_b, ["band", "key"])  # inner: no new member → no pair
     # stream pair generation (same shape as lsh_candidate_pairs): a row per
     # NEW member carrying the bucket's full id array (O(cap)), partners
     # exploded row-by-row — no single value holds a bucket's pair set
-    member = buckets.select(
+    member = buckets.filter(F.size("ids_new") >= 1).select(
         F.array_sort(F.col("ids")).alias("ids"),
         F.explode("ids_new").alias("a"),
     )

@@ -14,6 +14,18 @@ import os
 from pyspark.sql import SparkSession
 
 
+def _resolve_master(cpus: int) -> str:
+    """PYAD2_MASTER overrides the local[N] default so the SAME entry
+    points (run_suite, benches) run under a genuinely multi-executor
+    master — e.g. spark-submit --master local-cluster[4,1,3072] (separate
+    executor JVMs, real serialization + --py-files shipping;
+    tools/cluster_scaling_bench.py). ``cpus`` then only sizes shuffle
+    partitions; the master decides the slots."""
+    return os.environ.get("PYAD2_MASTER") or (
+        f"local[{cpus}]" if cpus else "local[*]"
+    )
+
+
 def get_spark(
     cpus: int | None = None,
     app_name: str = "pyad2-spark",
@@ -29,7 +41,7 @@ def get_spark(
     if cpus is None:
         env = os.environ.get("SPARK_GRAFT_CPUS")
         cpus = int(env) if env else 0
-    master = f"local[{cpus}]" if cpus else "local[*]"
+    master = _resolve_master(cpus)
     n_shuffle = shuffle_partitions or max(2 * (cpus or os.cpu_count() or 8), 8)
     # -Xms must track the RESOLVED heap size: an extra_conf override of
     # spark.driver.memory below the env default would otherwise pair

@@ -54,6 +54,8 @@ thousands of tiny delta files.
 from __future__ import annotations
 
 import os
+import sys
+import time
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -135,17 +137,30 @@ def process_batch(
     and composing the two operators would pull it across the JVM→Python
     boundary twice; the fused pass pulls it once and materializes only
     the small gate/fingerprint columns, off which the quarantine split
-    and the index frames are plain filters."""
+    and the index frames are plain filters.
+
+    Set ``PYAD2_INGEST_TIMING=1`` to log per-phase wall times to stderr
+    (gate+fp / quarantine / band / probe+pairs / index-append) — the
+    observability that located the drain's scaling ceiling in the scan
+    layout rather than the engine (see tools/ingest_scaling_bench.py)."""
     from pyanomalydetector2_spark.operators.audio_fp import (
         fp_banded,
         fp_near_dup_against_index,
         ingest_gate_fingerprints,
     )
 
+    timing = os.environ.get("PYAD2_INGEST_TIMING")
+    marks = [("start", time.time())]
+
+    def _mark(label: str) -> None:
+        if timing:
+            marks.append((label, time.time()))
+
     sess = batch.sparkSession
     gated = ingest_gate_fingerprints(
         batch, dur_tol_ms=dur_tol_ms
     ).localCheckpoint()
+    _mark("gate+fp")
     gated.filter(
         F.col("probe_failed")
         | F.col("dur_mismatch")
@@ -160,17 +175,27 @@ def process_batch(
     ).write.mode("overwrite").parquet(
         f"{state_dir}/quarantine/batch={batch_id}"
     )
+    _mark("quarantine")
     fp_new = gated.filter(F.col("frames").isNotNull()).select("id", "frames")
     banded_new = fp_banded(fp_new).localCheckpoint()  # banded ONCE:
     # the probe and the index append share this materialization
+    _mark("band")
     index_fp = _read_state(sess, state_dir, "fp", "id long, frames array<int>")
     index_banded = _read_state(
         sess, state_dir, "banded", "id long, band int, key int"
     )
-    # prune strategy by MEASURED batch size (count on the checkpointed
-    # frame is a cached-partition scan): small batches broadcast their key
-    # set (index stays at one scan); large batches would serialize on the
-    # driver collect + hashtable build, so they take the shuffled semi
+    # prune strategy by MEASURED sizes (counts on the checkpointed batch
+    # are cached-partition scans; the index count is a parquet
+    # footer-stats job): while the index is not much bigger than the
+    # batch (young stream, bulk backfill) the key prune discards almost
+    # nothing and its distinct + semi join are pure overhead — skip it.
+    # Once the index dwarfs the batch the prune is what keeps the bucket
+    # aggregation batch-proportional; small batches then broadcast their
+    # key set (index stays at one scan), large batches take the shuffled
+    # semi (a large broadcast would serialize on the driver collect +
+    # per-executor hashtable build).
+    new_n = banded_new.count()
+    index_n = index_banded.count()
     pairs = fp_near_dup_against_index(
         fp_new,
         index_fp,
@@ -178,11 +203,13 @@ def process_batch(
         threshold=threshold,
         max_bucket_size=max_bucket_size,
         banded_new=banded_new,
-        broadcast_keys=banded_new.count() <= 1_000_000,
+        broadcast_keys=new_n <= 1_000_000,
+        prune=index_n > 4 * new_n,
     )
     pairs.write.mode("overwrite").parquet(
         f"{state_dir}/pairs/batch={batch_id}"
     )
+    _mark("probe+pairs")
     # index the batch only AFTER its pairs landed: a crash between the
     # two writes replays the batch into the same batch= dirs, so the
     # index can never contain a batch whose pairs were lost
@@ -192,6 +219,17 @@ def process_batch(
     banded_new.write.mode("overwrite").parquet(
         f"{state_dir}/banded/batch={batch_id}"
     )
+    _mark("index-append")
+    if timing:
+        deltas = {
+            label: round(t - marks[i][1], 2)
+            for i, (label, t) in enumerate(marks[1:])
+        }
+        print(
+            f"[ingest-timing] batch={batch_id} {deltas}",
+            file=sys.stderr,
+            flush=True,
+        )
 
 
 def ingest_audio_stream(
@@ -203,6 +241,7 @@ def ingest_audio_stream(
     dur_tol_ms: int = 50,
     max_files_per_trigger: int = 1,
     shuffle_partitions: int | None = None,
+    max_partition_bytes: str | None = None,
     compact_after: int | None = None,
 ) -> None:
     """Run the ingest over everything currently in ``source_dir``
@@ -233,8 +272,21 @@ def ingest_audio_stream(
     # the knob that keeps per-batch fixed cost flat — values are
     # partitioning-invariant, so this is perf-only
     prev = spark.conf.get("spark.sql.shuffle.partitions")
+    prev_mpb = spark.conf.get("spark.sql.files.maxPartitionBytes")
     if shuffle_partitions is not None:
         spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
+    # the gate+fingerprint stage is decode-CPU-bound, not IO-bound: the
+    # default 128m split sizes tasks for scan throughput and leaves a
+    # 4-core executor 2 waves deep on a 533 MB file. ~32m splits give
+    # seconds-long decode tasks — small enough to balance, large enough
+    # that per-task overhead is noise. Splits cannot cross parquet
+    # row-group boundaries, so the producer side must cooperate: write
+    # the backlog with parquet.block.size at (or below) this value or the
+    # knob is a no-op (a 128 MB row group is one task no matter what).
+    if max_partition_bytes is not None:
+        spark.conf.set(
+            "spark.sql.files.maxPartitionBytes", max_partition_bytes
+        )
     try:
         q = (
             spark.readStream.schema(CLIPS_SCHEMA)
@@ -259,6 +311,8 @@ def ingest_audio_stream(
     finally:
         if shuffle_partitions is not None:
             spark.conf.set("spark.sql.shuffle.partitions", prev)
+        if max_partition_bytes is not None:
+            spark.conf.set("spark.sql.files.maxPartitionBytes", prev_mpb)
 
 
 def ingested_pairs(spark: SparkSession, state_dir: str) -> DataFrame:

