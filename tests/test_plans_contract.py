@@ -90,3 +90,45 @@ def test_ann_paths_stay_bucketed(spark):
         assert a["cartesian"] == 0, f"{name}: bucket join degraded to cartesian"
         assert a["bnlj"] == 0, f"{name}: bucket join degraded to nested loop"
         assert a["sorts_global"] == 0, f"{name}: global sort crept in"
+
+
+def test_incremental_probe_core_shape(spark):
+    """The fused incremental probe (BENCH/BASELINE.md §10): ONE flagged
+    aggregation builds both bucket member arrays, so the probe plan must
+    contain at most one aggregation exchange chain — bounded shuffles
+    overall — and the broadcast-prune variant must actually broadcast.
+    Guards the r04-close rebuild against regressing to the
+    aggregate-twice-and-join shape (which showed up as two extra
+    batch-sized shuffles per micro-batch)."""
+    from pyspark.sql import functions as F
+
+    from pyanomalydetector2_spark.operators.dedup import (
+        incremental_pairs_from_banded,
+    )
+    from pyanomalydetector2_spark.plans import audit_plan
+
+    banded = spark.range(400).select(
+        F.col("id"),
+        (F.col("id") % 13).cast("int").alias("band"),
+        (F.col("id") % 7).cast("int").alias("key"),
+    )
+    index_b = banded.filter(F.col("id") >= 100).localCheckpoint()
+    new_b = banded.filter(F.col("id") < 100).localCheckpoint()
+
+    # no-prune: union -> hot-count -> anti -> collect -> explode/distinct
+    a = audit_plan(
+        incremental_pairs_from_banded(index_b, new_b, 10_000, prune=False)
+    )
+    assert a["sorts_global"] == 0 and a["cartesian"] == 0
+    assert a["shuffles"] <= 4, f"no-prune probe shuffle blowup: {a['shuffles']}"
+
+    # broadcast prune: same plus the key semi, which must be a broadcast
+    # (the index side stays at one scan, never index-wide shuffled)
+    b = audit_plan(
+        incremental_pairs_from_banded(
+            index_b, new_b, 10_000, broadcast_keys=True, prune=True
+        )
+    )
+    assert b["sorts_global"] == 0 and b["cartesian"] == 0
+    assert b["broadcasts"] >= 1, "key prune lost its broadcast"
+    assert b["shuffles"] <= 6, f"pruned probe shuffle blowup: {b['shuffles']}"
