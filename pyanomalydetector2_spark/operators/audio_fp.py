@@ -368,13 +368,26 @@ def ingest_gate_fingerprints(
                 container, csr, samples, srate, ok = _consistency_probe(
                     payload, codec
                 )
+                # NULL declared metadata is missing evidence, not a
+                # mismatch (vacuous False — with_consistency_fields' SQL
+                # null semantics): one malformed row must quarantine on
+                # its own flags, never crash the whole Arrow batch
+                if sr_hz is None or pd.isna(sr_hz):
+                    sr_hz = None
+                if dur_ms is None or pd.isna(dur_ms):
+                    dur_ms = None
                 rate = srate if srate is not None else sr_hz
                 dur_bad = (
                     samples is not None
                     and rate
-                    and abs(int(dur_ms) - samples * 1000 // rate) > tol
+                    and dur_ms is not None
+                    and abs(int(dur_ms) - samples * 1000 // int(rate)) > tol
                 )
-                sr_bad = csr is not None and csr != sr_hz
+                sr_bad = (
+                    csr is not None
+                    and sr_hz is not None
+                    and csr != sr_hz
+                )
                 frames = None
                 if ok and not dur_bad and not sr_bad:
                     fp = fingerprint(decode_full(payload, codec))
@@ -584,10 +597,18 @@ def fp_near_dup_against_index(
         .union(pairs.select(F.col("id_b").alias("id")))
         .distinct()
     )
+    # dropDuplicates AFTER the semi prune: the index may legitimately
+    # contain the batch's own ids when a replayed batch's fp delta
+    # already landed (crash between a streaming batch's index writes) —
+    # a duplicate (id, frames) member row would multiply the re-rank
+    # join and emit every pair twice. Frames are a deterministic
+    # function of the clip, so the dedup is exact; it shuffles only the
+    # pair-member rows (bounded by 2× pairs), never the index.
     fp_members = (
         fp_new.select("id", "frames")
         .union(index_fp.select("id", "frames"))
         .join(ids, "id", "semi")
+        .dropDuplicates(["id"])
     )
     return _hamming_rerank(pairs, fp_members, threshold)
 

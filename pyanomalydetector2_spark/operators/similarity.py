@@ -714,6 +714,19 @@ def _pq_matrix(cb_rows) -> np.ndarray | None:
     return np.array([r["bv"] for r in cb_rows], dtype=np.float64)
 
 
+def _check_pq_dims(dims: int, m_sub: int) -> None:
+    """PQ slices the vector into m_sub equal sub-spaces; a non-divisible
+    dims would leave the tail dimensions unencoded by _pq_encode_udf and
+    UNINITIALIZED (np.empty) in _pq_reconstruct_udf — nondeterministic
+    scores. Refuse instead of silently truncating."""
+    if dims % m_sub:
+        raise ValueError(
+            f"PQ requires dims divisible by m_sub: dims={dims}, "
+            f"m_sub={m_sub} leaves {dims % m_sub} tail dimension(s) "
+            "unencoded"
+        )
+
+
 def _pq_encode_udf(cb: np.ndarray, m_sub: int):
     """codes(vec) = per-sub-space argmin of round(L2, 6) against the
     broadcast codebook matrix; ties → smallest j (np.argmin is first-min).
@@ -723,6 +736,7 @@ def _pq_encode_udf(cb: np.ndarray, m_sub: int):
     from pyspark.sql.types import ArrayType, IntegerType
 
     dims = cb.shape[1]
+    _check_pq_dims(dims, m_sub)
     d = dims // m_sub
 
     @pandas_udf(ArrayType(IntegerType()))
@@ -749,6 +763,7 @@ def _pq_reconstruct_udf(cb: np.ndarray, m_sub: int):
     from pyspark.sql.types import ArrayType, DoubleType
 
     dims = cb.shape[1]
+    _check_pq_dims(dims, m_sub)
     d = dims // m_sub
 
     @pandas_udf(ArrayType(DoubleType()))

@@ -21,6 +21,7 @@ implementation a run actually used.
 
 from __future__ import annotations
 
+import itertools
 import json
 import os
 import re
@@ -120,8 +121,9 @@ class IcebergTable:
     backend = "iceberg"
 
     # Class-level so concurrent merges in one session get distinct temp
-    # views even across separate IcebergTable instances (ADVICE r03).
-    _merge_seq = 0
+    # views even across separate IcebergTable instances (ADVICE r03);
+    # an itertools.count so the draw is atomic under threads (ADVICE r04).
+    _merge_seq = itertools.count(1)
 
     def __init__(self, spark: SparkSession, ident: str):
         self.spark = spark
@@ -158,8 +160,11 @@ class IcebergTable:
     ) -> int:
         if not self.spark.catalog.tableExists(self.ident):
             return self.write_snapshot(df, partition_by)
-        IcebergTable._merge_seq += 1
-        view = f"_merge_src_{IcebergTable._merge_seq}"
+        # next() on an itertools.count is a single C-level call — atomic
+        # under the GIL, so concurrent merges in one session cannot read
+        # the same value and collide on the temp view name (a += on a
+        # class attribute is a non-atomic read-modify-write)
+        view = f"_merge_src_{next(IcebergTable._merge_seq)}"
         df.createOrReplaceTempView(view)
         try:
             self.spark.sql(merge_sql(self.ident, view, keys))

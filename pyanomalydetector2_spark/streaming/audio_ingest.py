@@ -92,25 +92,37 @@ def _latest_gen(path: str) -> tuple[int, str] | None:
     return max(gens) if gens else None
 
 
-def _state_paths(state_dir: str, comp: str) -> list[str]:
+def _state_paths(
+    state_dir: str, comp: str, thru: int | None = None
+) -> list[str]:
     """Concrete read list for one index component (``fp`` / ``banded``):
     the newest complete compacted base (if any) plus every delta batch
-    AFTER the generation it folded. Concrete directories, not a glob: a
-    glob path makes every read re-probe for a streaming-sink metadata
-    dir (a logged FileNotFound per read)."""
+    AFTER the generation it folded — bounded above by ``thru`` when the
+    caller (compaction) must not fold a torn batch's orphan delta.
+    Concrete directories, not a glob: a glob path makes every read
+    re-probe for a streaming-sink metadata dir (a logged FileNotFound
+    per read)."""
     base = _latest_gen(f"{state_dir}/{comp}_base")
     folded_thru = base[0] if base else -1
     paths = [base[1]] if base else []
-    paths += [d for n, d in _batch_dirs(f"{state_dir}/{comp}") if n > folded_thru]
+    paths += [
+        d
+        for n, d in _batch_dirs(f"{state_dir}/{comp}")
+        if n > folded_thru and (thru is None or n <= thru)
+    ]
     return paths
 
 
 def _read_state(
-    spark: SparkSession, state_dir: str, comp: str, schema
+    spark: SparkSession,
+    state_dir: str,
+    comp: str,
+    schema,
+    thru: int | None = None,
 ) -> DataFrame:
     """Read an index component (compacted base + deltas), or an empty
     frame of the right schema before the first batch lands."""
-    paths = _state_paths(state_dir, comp)
+    paths = _state_paths(state_dir, comp, thru=thru)
     if paths:
         return spark.read.parquet(*paths)
     return spark.createDataFrame([], schema)
@@ -315,20 +327,32 @@ def ingest_audio_stream(
             spark.conf.set("spark.sql.files.maxPartitionBytes", prev_mpb)
 
 
+PAIRS_SCHEMA = "id_a long, id_b long, sim double"
+QUARANTINE_SCHEMA = (
+    "clip_id long, codec string, container string, probe_failed boolean, "
+    "dur_mismatch boolean, sr_mismatch boolean"
+)
+
+
 def ingested_pairs(spark: SparkSession, state_dir: str) -> DataFrame:
     """All near-dup pairs emitted so far, across every micro-batch. Equal
     to the one-shot ``audio_near_dup`` pair set over the ingested corpus
-    (see module docstring for why no cross-batch dedup is needed)."""
-    return spark.read.parquet(
-        *(d for _, d in _batch_dirs(f"{state_dir}/pairs"))
-    )
+    (see module docstring for why no cross-batch dedup is needed).
+    Empty-with-the-right-schema before the first batch lands (an empty
+    ``spark.read.parquet(*[])`` is a TypeError, not an empty frame)."""
+    dirs = [d for _, d in _batch_dirs(f"{state_dir}/pairs")]
+    if not dirs:
+        return spark.createDataFrame([], PAIRS_SCHEMA)
+    return spark.read.parquet(*dirs)
 
 
 def quarantined(spark: SparkSession, state_dir: str) -> DataFrame:
-    """All quarantined clips so far, with the gate(s) each one hit."""
-    return spark.read.parquet(
-        *(d for _, d in _batch_dirs(f"{state_dir}/quarantine"))
-    )
+    """All quarantined clips so far, with the gate(s) each one hit.
+    Empty-with-the-right-schema before the first batch lands."""
+    dirs = [d for _, d in _batch_dirs(f"{state_dir}/quarantine")]
+    if not dirs:
+        return spark.createDataFrame([], QUARANTINE_SCHEMA)
+    return spark.read.parquet(*dirs)
 
 
 def ingest_summary(spark: SparkSession, state_dir: str) -> DataFrame:
@@ -338,10 +362,16 @@ def ingest_summary(spark: SparkSession, state_dir: str) -> DataFrame:
     survive index compaction), with the directory name as a discovered
     ``batch`` partition column, so one partition-pruned scan per side.
     Batches with no activity on a side report 0, driven off the
-    directory spine (a batch that emitted nothing still has its dirs)."""
-    spine = spark.createDataFrame(
-        [(n,) for n, _ in _batch_dirs(f"{state_dir}/pairs")], "batch int"
-    )
+    directory spine (a batch that emitted nothing still has its dirs).
+    Empty-with-the-right-schema before the first batch lands."""
+    batches = _batch_dirs(f"{state_dir}/pairs")
+    if not batches:
+        return spark.createDataFrame(
+            [],
+            "batch int, n_pairs long, n_quarantined long, "
+            "n_probe_failed long, n_dur_mismatch long, n_sr_mismatch long",
+        )
+    spine = spark.createDataFrame([(n,) for n, _ in batches], "batch int")
     pairs = (
         spark.read.parquet(f"{state_dir}/pairs")
         .groupBy("batch")
@@ -393,10 +423,21 @@ def compact_audio_index(spark: SparkSession, state_dir: str) -> int:
     torn compaction changes nothing, and a completed one is adopted
     atomically. Run it OFFLINE (between ``ingest_audio_stream``
     invocations — the stream itself reads state only at batch start).
-    Deltas stay on disk until ``vacuum_audio_index``; a batch replayed
-    after a mid-batch crash rewrites its (deterministic, already-folded)
-    delta dirs, which readers correctly ignore. Returns the folded-thru
-    batch id, or -1 if there is nothing to fold."""
+
+    Only deltas with batch id <= folded_thru are folded — NOT the full
+    resolved state. The distinction matters exactly when a batch crashed
+    between its fp and banded writes (the ordering ``process_batch``
+    deliberately uses): that batch's orphan ``fp/batch=N+1`` delta sits
+    on disk with no banded sibling, folded_thru (keyed on the newest
+    *banded* delta) is N, and folding the orphan into gen=N would make
+    the replayed ``fp/batch=N+1`` rewrite a DUPLICATE of rows already in
+    the base — duplicate (id, frames) rows duplicate every re-rank pair
+    and break the streaming-equals-batch hash contract (ADVICE r04).
+    Bounding the fold at folded_thru leaves the orphan as a plain
+    unfolded delta that the replay simply overwrites.
+
+    Deltas stay on disk until ``vacuum_audio_index``. Returns the
+    folded-thru batch id, or -1 if there is nothing to fold."""
     banded = _batch_dirs(f"{state_dir}/banded")
     if not banded:
         return -1
@@ -408,8 +449,12 @@ def compact_audio_index(spark: SparkSession, state_dir: str) -> int:
     banded_schema = "id long, band int, key int"
     # materialize BEFORE overwriting: the new gen may need to re-read the
     # old one, and dynamic overwrite of the dir being read is undefined
-    fp = _read_state(spark, state_dir, "fp", fp_schema).localCheckpoint()
-    bd = _read_state(spark, state_dir, "banded", banded_schema).localCheckpoint()
+    fp = _read_state(
+        spark, state_dir, "fp", fp_schema, thru=folded_thru
+    ).localCheckpoint()
+    bd = _read_state(
+        spark, state_dir, "banded", banded_schema, thru=folded_thru
+    ).localCheckpoint()
     fp.write.mode("overwrite").parquet(f"{state_dir}/fp_base/gen={folded_thru}")
     bd.repartition("band").write.mode("overwrite").parquet(
         f"{state_dir}/banded_base/gen={folded_thru}"

@@ -264,13 +264,16 @@ def test_crash_replay_restores_exact_state(spark, tmp_path):
 
     # crash between the two index writes: fp present, bands missing —
     # the replay probes an index that already contains the batch's own
-    # fingerprints, which must not change the emitted pairs (sim is a
-    # ratio: duplicated member rows scale hd and nf together)
+    # fingerprints, which must not change the emitted pairs AND must not
+    # duplicate them (the member-frame dedup in the probe core — a dict
+    # compare alone would hide duplicate rows)
     shutil.rmtree(f"{state}/banded/batch=1")
     process_batch(b1, 1, state, max_bucket_size=None)
     assert _index_snapshot(spark, state) == want_index
+    replay_rows = ingested_pairs(spark, state).collect()
+    assert len(replay_rows) == len(want_pairs)
     assert {
-        (r.id_a, r.id_b): r.sim for r in ingested_pairs(spark, state).collect()
+        (r.id_a, r.id_b): r.sim for r in replay_rows
     } == want_pairs
 
 
@@ -371,3 +374,105 @@ def test_ingest_summary(spark, tmp_path):
     assert rows[1].n_pairs == 0 and rows[1].n_quarantined == 2
     assert rows[1].n_probe_failed == 1 and rows[1].n_dur_mismatch == 1
     assert rows[1].n_sr_mismatch == 0
+
+
+def test_compaction_never_folds_torn_batch_orphan(spark, tmp_path):
+    """ADVICE r04 (medium): a crash between a batch's fp and banded
+    writes leaves an orphan fp/batch=N+1 delta. Running the offline
+    compaction before restart must NOT fold that orphan into the base —
+    folded_thru is keyed on the newest *banded* delta, and folding the
+    full resolved state would make the replayed fp/batch=N+1 delta a
+    duplicate of rows already in the base, duplicating (id, frames) rows
+    and every re-rank pair. The fix bounds the fold at folded_thru."""
+    import shutil
+
+    state = str(tmp_path / "state")
+    b0, b1 = _corpus(spark, 0, 9), _corpus(spark, 9, 17)
+    process_batch(b0, 0, state, max_bucket_size=None)
+    process_batch(b1, 1, state, max_bucket_size=None)
+    want_index = _index_snapshot(spark, state)
+    want_pairs = {
+        (r.id_a, r.id_b): r.sim for r in ingested_pairs(spark, state).collect()
+    }
+
+    # tear batch 1 between its fp and banded writes, then compact
+    shutil.rmtree(f"{state}/banded/batch=1")
+    folded = compact_audio_index(spark, state)
+    assert folded == 0  # newest COMPLETE batch, not the torn one
+
+    # the orphan's rows must not be in the compacted base
+    base_ids = {
+        r.id
+        for r in spark.read.parquet(f"{state}/fp_base/gen=0").collect()
+    }
+    assert base_ids == set(range(9))
+    # vacuum reclaims only folded deltas — the orphan survives for replay
+    removed = vacuum_audio_index(state)
+    assert not any("batch=1" in d for d in removed)
+
+    # replay batch 1 (Structured Streaming redelivers the same id):
+    # resolved state and pairs equal the crash-free run, no duplicates
+    process_batch(b1, 1, state, max_bucket_size=None)
+    assert _index_snapshot(spark, state) == want_index
+    got_rows = ingested_pairs(spark, state).collect()
+    got = {(r.id_a, r.id_b): r.sim for r in got_rows}
+    assert len(got_rows) == len(got) and got == want_pairs
+
+    # and a post-replay compaction now folds batch 1 cleanly
+    assert compact_audio_index(spark, state) == 1
+    vacuum_audio_index(state)
+    assert _index_snapshot(spark, state) == want_index
+
+
+def test_empty_state_readers_return_typed_empty_frames(spark, tmp_path):
+    """ADVICE r04: before any batch lands, the reader entrypoints return
+    empty frames with the production schema instead of raising a
+    TypeError from spark.read.parquet() with zero paths."""
+    state = str(tmp_path / "never_ingested")
+    p = ingested_pairs(spark, state)
+    assert p.columns == ["id_a", "id_b", "sim"] and p.count() == 0
+    q = quarantined(spark, state)
+    assert q.columns == [
+        "clip_id", "codec", "container",
+        "probe_failed", "dur_mismatch", "sr_mismatch",
+    ]
+    assert q.count() == 0
+    s = ingest_summary(spark, state)
+    assert s.columns == [
+        "batch", "n_pairs", "n_quarantined",
+        "n_probe_failed", "n_dur_mismatch", "n_sr_mismatch",
+    ]
+    assert s.count() == 0
+
+
+def test_gate_quarantines_null_metadata_rows_not_the_batch(spark):
+    """ADVICE r04: NULL declared dur_ms/sr_hz is missing evidence — the
+    gate's vacuous-False contract (same as with_consistency_fields' SQL
+    null semantics). One malformed row must not crash the whole Arrow
+    batch; a decodable clip with null metadata still fingerprints."""
+    pcm = A.synth_near_dup_pcm(np.array([0]))[0]
+    wav_payload, wav_codec = A.encode_variant(pcm, 1)
+    rows = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "clip_id": pd.array([1, 2, 3], dtype="int64"),
+                "bytes": [wav_payload, wav_payload, b"junk"],
+                "codec": [wav_codec, wav_codec, "flac"],
+                "dur_ms": pd.array([None, DUR_MS, None], dtype="Int32"),
+                "sr_hz": pd.array([None, None, None], dtype="Int32"),
+            }
+        )
+    )
+    got = {
+        r.id: r
+        for r in A.ingest_gate_fingerprints(rows, dur_tol_ms=50).collect()
+    }
+    assert set(got) == {1, 2, 3}
+    # null metadata => no mismatch evidence; WAV header carries sr, so
+    # dur check for id=2 runs off the container rate and passes
+    for cid in (1, 2):
+        r = got[cid]
+        assert not r.probe_failed and not r.dur_mismatch and not r.sr_mismatch
+        assert r.frames is not None
+    assert got[3].probe_failed and got[3].frames is None
+    assert not got[3].dur_mismatch and not got[3].sr_mismatch

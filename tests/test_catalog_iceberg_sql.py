@@ -177,3 +177,18 @@ def test_snapshots_and_current():
     assert t.current_snapshot() == 9
     empty = IcebergTable(_RecordingSpark(snapshot_ids=[]), "c.default.t_y")
     assert empty.current_snapshot() is None
+
+
+def test_merge_view_names_unique_under_threads():
+    """ADVICE r04: the view-name draw must be atomic — a += on a class
+    attribute is a read-modify-write two threads can interleave, landing
+    both merges on the same temp view (createOrReplaceTempView silently
+    clobbers). The itertools.count draw is a single C-level next()."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    def draw(_):
+        return f"_merge_src_{next(IcebergTable._merge_seq)}"
+
+    with ThreadPoolExecutor(max_workers=16) as ex:
+        names = list(ex.map(draw, range(800)))
+    assert len(set(names)) == 800

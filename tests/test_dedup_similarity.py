@@ -535,3 +535,29 @@ def test_ivf_pq_probe_identical_compact_and_sane(spark, tmp_path):
         .collect()
     }
     assert idx2[0] == idx2[999]
+
+
+def test_pq_rejects_indivisible_subspaces(spark):
+    """ADVICE r04: dims % m_sub != 0 would leave tail dimensions
+    unencoded (encode) and uninitialized np.empty memory (reconstruct) —
+    nondeterministic scores. Both the index build and the probe raise."""
+    import pytest
+
+    from pyanomalydetector2_spark.operators.similarity import (
+        ivf_centroids,
+        ivf_pq_probe_topk,
+        pq_codebook,
+        pq_index,
+    )
+
+    df, _mat = _emb_frame(spark, n=40, dim=18, n_dups=0)  # 18 % 4 != 0
+    cents = ivf_centroids(df, n_cells=4)
+    cb = pq_codebook(df, n_codes=8)
+    with pytest.raises(ValueError, match="divisible"):
+        pq_index(df, cents, cb, m_sub=4).collect()
+    good_idx = pq_index(df, cents, cb, m_sub=3)  # 18 % 3 == 0: fine
+    assert good_idx.count() == 40
+    with pytest.raises(ValueError, match="divisible"):
+        ivf_pq_probe_topk(
+            good_idx, df.filter("vec_id < 3"), cents, cb, m_sub=4
+        ).collect()
