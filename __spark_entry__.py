@@ -1192,6 +1192,90 @@ def q_audio_container_consistency(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+_SILENT_BASE = 1_000_000  # clip_id offset for planted silent clips
+_N_SILENT = 8
+
+
+def q_transcript_audio_consistency(spark: SparkSession, sf: str) -> DataFrame:
+    """Cross-modal transcript↔audio consistency (VERDICT r04 next-round
+    #1): the north-rule table is clip+transcript PAIRS, and this is the
+    first check that compares the two modalities of a row instead of
+    validating each alone. Three verdicts per pair, all pure column
+    expressions over the already-computed fused-Arrow quality frame and
+    the transcript tokens (crossmodal.transcript_audio_consistency —
+    zero new decode passes):
+
+    - silent_with_transcript: ≥99 % sub-1 %-FS samples yet ≥1 token;
+    - speech_with_empty_transcript: clearly-speech audio, 0 tokens;
+    - rate_outlier: tokens/sec outside [2, 60] on speech-with-transcript
+      rows (normal docs over the 2.048 s clips run 4.9–48.8 t/s).
+
+    Plants (both engines replay the same arithmetic): transcript '' on
+    clip_id % 13 == 4 (empty-on-speech), ×13-repeated text on % 17 == 6
+    (rate ≥ 63 t/s), the single token 'ok' on % 19 == 7 (0.49 t/s), and
+    8 REAL digitally-silent WAV clips at ids ≥ 1e6 paired with
+    a long transcript (even offsets — flagged) or an empty one (odd —
+    silence with no label is consistent, the negative control). Spark
+    must recover silence_ratio from an actual RIFF walk + PCM decode;
+    the DuckDB side reads the same-code-precomputed quality oracle."""
+    from pyanomalydetector2_spark.operators.audio_fp import (
+        ORACLE_FP_SEEDS,
+        audio_quality,
+        silent_wav_clip,
+    )
+    from pyanomalydetector2_spark.operators.crossmodal import (
+        transcript_audio_consistency,
+    )
+
+    payload = silent_wav_clip()
+    silent = spark.createDataFrame(
+        [(_SILENT_BASE + i, payload, "wav") for i in range(_N_SILENT)],
+        "clip_id long, bytes binary, codec string",
+    )
+    corpus = _audio_corpus(spark, sf).unionByName(silent)
+    quality = audio_quality(corpus, id_col="clip_id")
+
+    docs = load_table(spark, sf, "documents").select("doc_id", "text")
+    normal_t = docs.filter(F.col("doc_id") < ORACLE_FP_SEEDS).select(
+        F.col("doc_id").alias("id"),
+        F.when(F.col("doc_id") % 13 == 4, F.lit(""))
+        .when(
+            F.col("doc_id") % 17 == 6,
+            F.repeat(F.concat(F.col("text"), F.lit(" ")), 13),
+        )
+        .when(F.col("doc_id") % 19 == 7, F.lit("ok"))
+        .otherwise(F.col("text"))
+        .alias("transcript"),
+    )
+    silent_t = docs.filter(F.col("doc_id") < _N_SILENT).select(
+        (F.col("doc_id") + _SILENT_BASE).alias("id"),
+        F.when(F.col("doc_id") % 2 == 0, F.col("text"))
+        .otherwise(F.lit(""))
+        .alias("transcript"),
+    )
+    out = transcript_audio_consistency(
+        quality,
+        normal_t.unionByName(silent_t),
+        sr_hz=8000.0,
+        min_tokens_per_s=2.0,
+        max_tokens_per_s=60.0,
+    )
+    return out.select(
+        F.col("id").alias("clip_id"),
+        "n_tokens",
+        "silence_ratio",
+        "tokens_per_s",
+        F.col("silent_with_transcript").cast("int").alias(
+            "silent_with_transcript"
+        ),
+        F.col("speech_with_empty_transcript").cast("int").alias(
+            "speech_with_empty_transcript"
+        ),
+        F.col("rate_outlier").cast("int").alias("rate_outlier"),
+        F.col("consistent").cast("int").alias("consistent"),
+    )
+
+
 _STREAM_CUT = 1000  # clips streamed by q_audio_ingest_stream
 
 
@@ -1377,6 +1461,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_recall_audit": q_ann_recall_audit,
         "audio_quality": q_audio_quality,
         "audio_container_consistency": q_audio_container_consistency,
+        "transcript_audio_consistency": q_transcript_audio_consistency,
         "audio_ingest_stream": q_audio_ingest_stream,
         "audio_dup_clusters": q_audio_dup_clusters,
         "audio_keep_best": q_audio_keep_best,
@@ -2341,10 +2426,12 @@ def oracle_sql() -> dict[str, str]:
         N_HASHES,
         ensure_oracle_frames,
         ensure_oracle_quality,
+        ensure_oracle_silent_quality,
     )
 
     fp_path = ensure_oracle_frames()
     q_path = ensure_oracle_quality()
+    sq_path = ensure_oracle_silent_quality()
     out["audio_quality"] = f"""
         SELECT q.seed AS clip_id, q.n_samples,
                round(q.rms_db, 6) AS rms_db,
@@ -2487,6 +2574,67 @@ def oracle_sql() -> dict[str, str]:
                CASE WHEN container_sr = -1 OR container_sr = sr_hz
                     THEN 1 ELSE 0 END AS sr_ok
         FROM m
+    """
+
+    # cross-modal: the quality side reads the same-code-precomputed
+    # parquet oracles (normal corpus + the one silent-WAV row), the
+    # transcript side replays the plant CASE and the shared whitespace
+    # tokenization; flags compare the ROUNDED values exactly as Spark does
+    out["transcript_audio_consistency"] = f"""
+        WITH q AS (
+          SELECT q.seed AS id, q.n_samples, q.silence_ratio
+          FROM read_parquet('{q_path}') q
+          JOIN documents d ON q.seed = d.doc_id
+          UNION ALL
+          SELECT {_SILENT_BASE} + d.doc_id AS id,
+                 s.n_samples, s.silence_ratio
+          FROM read_parquet('{sq_path}') s
+          CROSS JOIN documents d
+          WHERE d.doc_id < {_N_SILENT}
+        ), tr AS (
+          SELECT doc_id AS id,
+                 CASE WHEN doc_id % 13 = 4 THEN ''
+                      WHEN doc_id % 17 = 6 THEN repeat(text || ' ', 13)
+                      WHEN doc_id % 19 = 7 THEN 'ok'
+                      ELSE text END AS transcript
+          FROM documents
+          UNION ALL
+          SELECT {_SILENT_BASE} + doc_id AS id,
+                 CASE WHEN doc_id % 2 = 0 THEN text ELSE '' END
+                   AS transcript
+          FROM documents WHERE doc_id < {_N_SILENT}
+        ), m AS (
+          SELECT q.id,
+                 CASE WHEN t.transcript IS NULL THEN 0
+                      ELSE len(list_filter(regexp_split_to_array(
+                               lower(trim(t.transcript)), '\\s+'),
+                             x -> x <> '')) END AS n_tokens,
+                 round(q.silence_ratio, 6) AS silence_ratio,
+                 q.n_samples
+          FROM q JOIN tr t ON q.id = t.id
+        ), f AS (
+          SELECT id, n_tokens, silence_ratio,
+                 round(n_tokens * 8000.0 / n_samples, 6) AS tokens_per_s,
+                 (silence_ratio >= 0.99) AS is_silent,
+                 (silence_ratio <= 0.5) AS is_speech
+          FROM m
+        )
+        SELECT id AS clip_id, n_tokens::INT AS n_tokens, silence_ratio,
+               tokens_per_s,
+               CASE WHEN is_silent AND n_tokens >= 1 THEN 1 ELSE 0 END
+                 AS silent_with_transcript,
+               CASE WHEN is_speech AND n_tokens = 0 THEN 1 ELSE 0 END
+                 AS speech_with_empty_transcript,
+               CASE WHEN is_speech AND n_tokens >= 1
+                         AND (tokens_per_s < 2.0 OR tokens_per_s > 60.0)
+                    THEN 1 ELSE 0 END AS rate_outlier,
+               CASE WHEN NOT ((is_silent AND n_tokens >= 1)
+                              OR (is_speech AND n_tokens = 0)
+                              OR (is_speech AND n_tokens >= 1
+                                  AND (tokens_per_s < 2.0
+                                       OR tokens_per_s > 60.0)))
+                    THEN 1 ELSE 0 END AS consistent
+        FROM f
     """
 
     # categorical drift: identical algebra to drift_scores_categorical_df —

@@ -718,6 +718,40 @@ def _ensure_oracle_tables(n_seeds: int, out_dir: str) -> tuple[str, str]:
     return fpath, qpath
 
 
+def silent_wav_clip() -> bytes:
+    """A REAL RIFF/WAV payload of N_SAMPLES digitally-silent samples —
+    the planted 'silent clip' for the cross-modal transcript checks.
+    Goes through the same encode/decode machinery as every other clip,
+    so Spark recovers its quality metrics from an actual container walk
+    + PCM decode, never from a fixture."""
+    from pyanomalydetector2_spark.operators.audio import encode_wav
+
+    return encode_wav(np.zeros(N_SAMPLES, dtype=np.int16), SR_HZ)
+
+
+def ensure_oracle_silent_quality(out_dir: str = ORACLE_FP_DIR) -> str:
+    """Quality-metric oracle row for the silent clip, computed by the
+    SAME decode→quality_metrics code the Spark executors run (the
+    ensure_oracle_quality convention) and cached as a one-row parquet
+    for the DuckDB replay."""
+    path = os.path.join(out_dir, "silent_quality.parquet")
+    if os.path.exists(path):
+        return path
+    os.makedirs(out_dir, exist_ok=True)
+    m = quality_metrics(decode_full(silent_wav_clip(), "wav"))
+    qdf = pd.DataFrame(
+        [m],
+        columns=[
+            "n_samples", "rms_db", "peak",
+            "clipping_ratio", "silence_ratio", "zcr",
+        ],
+    ).astype({"n_samples": np.int64})
+    tmp = path + ".tmp"
+    qdf.to_parquet(tmp, index=False)
+    os.replace(tmp, path)
+    return path
+
+
 def ensure_oracle_frames(
     n_seeds: int = ORACLE_FP_SEEDS, out_dir: str = ORACLE_FP_DIR
 ) -> str:

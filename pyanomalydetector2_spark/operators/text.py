@@ -24,16 +24,22 @@ LANG_MARKERS: dict[str, tuple[str, ...]] = {
 STOPWORDS = ("the", "a", "of", "and", "to", "in", "is")
 
 
+def ws_tokens(col: Column) -> Column:
+    """Whitespace tokens of a text column as an array, dropping
+    empty-string tokens: split('') yields [''] (size 1), which would
+    credit empty/whitespace-only docs with a phantom token. The shared
+    tokenization for token_metrics and the cross-modal transcript
+    checks — one definition, one oracle replay
+    (list_filter(regexp_split_to_array(lower(trim(x)), '\\s+'), …))."""
+    return F.filter(F.split(F.lower(F.trim(col)), r"\s+"), lambda x: x != "")
+
+
 def token_metrics(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Per-row token/char metrics + a quality score:
     n_tokens (whitespace), n_bpe_ish (regex sub-word pieces), avg token len,
     punct ratio, stopword ratio, alpha ratio, quality_score ∈ [0,1]."""
     t = F.col(text_col)
-    # drop empty-string tokens: split('') yields [''] (size 1), which would
-    # credit empty/whitespace-only docs with a phantom token
-    toks = F.filter(
-        F.split(F.lower(F.trim(t)), r"\s+"), lambda x: x != ""
-    )
+    toks = ws_tokens(t)
     n_tok = F.size(toks)
     n_chars = F.length(t)
     # BPE-ish sub-word pieces: letter runs, digit runs, single punct marks.

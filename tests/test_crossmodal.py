@@ -1,0 +1,92 @@
+"""Cross-modal transcript↔audio consistency (operators/crossmodal.py).
+
+Operator-level truth table over hand-planted quality/transcript frames
+(the contract query owns the end-to-end decode path): every flag fires
+exactly on its planted row, the threshold gap row fires nothing, NULL
+transcripts count zero tokens, and the rate algebra matches a numpy
+replay.
+"""
+
+from __future__ import annotations
+
+from pyanomalydetector2_spark.operators.crossmodal import (
+    transcript_audio_consistency,
+)
+
+N = 16384  # samples at 8 kHz → 2.048 s
+
+
+def _run(spark, rows):
+    """rows: (id, silence_ratio, transcript)."""
+    quality = spark.createDataFrame(
+        [(i, N, sr) for i, sr, _ in rows],
+        "id long, n_samples long, silence_ratio double",
+    )
+    transcripts = spark.createDataFrame(
+        [(i, t) for i, _, t in rows], "id long, transcript string"
+    )
+    out = transcript_audio_consistency(
+        quality, transcripts, sr_hz=8000.0,
+        min_tokens_per_s=2.0, max_tokens_per_s=60.0,
+    )
+    return {r.id: r for r in out.collect()}
+
+
+def test_flag_truth_table(spark):
+    text20 = " ".join(["word"] * 20)  # 20 tok / 2.048 s = 9.77 t/s: sane
+    text200 = " ".join(["word"] * 200)  # 97.7 t/s: too fast
+    got = _run(
+        spark,
+        [
+            (0, 0.1, text20),    # clean speech+transcript
+            (1, 1.0, text20),    # silent with transcript → flag
+            (2, 1.0, ""),        # silence, no label: consistent
+            (3, 0.1, ""),        # speech, empty → flag
+            (4, 0.1, None),      # speech, NULL = 0 tokens → flag
+            (5, 0.1, text200),   # rate too high → flag
+            (6, 0.1, "ok"),      # 0.488 t/s, too slow → flag
+            (7, 0.7, text200),   # threshold gap: neither silent nor speech
+            (8, 1.0, None),      # silent + NULL: consistent
+        ],
+    )
+    flags = {
+        i: (
+            r.silent_with_transcript,
+            r.speech_with_empty_transcript,
+            r.rate_outlier,
+            r.consistent,
+        )
+        for i, r in got.items()
+    }
+    assert flags == {
+        0: (False, False, False, True),
+        1: (True, False, False, False),
+        2: (False, False, False, True),
+        3: (False, True, False, False),
+        4: (False, True, False, False),
+        5: (False, False, True, False),
+        6: (False, False, True, False),
+        7: (False, False, False, True),
+        8: (False, False, False, True),
+    }
+    assert got[4].n_tokens == 0 and got[2].n_tokens == 0
+    # single-division rate algebra: n_tokens * sr / n_samples, round 6
+    assert got[0].tokens_per_s == round(20 * 8000.0 / N, 6)
+    assert got[6].tokens_per_s == round(1 * 8000.0 / N, 6)
+
+
+def test_inner_join_drops_undecodable(spark):
+    """Clips absent from the quality frame (undecodable — the decode
+    check owns them) produce no verdict row."""
+    got = _run(spark, [(0, 0.1, "a b c d e f g h i j")])
+    extra = spark.createDataFrame(
+        [(99, "orphan transcript")], "id long, transcript string"
+    )
+    quality = spark.createDataFrame(
+        [(0, N, 0.1)], "id long, n_samples long, silence_ratio double"
+    )
+    out = transcript_audio_consistency(quality, extra.union(
+        spark.createDataFrame([(0, "a b c d e f g h i j")],
+                              "id long, transcript string")))
+    assert [r.id for r in out.collect()] == [0]
+    assert set(got) == {0}
