@@ -134,6 +134,18 @@ class Suite:
         ]
 
 
+# transcript token count as a pure SQL expression (space-delimited runs;
+# trim + empty-filter so ''/NULL count 0 — same contract as text.ws_tokens).
+# Deliberately backslash-free so the YAML mirror is byte-identical.
+_TOK = (
+    "size(filter(split(lower(trim(coalesce(transcript, ''))), ' +'), "
+    "x -> x != ''))"
+)
+# declared tokens/second; NULL when dur_ms is NULL/0 (missing evidence —
+# SQL null semantics make the outlier comparison vacuous-false)
+_RATE = f"{_TOK} * 1000.0 / nullif(dur_ms, 0)"
+
+
 def default_clips_suite() -> Suite:
     """The full constraint suite for the clips table (north_rule surface).
     SNR threshold per input_hint: decoded-PCM allclose ⇔ SNR ≥ 30 dB."""
@@ -169,6 +181,35 @@ def default_clips_suite() -> Suite:
                 "transcript_ok",
                 "coalesce(transcript, 'NULL')",
                 "transcript equals reference transcript",
+                requires_audio=True,
+            ),
+            # cross-modal transcript↔audio checks (VERDICT r04 #1): the
+            # table is clip+transcript PAIRS — compare the modalities.
+            # silence_ratio rides the same decoded head the SNR pass
+            # already materialized; tokens are a column expression; all
+            # three predicates are vacuous-true without decode evidence.
+            RowCheck(
+                "transcript_silence_consistent",
+                f"NOT (decode_ok AND silence_ratio >= 0.99 AND {_TOK} >= 1)",
+                "concat('silence_ratio=', cast(round(silence_ratio, 3) as "
+                f"string), ' n_tokens=', cast({_TOK} as string))",
+                "no non-empty transcript on a silent clip",
+                requires_audio=True,
+            ),
+            RowCheck(
+                "transcript_speech_labeled",
+                f"NOT (decode_ok AND silence_ratio <= 0.5 AND {_TOK} = 0)",
+                "concat('silence_ratio=', cast(round(silence_ratio, 3) as "
+                "string), ' transcript=', coalesce(transcript, 'NULL'))",
+                "speech audio carries a non-empty transcript",
+                requires_audio=True,
+            ),
+            RowCheck(
+                "speaking_rate_sane",
+                f"NOT (decode_ok AND silence_ratio <= 0.5 AND {_TOK} >= 1 "
+                f"AND ({_RATE} < 0.02 OR {_RATE} > 100.0))",
+                f"concat('tokens_per_s=', cast(round({_RATE}, 3) as string))",
+                "0.02 <= declared tokens/second <= 100 on speech rows",
                 requires_audio=True,
             ),
         ),

@@ -33,8 +33,20 @@ tests can count them in closed form:
 - empty transcript         id % 109 == 5
 - corrupted PCM (SNR<30)   id % 113 == 6  (additive seeded noise)
 - transcript mismatch      id % 127 == 7  (tokens shifted vs reference)
+- silent clip w/transcript id % 131 == 8  (payload zeroed; flags the
+                           cross-modal silence check AND pcm_snr_30db —
+                           the reference decode is the sine, so the
+                           closed-form snr count includes this stride)
+- speaking rate too fast   id % 137 == 9  (transcript ×40, dur_ms=1000
+                           → 200–560 tok/s; also trips transcript match)
+- speaking rate too slow   id % 139 == 10 (transcript 'ok', dur_ms=60000
+                           → 0.017 tok/s; also trips transcript match)
 - dur_ms drift             current dur_ms *= 1.25 (distribution shift vs
                            baseline → PSI/KS target)
+
+Normal rows never trip the rate bounds (0.02, 100): 5–14 tokens over
+Box-Muller dur_ms ∈ [~221 ms, ~40 s] keeps tokens·1000/dur_ms inside
+[0.125, 63.4] in both snapshots.
 """
 
 from __future__ import annotations
@@ -73,6 +85,9 @@ V_NULL_T = (107, 4)
 V_EMPTY_T = (109, 5)
 V_PCM = (113, 6)
 V_MISMATCH = (127, 7)
+V_SILENT = (131, 8)
+V_RATE_HI = (137, 9)
+V_RATE_LO = (139, 10)
 
 
 def _splitmix64(x: np.ndarray) -> np.ndarray:
@@ -192,6 +207,11 @@ def _gen_batch(
         codec[_hits(eff, V_CODEC)] = "amr_nb"
         sr = sr.copy()
         sr[_hits(eff, V_SR)] = 12345
+        # speaking-rate plants pin dur_ms so the rate is deterministic
+        # regardless of the Box-Muller draw (transcripts set below)
+        dur = dur.copy()
+        dur[_hits(eff, V_RATE_HI)] = 1000
+        dur[_hits(eff, V_RATE_LO)] = 60000
 
     # batch-vectorized wave synthesis: one (n × samples) matrix, in-place ops
     # (this VM pays heavily for fresh large allocations — buffers are touched
@@ -204,6 +224,12 @@ def _gen_batch(
     for i in np.nonzero(noise_mask)[0]:
         nz = (u01(eff[i] * PCM_SAMPLES + np.arange(PCM_SAMPLES), 41) - 0.5) * PCM_AMP
         waves[i] = waves[i] + nz
+    if planted:
+        # silent-clip plant: digitally-silent payload under a normal
+        # transcript — the cross-modal mislabel case. The reference
+        # decode stays the sine, so these rows also fail pcm_snr_30db
+        # (overlapping flags are the norm; counts stay closed-form)
+        waves[_hits(eff, V_SILENT)] = 0.0
     # clip BEFORE the int16 cast: corrupted rows (wave ±26000 + noise
     # ±13000) can exceed int16 range, and float→int16 of out-of-range
     # values is formally undefined in numpy — clipping keeps the row just
@@ -251,6 +277,8 @@ def _gen_batch(
     null_m = _hits(eff, V_NULL_T) if planted else np.zeros(n, dtype=bool)
     empty_m = _hits(eff, V_EMPTY_T) if planted else np.zeros(n, dtype=bool)
     mism_m = _hits(eff, V_MISMATCH) if planted else np.zeros(n, dtype=bool)
+    rhi_m = _hits(eff, V_RATE_HI) if planted else np.zeros(n, dtype=bool)
+    rlo_m = _hits(eff, V_RATE_LO) if planted else np.zeros(n, dtype=bool)
     ref_t = reference_transcripts_batch(eff)
     for i in range(n):
         if null_m[i]:
@@ -259,6 +287,10 @@ def _gen_batch(
             trans.append("")
         elif mism_m[i]:
             trans.append(ref_t[i] + " corrupted")
+        elif rhi_m[i]:
+            trans.append(" ".join([ref_t[i]] * 40))
+        elif rlo_m[i]:
+            trans.append("ok")
         else:
             trans.append(ref_t[i])
 

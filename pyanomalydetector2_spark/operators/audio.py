@@ -230,6 +230,7 @@ _INV_TYPE = T.StructType(
         T.StructField("snr", T.DoubleType()),
         T.StructField("decode_ok", T.BooleanType()),
         T.StructField("transcript_ok", T.BooleanType()),
+        T.StructField("silence_ratio", T.DoubleType()),
     ]
 )
 
@@ -280,6 +281,11 @@ def audio_invariants(
     freqs = 100.0 + 400.0 * u01(nums_safe, 5)
     refs = synth_waves(nums_safe, freqs)
     ps = np.einsum("ij,ij->i", refs, refs)
+    # silence share of the decoded head (|x| < 1 % full scale) — computed
+    # BEFORE decs is reused as the error matrix; one vectorized reduction
+    # on the decode the SNR pass already materialized (zero extra decode
+    # work). Feeds the cross-modal transcript checks.
+    sil = np.mean(np.abs(decs) < 327.68, axis=1)
     np.subtract(decs, refs, out=decs)  # decs becomes the error matrix
     pe = np.einsum("ij,ij->i", decs, decs)
     with np.errstate(divide="ignore", invalid="ignore"):
@@ -291,13 +297,23 @@ def audio_invariants(
     mask = valid & dec_ok
     snrs[mask] = s[mask]
 
+    sils = np.full(n, np.nan)
+    sils[mask] = sil[mask]  # NaN for undecodable rows (missing evidence)
+
     ref_t = reference_transcripts_batch(nums_safe)
     for i in range(n):
         if not valid[i]:
             continue
         tr = transcript.iat[i]
         t_ok[i] = tr is not None and tr == ref_t[i]
-    return pd.DataFrame({"snr": snrs, "decode_ok": dec_ok, "transcript_ok": t_ok})
+    return pd.DataFrame(
+        {
+            "snr": snrs,
+            "decode_ok": dec_ok,
+            "transcript_ok": t_ok,
+            "silence_ratio": sils,
+        }
+    )
 
 
 def with_audio_invariants(clips: DataFrame) -> DataFrame:
@@ -309,4 +325,5 @@ def with_audio_invariants(clips: DataFrame) -> DataFrame:
         F.col("_inv.snr").alias("snr"),
         F.col("_inv.decode_ok").alias("decode_ok"),
         F.col("_inv.transcript_ok").alias("transcript_ok"),
+        F.col("_inv.silence_ratio").alias("silence_ratio"),
     ).drop("_inv")

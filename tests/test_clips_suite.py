@@ -15,6 +15,9 @@ from pyanomalydetector2_spark.datagen.clips import (
     V_MISMATCH,
     V_NULL_T,
     V_PCM,
+    V_RATE_HI,
+    V_RATE_LO,
+    V_SILENT,
     V_SR,
     _gen_batch,
     clips_table,
@@ -76,14 +79,28 @@ def test_suite_violation_counts_match_oracle(spark, clips):
     mism_m = (eff % V_MISMATCH[0]) == V_MISMATCH[1]
     pcm_hit = (eff % V_PCM[0]) == V_PCM[1]
     codec_hit = (eff % V_CODEC[0]) == V_CODEC[1]
+    silent_m = (eff % V_SILENT[0]) == V_SILENT[1]
+    rhi_m = (eff % V_RATE_HI[0]) == V_RATE_HI[1]
+    rlo_m = (eff % V_RATE_LO[0]) == V_RATE_LO[1]
     exp_null = int(null_m.sum())
     exp_empty = int(empty_m.sum())
     exp_codec = int(codec_hit.sum())
     exp_sr = int(((eff % V_SR[0]) == V_SR[1]).sum())
-    # snr check fails on corrupted PCM and on undecodable (unknown codec) rows
-    exp_snr = int((pcm_hit | codec_hit).sum())
-    # transcript match fails on mismatch ∪ null ∪ empty (strides can overlap)
-    exp_tmatch = int((mism_m | null_m | empty_m).sum())
+    # snr check fails on corrupted PCM, undecodable (unknown codec) rows,
+    # and the silent plant (zero payload vs sine reference → 0 dB)
+    exp_snr = int((pcm_hit | codec_hit | silent_m).sum())
+    # transcript match fails on every transcript mutation (strides overlap)
+    exp_tmatch = int((mism_m | null_m | empty_m | rhi_m | rlo_m).sum())
+    # cross-modal checks: need decode evidence (unknown codec excluded);
+    # silent rows flag when the transcript has ≥1 token (every transcript
+    # variant except the null/empty plants); speech rows flag on 0 tokens
+    # (null/empty plants, unless the row is also the silent plant); rate
+    # plants fire only where their transcript mutation actually landed
+    # (null/empty/mismatch take precedence) on speech rows
+    exp_silent_t = int((silent_m & ~codec_hit & ~(null_m | empty_m)).sum())
+    exp_speech_e = int(((null_m | empty_m) & ~codec_hit & ~silent_m).sum())
+    rate_fires = (rhi_m | rlo_m) & ~(null_m | empty_m | mism_m)
+    exp_rate = int((rate_fires & ~codec_hit & ~silent_m).sum())
     # every row participating in a duplicated key is a violation row
     dup_keys = o.loc[dup, "clip_id"]
     exp_dup_rows = int(o["clip_id"].isin(set(dup_keys)).sum())
@@ -94,6 +111,9 @@ def test_suite_violation_counts_match_oracle(spark, clips):
     assert got.get("pcm_snr_30db", 0) == exp_snr
     assert got.get("transcript_matches_reference", 0) == exp_tmatch
     assert got.get("clip_id_unique", 0) == exp_dup_rows
+    assert got.get("transcript_silence_consistent", 0) == exp_silent_t
+    assert got.get("transcript_speech_labeled", 0) == exp_speech_e
+    assert got.get("speaking_rate_sane", 0) == exp_rate
     assert "dur_ms_positive" not in got
     assert "clip_id_format" not in got
 
@@ -136,10 +156,16 @@ def test_snr_separation(spark, clips):
     dup = (ids % V_DUP[0] == V_DUP[1]) & (ids > 0)
     eff[dup] = ids[dup] - 1
     corrupted_ids = set(o.loc[(eff % V_PCM[0]) == V_PCM[1], "clip_id"])
+    silent_ids = set(o.loc[(eff % V_SILENT[0]) == V_SILENT[1], "clip_id"])
     decodable = inv[inv.decode_ok]
     bad = decodable[decodable.clip_id.isin(corrupted_ids)]
-    good = decodable[~decodable.clip_id.isin(corrupted_ids)]
+    silent = decodable[decodable.clip_id.isin(silent_ids - corrupted_ids)]
+    good = decodable[
+        ~decodable.clip_id.isin(corrupted_ids | silent_ids)
+    ]
     assert (bad.snr < 15).all(), bad.snr.describe()
+    # silent plant: zero payload vs sine reference is exactly 0 dB
+    assert (silent.snr == 0.0).all(), silent.snr.describe()
     assert (good.snr > 45).all(), good.snr.describe()
 
 
