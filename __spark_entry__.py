@@ -343,6 +343,46 @@ def q_embedding_topk(spark: SparkSession, sf: str) -> DataFrame:
     return out.select("query_id", "match_id", "cosine", F.col("rank").cast("int").alias("rank"))
 
 
+def q_text_embed(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic feature-hash text embeddings (VERDICT r04 stretch #8
+    — the hashing trick, Weinberger et al. 2009): token → h60 bucket with
+    an independent-hash sign, signed counts L2-normalized. Lets the whole
+    ANN/near-dup stack run on corpora that arrive WITHOUT vectors, with
+    zero trained state, and is DuckDB-replayable by construction: the
+    pre-normalization sums are integer-valued doubles, so float addition
+    order cannot differ between engines and the check is hash-exact.
+    Output exploded to (doc_id, i, val) scalars for the value-hash."""
+    from pyanomalydetector2_spark.operators.text import text_embed
+
+    docs = load_table(spark, sf, "documents")
+    emb = text_embed(docs, "doc_id", "text", dims=64)
+    return emb.select(
+        F.col("id").alias("doc_id"),
+        F.posexplode("embedding").alias("i", "val"),
+    )
+
+
+def q_text_embed_near_dup(spark: SparkSession, sf: str) -> DataFrame:
+    """Embedding near-dup over DERIVED vectors: the exact blocked-matmul
+    operator (same kernel as embedding_near_dup) consumes text_embed's
+    output instead of the datagen embeddings table — the planted
+    near-identical documents surface as high-cosine pairs from nothing
+    but their text. The DuckDB oracle replays the whole pipeline:
+    tokenize → feature-hash → normalize → all-pairs cosine."""
+    from pyanomalydetector2_spark.operators.similarity import (
+        cosine_near_dup_pairs_blocked,
+    )
+    from pyanomalydetector2_spark.operators.text import text_embed
+
+    docs = load_table(spark, sf, "documents")
+    # round6=False: rounded components make pair dots land exactly on
+    # 6-dp midpoints where numpy and SQL round() disagree (see text_embed)
+    emb = text_embed(docs, "doc_id", "text", dims=64, round6=False).select(
+        F.col("id").alias("vec_id"), "embedding"
+    )
+    return cosine_near_dup_pairs_blocked(emb, threshold=0.9, num_blocks=4)
+
+
 def q_text_quality(spark: SparkSession, sf: str) -> DataFrame:
     """Token counting + quality scoring per document."""
     docs = load_table(spark, sf, "documents")
@@ -1423,6 +1463,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": q_simhash,
         "embedding_topk": q_embedding_topk,
         "text_quality": q_text_quality,
+        "text_embed": q_text_embed,
+        "text_embed_near_dup": q_text_embed_near_dup,
         "lang_id": q_lang_id,
         "stable_sample": q_stable_sample,
         "doc_fingerprint": q_doc_fingerprint,
@@ -1846,6 +1888,87 @@ def oracle_sql() -> dict[str, str]:
                      + (CASE WHEN ar > 0.6 THEN 0.3 ELSE 0.0 END), 6)
                      AS quality_score
             FROM r
+        """,
+        # feature-hash embeddings: sums of ±1 are integer-valued doubles,
+        # so the pre-normalization aggregation is order-exact; sqrt and the
+        # single divide are then identical IEEE ops on both engines
+        "text_embed": f"""
+            WITH toks AS MATERIALIZED (
+              SELECT doc_id,
+                     unnest(list_filter(regexp_split_to_array(
+                              lower(trim(text)), '\\s+'),
+                            x -> x <> '')) AS tok
+              FROM documents
+            ), sg AS (
+              SELECT doc_id,
+                     ({_H60.format(x='tok')}) % 64 AS j,
+                     CASE WHEN substr(md5(tok), 16, 1) < '8'
+                          THEN 1 ELSE -1 END AS s
+              FROM toks
+            ), agg AS MATERIALIZED (
+              SELECT doc_id, j::INT AS j, sum(s)::DOUBLE AS v
+              FROM sg GROUP BY 1, 2
+            ), grid AS (
+              SELECT d.doc_id, g.i::INT AS i
+              FROM (SELECT DISTINCT doc_id FROM documents) d,
+                   generate_series(0, 63) g(i)
+            ), dense AS MATERIALIZED (
+              SELECT grid.doc_id, grid.i, coalesce(a.v, 0.0) AS v
+              FROM grid LEFT JOIN agg a
+                ON a.doc_id = grid.doc_id AND a.j = grid.i
+            ), nrm AS (
+              SELECT doc_id, sqrt(sum(v * v)) AS n FROM dense GROUP BY 1
+            )
+            SELECT dense.doc_id, dense.i,
+                   CASE WHEN n > 0 THEN round(v / n, 6) ELSE v END AS val
+            FROM dense JOIN nrm USING (doc_id)
+        """,
+        "text_embed_near_dup": f"""
+            WITH toks AS MATERIALIZED (
+              SELECT doc_id,
+                     unnest(list_filter(regexp_split_to_array(
+                              lower(trim(text)), '\\s+'),
+                            x -> x <> '')) AS tok
+              FROM documents
+            ), sg AS (
+              SELECT doc_id,
+                     ({_H60.format(x='tok')}) % 64 AS j,
+                     CASE WHEN substr(md5(tok), 16, 1) < '8'
+                          THEN 1 ELSE -1 END AS s
+              FROM toks
+            ), agg AS MATERIALIZED (
+              SELECT doc_id, j::INT AS j, sum(s)::DOUBLE AS v
+              FROM sg GROUP BY 1, 2
+            ), grid AS (
+              SELECT d.doc_id, g.i::INT AS i
+              FROM (SELECT DISTINCT doc_id FROM documents) d,
+                   generate_series(0, 63) g(i)
+            ), dense AS MATERIALIZED (
+              SELECT grid.doc_id, grid.i, coalesce(a.v, 0.0) AS v
+              FROM grid LEFT JOIN agg a
+                ON a.doc_id = grid.doc_id AND a.j = grid.i
+            ), nrm AS (
+              SELECT doc_id, sqrt(sum(v * v)) AS n FROM dense GROUP BY 1
+            ), vecs AS MATERIALIZED (
+              -- raw v/n, NOT rounded: see q_text_embed_near_dup
+              SELECT dense.doc_id,
+                     list(CASE WHEN n > 0 THEN v / n ELSE v END
+                          ORDER BY i) AS embedding
+              FROM dense JOIN nrm USING (doc_id)
+              GROUP BY dense.doc_id
+            )
+            -- round_even, not round: integer-count vectors make cosines
+            -- exact dyadic rationals (e.g. 101/128 = 0.7890625) that land
+            -- ON 6-dp midpoints, where numpy rounds half-to-even and
+            -- DuckDB round() half-away — round_even replays numpy exactly
+            SELECT id_a, id_b, cosine FROM (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                     round_even(list_cosine_similarity(a.embedding::DOUBLE[],
+                                                       b.embedding::DOUBLE[]),
+                                6) AS cosine
+              FROM vecs a, vecs b
+              WHERE a.doc_id < b.doc_id
+            ) WHERE cosine >= 0.9
         """,
         "lang_id": f"""
             WITH m AS (

@@ -138,6 +138,7 @@ def run_suite(
     salt_buckets: int | None = None,
     commit: bool = True,
     embeddings: DataFrame | None = None,
+    eager_verdicts: bool = True,
 ) -> SuiteResult:
     """Run the full suite over ``current`` (minus already-committed buckets
     when resuming), emit verdicts + violations, commit the ledger.
@@ -147,7 +148,17 @@ def run_suite(
     ``commit_checkpoint(result, checkpoint)`` AFTER the persist succeeds —
     otherwise a crash between validation and persistence marks buckets
     committed whose violations were never written, and --resume silently
-    skips them forever."""
+    skips them forever.
+
+    ``eager_verdicts`` (VERDICT r04 #3 — a knob, not a hardcode): True
+    materializes each family's verdict frame sequentially
+    (localCheckpoint) so families execute one job at a time — the shape a
+    small-driver host needs (a lazy union runs every family's table scan
+    concurrently and blew an 8g driver at the 8M-row materialize tier).
+    False leaves the union lazy: one job, families' scans overlap — on a
+    real cluster concurrent family scans are an executor-memory question
+    and the lazy union recovers the overlapped wall-clock. Both paths
+    emit bit-identical verdicts (pytest-pinned)."""
     t0 = time.time()
     _last = [t0]
 
@@ -564,19 +575,20 @@ def run_suite(
             )
         _tick("ann recall audit")
 
-    # Materialize each family's verdict frame EAGERLY and separately
-    # (localCheckpoint): rows stay distributed — driver memory is still
-    # independent of bucket count — but the families execute as sequential
-    # jobs exactly like the pre-r04 per-family collects did. Leaving them
-    # as lazy legs of one union-job runs every family's table scan
-    # CONCURRENTLY at full parallelism, which blew the driver heap at the
-    # 8M-row materialize tier. The checkpointed frames are O(buckets ×
-    # constraints) rows, so the storage cost is negligible.
+    # Family verdict frames: eager (default) materializes each frame
+    # sequentially via localCheckpoint — rows stay distributed, driver
+    # memory independent of bucket count, families execute one job at a
+    # time (the small-driver-safe shape). Lazy leaves one union job whose
+    # family scans overlap — the cluster shape. See the docstring knob.
     verdicts = spark.createDataFrame(verdict_rows, VERDICT_SCHEMA)
     for vf in verdict_frames:
-        verdicts = verdicts.unionByName(vf.localCheckpoint())
+        verdicts = verdicts.unionByName(
+            vf.localCheckpoint() if eager_verdicts else vf
+        )
     verdicts = verdicts.cache()
-    if stat_prof is not None:  # its verdict legs are materialized above
+    if stat_prof is not None and eager_verdicts:
+        # its verdict legs are materialized above; under lazy verdicts the
+        # legs still reference the persisted profile — keep the cache
         stat_prof.unpersist()
 
     if checkpoint is not None and commit:

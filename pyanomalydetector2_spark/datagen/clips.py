@@ -185,7 +185,10 @@ def _hits(ids: np.ndarray, stride: tuple[int, int]) -> np.ndarray:
 
 
 def _gen_batch(
-    ids: np.ndarray, planted: bool, codecs: tuple[str, ...] = CODECS
+    ids: np.ndarray,
+    planted: bool,
+    codecs: tuple[str, ...] = CODECS,
+    hot_key_share: float = 0.0,
 ) -> pd.DataFrame:
     n = len(ids)
     # duplicates are FULL row copies of the previous id (a true duplicate
@@ -197,6 +200,16 @@ def _gen_batch(
         eff[dup] = ids[dup] - 1
     else:
         eff = ids
+    if hot_key_share > 0.0:
+        # skew knob (VERDICT r04 #6): a deterministic hash-chosen share of
+        # rows become FULL copies of clip 0 — one degenerate clip_id (and,
+        # since bucket = crc32(clip_id), one degenerate bucket) carrying
+        # that share of the table. Applied AFTER the dup plant so the hot
+        # set is a pure function of the row id; apply the same share to
+        # baseline and current so drift comparisons stay apples-to-apples.
+        hot = u01(ids, 90) < hot_key_share
+        eff = eff.copy()
+        eff[hot] = 0
     cids = clip_id_of(eff)
     sr = np.array(SAMPLE_RATES)[(u01(eff, 31) * len(SAMPLE_RATES)).astype(int)]
     codec = np.array(codecs)[(u01(eff, 32) * len(codecs)).astype(int)]
@@ -317,17 +330,20 @@ def clips_table(
     n_buckets: int = 16,
     partitions: int | None = None,
     codecs: tuple[str, ...] = CODECS,
+    hot_key_share: float = 0.0,
 ) -> DataFrame:
     """Distributed deterministic clips DataFrame.
 
     ``planted=False`` → baseline snapshot (no violations, no drift);
     ``planted=True``  → current snapshot with violations + dur_ms drift.
+    ``hot_key_share`` > 0 → that share of rows are full copies of clip 0
+    (one degenerate key + bucket; the skew-bench input, see _gen_batch).
     """
 
     def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             ids = pdf["id"].to_numpy()
-            out = _gen_batch(ids, planted, codecs)
+            out = _gen_batch(ids, planted, codecs, hot_key_share)
             out["bucket"] = (out["bucket"] % n_buckets).astype(np.int32)
             yield out
 

@@ -64,6 +64,28 @@ def main(argv: list[str] | None = None) -> dict:
         help="expect the warehouse already materialized (scaling runs: "
         "identical input, different parallelism)",
     )
+    ap.add_argument(
+        "--hot-key-share",
+        type=float,
+        default=0.0,
+        help="datagen skew knob: this share of rows become full copies of "
+        "clip 0 — one degenerate clip_id and bucket (skew-bench input)",
+    )
+    ap.add_argument(
+        "--drop-checks",
+        default="",
+        help="comma-separated constraint ids to EXCLUDE from the suite "
+        "(ablation / wall-decomposition runs; unknown ids are an error)",
+    )
+    ap.add_argument(
+        "--lazy-verdicts",
+        dest="eager_verdicts",
+        action="store_false",
+        help="leave family verdict frames as one lazy union job (cluster "
+        "shape: family scans overlap) instead of the default sequential "
+        "localCheckpoint materialization (small-driver shape); results "
+        "are bit-identical either way",
+    )
     ap.add_argument("--json-out", default=None, help="also append summary JSON to this file")
     args = ap.parse_args(argv)
 
@@ -92,8 +114,14 @@ def main(argv: list[str] | None = None) -> dict:
     if args.skip_datagen:
         cur, base = cur_t.read(spark), base_t.read(spark)
     else:
-        cur = clips_table(spark, args.rows, planted=True, n_buckets=args.buckets)
-        base = clips_table(spark, args.rows, planted=False, n_buckets=args.buckets)
+        cur = clips_table(
+            spark, args.rows, planted=True, n_buckets=args.buckets,
+            hot_key_share=args.hot_key_share,
+        )
+        base = clips_table(
+            spark, args.rows, planted=False, n_buckets=args.buckets,
+            hot_key_share=args.hot_key_share,
+        )
         if args.materialize:
             # cluster rows into their bucket partition before writing: ONE
             # file per bucket instead of (write-tasks × buckets) shards —
@@ -113,6 +141,26 @@ def main(argv: list[str] | None = None) -> dict:
     ledger = CheckpointLedger(os.path.join(args.warehouse, "ledger")) if args.resume else None
 
     suite = load_suite(args.suite) if args.suite else default_clips_suite()
+    drop = {s for s in args.drop_checks.split(",") if s}
+    if drop:
+        unknown = drop - set(suite.all_ids())
+        if unknown:
+            raise SystemExit(f"--drop-checks: unknown ids {sorted(unknown)}")
+        from pyanomalydetector2_spark.constraints.dsl import Suite
+
+        suite = Suite(
+            *(
+                tuple(c for c in grp if c.constraint_id not in drop)
+                for grp in (
+                    suite.row_checks,
+                    suite.stat_checks,
+                    suite.unique_checks,
+                    suite.ref_checks,
+                    suite.drift_checks,
+                    suite.ann_checks,
+                )
+            )
+        )
 
     t0 = time.time()
     # commit=False: the ledger must be marked AFTER results are durably
@@ -121,6 +169,7 @@ def main(argv: list[str] | None = None) -> dict:
     res = run_suite(
         cur, base, dims, suite, args.run_id, checkpoint=ledger,
         salt_buckets=args.salt_buckets, commit=False,
+        eager_verdicts=args.eager_verdicts,
     )
     # persist results (FIXTURES.md §B3/§B4 output contract)
     results_t = open_table(spark, os.path.join(args.warehouse, "results"))

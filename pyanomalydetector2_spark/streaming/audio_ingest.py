@@ -57,7 +57,7 @@ import os
 import sys
 import time
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 CLIPS_SCHEMA = (
@@ -165,8 +165,7 @@ def process_batch(
     marks = [("start", time.time())]
 
     def _mark(label: str) -> None:
-        if timing:
-            marks.append((label, time.time()))
+        marks.append((label, time.time()))
 
     sess = batch.sparkSession
     gated = ingest_gate_fingerprints(
@@ -232,16 +231,42 @@ def process_batch(
         f"{state_dir}/banded/batch={batch_id}"
     )
     _mark("index-append")
+    deltas = {
+        label: round(t - marks[i][1], 4)
+        for i, (label, t) in enumerate(marks[1:])
+    }
     if timing:
-        deltas = {
-            label: round(t - marks[i][1], 2)
-            for i, (label, t) in enumerate(marks[1:])
-        }
         print(
             f"[ingest-timing] batch={batch_id} {deltas}",
             file=sys.stderr,
             flush=True,
         )
+    # per-batch ops metrics row (VERDICT r04 #7): counts + phase walls +
+    # start/finish stamps, durable next to the batch's other outputs so
+    # ingest_summary can surface slow batches and quarantine-rate spikes.
+    # Counts are cheap: gated is checkpointed (cached-partition scans) and
+    # the pairs count reads back the just-written parquet footers.
+    n_clips = gated.count()
+    n_quar = gated.filter(
+        F.col("probe_failed") | F.col("dur_mismatch") | F.col("sr_mismatch")
+    ).count()
+    n_pairs = sess.read.parquet(f"{state_dir}/pairs/batch={batch_id}").count()
+    finished = time.time()
+    sess.createDataFrame(
+        [
+            (
+                int(batch_id), n_clips, n_quar, n_pairs,
+                deltas.get("gate+fp", 0.0), deltas.get("quarantine", 0.0),
+                deltas.get("band", 0.0), deltas.get("probe+pairs", 0.0),
+                deltas.get("index-append", 0.0),
+                round(finished - marks[0][1], 4),
+                marks[0][1], finished,
+            )
+        ],
+        METRICS_SCHEMA,
+    ).coalesce(1).write.mode("overwrite").parquet(
+        f"{state_dir}/metrics/batch={batch_id}"
+    )
 
 
 def ingest_audio_stream(
@@ -328,6 +353,12 @@ def ingest_audio_stream(
 
 
 PAIRS_SCHEMA = "id_a long, id_b long, sim double"
+METRICS_SCHEMA = (
+    "batch int, n_clips long, n_quarantined long, n_pairs long, "
+    "secs_gate_fp double, secs_quarantine double, secs_band double, "
+    "secs_probe double, secs_index double, secs_total double, "
+    "started_at double, finished_at double"
+)
 QUARANTINE_SCHEMA = (
     "clip_id long, codec string, container string, probe_failed boolean, "
     "dur_mismatch boolean, sr_mismatch boolean"
@@ -355,22 +386,30 @@ def quarantined(spark: SparkSession, state_dir: str) -> DataFrame:
     return spark.read.parquet(*dirs)
 
 
+SUMMARY_SCHEMA = (
+    "batch int, n_pairs long, n_quarantined long, "
+    "n_probe_failed long, n_dur_mismatch long, n_sr_mismatch long, "
+    "n_clips long, quarantine_rate double, secs_total double, "
+    "secs_gate_fp double, secs_probe double, queue_lag_secs double"
+)
+
+
 def ingest_summary(spark: SparkSession, state_dir: str) -> DataFrame:
     """Per-micro-batch observability: pair and quarantine counts (broken
-    out by which gate fired) — the metrics an ingest operator watches.
-    Built on the permanent per-batch outputs (``pairs``/``quarantine``
-    survive index compaction), with the directory name as a discovered
-    ``batch`` partition column, so one partition-pruned scan per side.
-    Batches with no activity on a side report 0, driven off the
-    directory spine (a batch that emitted nothing still has its dirs).
+    out by which gate fired) plus the ops columns a production drain
+    watches (VERDICT r04 #7) — per-batch wall time by phase, quarantine
+    rate, and queue lag (gap between this batch starting and the previous
+    batch finishing: a growing value means arrival outpaces the drain —
+    the backpressure signal). Built on the permanent per-batch outputs
+    (``pairs``/``quarantine``/``metrics`` survive index compaction), with
+    the directory name as a discovered ``batch`` partition column, so one
+    partition-pruned scan per side. Batches with no activity on a side
+    report 0, driven off the directory spine; metrics columns are NULL
+    for batches ingested by pre-metrics versions of this module.
     Empty-with-the-right-schema before the first batch lands."""
     batches = _batch_dirs(f"{state_dir}/pairs")
     if not batches:
-        return spark.createDataFrame(
-            [],
-            "batch int, n_pairs long, n_quarantined long, "
-            "n_probe_failed long, n_dur_mismatch long, n_sr_mismatch long",
-        )
+        return spark.createDataFrame([], SUMMARY_SCHEMA)
     spine = spark.createDataFrame([(n,) for n, _ in batches], "batch int")
     pairs = (
         spark.read.parquet(f"{state_dir}/pairs")
@@ -388,7 +427,7 @@ def ingest_summary(spark: SparkSession, state_dir: str) -> DataFrame:
         )
     )
     out = spine.join(pairs, "batch", "left").join(quar, "batch", "left")
-    return out.select(
+    out = out.select(
         "batch",
         *[
             F.coalesce(F.col(c), F.lit(0)).alias(c)
@@ -401,6 +440,79 @@ def ingest_summary(spark: SparkSession, state_dir: str) -> DataFrame:
             )
         ],
     )
+    if _batch_dirs(f"{state_dir}/metrics"):
+        m = spark.read.parquet(f"{state_dir}/metrics").select(
+            "batch", "n_clips", "secs_total", "secs_gate_fp",
+            "secs_probe", "started_at", "finished_at",
+        )
+        out = out.join(m, "batch", "left")
+    else:
+        out = out.select(
+            "*",
+            *[
+                F.lit(None).cast("double").alias(c)
+                for c in (
+                    "n_clips", "secs_total", "secs_gate_fp",
+                    "secs_probe", "started_at", "finished_at",
+                )
+            ],
+        ).withColumn("n_clips", F.col("n_clips").cast("long"))
+    w = Window.orderBy("batch")
+    return out.select(
+        "batch", "n_pairs", "n_quarantined", "n_probe_failed",
+        "n_dur_mismatch", "n_sr_mismatch", "n_clips",
+        F.round(
+            F.try_divide(F.col("n_quarantined"), F.col("n_clips")), 6
+        ).alias("quarantine_rate"),
+        "secs_total", "secs_gate_fp", "secs_probe",
+        F.round(
+            F.col("started_at") - F.lag("finished_at").over(w), 4
+        ).alias("queue_lag_secs"),
+    )
+
+
+def ingest_alarms(
+    spark: SparkSession,
+    state_dir: str,
+    max_quarantine_rate: float = 0.05,
+    max_batch_secs: float | None = None,
+) -> dict:
+    """Threshold alarms over the ingest summary — the reference's alarm
+    funnel (reporter.py:7-46: aggregate distributed, assemble the tiny
+    nested dict on the driver) re-expressed for the stream. A batch alarms
+    when its quarantine RATE breaches ``max_quarantine_rate`` (a corrupt
+    upstream shard shows up as a rate spike long before absolute counts
+    look scary) or, when ``max_batch_secs`` is set, when its wall breaches
+    it (a stuck decoder / hot bucket). Returns
+    {"batch_N": {"quarantine_rate": …, "secs_total": …, "reasons": […]}}
+    for breaching batches only — O(breaches), collected off O(batches)."""
+    s = ingest_summary(spark, state_dir)
+    conds = F.col("quarantine_rate") > max_quarantine_rate
+    if max_batch_secs is not None:
+        conds = conds | (F.col("secs_total") > max_batch_secs)
+    rows = s.filter(conds).collect()
+    report: dict = {}
+    for r in sorted(rows, key=lambda x: x["batch"]):
+        reasons = []
+        if (
+            r["quarantine_rate"] is not None
+            and r["quarantine_rate"] > max_quarantine_rate
+        ):
+            reasons.append("quarantine_rate")
+        if (
+            max_batch_secs is not None
+            and r["secs_total"] is not None
+            and r["secs_total"] > max_batch_secs
+        ):
+            reasons.append("slow_batch")
+        report[f"batch_{r['batch']}"] = {
+            "quarantine_rate": r["quarantine_rate"],
+            "n_quarantined": r["n_quarantined"],
+            "n_clips": r["n_clips"],
+            "secs_total": r["secs_total"],
+            "reasons": reasons,
+        }
+    return report
 
 
 def compact_audio_index(spark: SparkSession, state_dir: str) -> int:

@@ -441,6 +441,8 @@ def test_empty_state_readers_return_typed_empty_frames(spark, tmp_path):
     assert s.columns == [
         "batch", "n_pairs", "n_quarantined",
         "n_probe_failed", "n_dur_mismatch", "n_sr_mismatch",
+        "n_clips", "quarantine_rate", "secs_total",
+        "secs_gate_fp", "secs_probe", "queue_lag_secs",
     ]
     assert s.count() == 0
 
@@ -476,3 +478,64 @@ def test_gate_quarantines_null_metadata_rows_not_the_batch(spark):
         assert r.frames is not None
     assert got[3].probe_failed and got[3].frames is None
     assert not got[3].dur_mismatch and not got[3].sr_mismatch
+
+
+def test_ingest_ops_metrics_and_alarms(spark, tmp_path):
+    """VERDICT r04 #7: per-batch ops metrics are durable and surfaced —
+    a deliberately bigger batch is visibly slower in the summary's
+    secs_total, queue lag is populated from the second batch on, and the
+    quarantine-rate alarm fires exactly on the poisoned batch (the
+    reference's alarm-funnel shape: thresholds in, tiny dict out)."""
+    from pyanomalydetector2_spark.streaming.audio_ingest import (
+        ingest_alarms,
+    )
+
+    state = str(tmp_path / "state")
+    # batch 0 doubles as warm-up: it pays Python-worker/codegen cold start
+    # (measured ~3x a warm batch), so wall comparisons use later batches
+    process_batch(_corpus(spark, 0, 6), 0, state, max_bucket_size=None)
+    # batch 1: ~65x the decode work of the (warm) bad batch — the planted
+    # slow batch. Sized so the decode-phase delta (seconds) clears the
+    # per-batch fixed scheduling jitter by an order of magnitude.
+    process_batch(_corpus(spark, 6, 200), 1, state, max_bucket_size=None)
+
+    pcm = A.synth_near_dup_pcm(np.array([0]))[0]
+    wav_payload, wav_codec = A.encode_variant(pcm, 1)
+    bad = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "clip_id": [1000, 1001, 1002],
+                "bytes": [b"junk", b"junk2", wav_payload],
+                "codec": ["flac", "flac", wav_codec],
+                "dur_ms": [2048, 2048, 2048],
+                "sr_hz": [SR_HZ, SR_HZ, SR_HZ],
+            }
+        )
+    )
+    process_batch(bad, 2, state, max_bucket_size=None)
+
+    rows = {r.batch: r for r in ingest_summary(spark, state).collect()}
+    assert set(rows) == {0, 1, 2}
+    assert rows[0].n_clips == 6 and rows[1].n_clips == 194
+    # the planted big batch is visible in the metrics — compared against
+    # the other WARM batch (batch 0 absorbed cold start), on the
+    # compute-bound decode phase AND the total wall
+    assert rows[1].secs_gate_fp > rows[2].secs_gate_fp
+    assert rows[1].secs_total > rows[2].secs_total
+    assert rows[0].queue_lag_secs is None  # no predecessor
+    assert rows[1].queue_lag_secs is not None
+    assert rows[2].quarantine_rate == round(2 / 3, 6)
+    assert rows[0].quarantine_rate == 0.0
+
+    alarms = ingest_alarms(spark, state, max_quarantine_rate=0.05)
+    assert list(alarms) == ["batch_2"]
+    assert alarms["batch_2"]["reasons"] == ["quarantine_rate"]
+    assert alarms["batch_2"]["n_quarantined"] == 2
+
+    # slow-batch threshold between the two warm batches' walls: the big
+    # batch must join the report as slow_batch
+    thr = (rows[2].secs_total + rows[1].secs_total) / 2
+    alarms2 = ingest_alarms(
+        spark, state, max_quarantine_rate=0.05, max_batch_secs=thr
+    )
+    assert "batch_1" in alarms2 and "slow_batch" in alarms2["batch_1"]["reasons"]

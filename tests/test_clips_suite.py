@@ -373,3 +373,27 @@ def test_ann_check_in_suite(spark, clips):
     bad = Suite(ann_checks=(AnnCheck("x", dims=64, method="faiss"),))
     with pytest.raises(ValueError, match="unknown ann method"):
         run_suite(cur, base, dims, bad, "run_ann3", embeddings=emb)
+
+
+def test_lazy_and_eager_verdicts_bit_identical(spark, clips):
+    """VERDICT r04 #3: the eager sequential verdict materialization is a
+    knob, and both settings emit bit-identical verdicts AND violations —
+    the choice is purely an execution-shape question (small driver vs
+    overlapped cluster scans)."""
+    cur, base, dims = clips
+    eager = run_suite(cur, base, dims, default_clips_suite(), "run_vk_e")
+    lazy = run_suite(
+        cur, base, dims, default_clips_suite(), "run_vk_l",
+        eager_verdicts=False,
+    )
+
+    def _vset(res, run):
+        return {
+            tuple(r)
+            for r in res.verdicts.drop("run_id").collect()
+        }
+
+    assert _vset(eager, "e") == _vset(lazy, "l")
+    ev = {tuple(r) for r in eager.violations.drop("run_id").collect()}
+    lv = {tuple(r) for r in lazy.violations.drop("run_id").collect()}
+    assert ev == lv and ev

@@ -609,3 +609,50 @@ def test_star_components_log_rounds_on_long_chain(spark):
     # Kiveris alternation: tree height ~halves per round — log2(1000) ≈ 10;
     # allow slack for the constant, but far below the O(d) regime
     assert rounds and rounds[0] <= 15, rounds
+
+
+def test_text_embed_feature_hash_properties(spark):
+    """Derived-embedding sanity (VERDICT r04 stretch #8): identical texts
+    → identical unit vectors (cosine 1.0); near-identical texts → high
+    cosine; disjoint-vocabulary texts → low; empty/NULL → zero vector.
+    The near-dup kernel then finds exactly the planted high-cosine pair."""
+    import numpy as np
+
+    from pyanomalydetector2_spark.operators.similarity import (
+        cosine_near_dup_pairs_blocked,
+    )
+    from pyanomalydetector2_spark.operators.text import text_embed
+
+    from pyspark.sql import functions as F
+
+    base = "the quick brown fox jumps over the lazy dog " * 4
+    rows = [
+        (0, base),
+        (1, base),                        # exact dup
+        (2, base + " extra tail words"),  # near dup
+        (3, "völlig andere wörter überall hier gänzlich verschieden"),
+        (4, ""),
+        (5, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    emb = {
+        r.id: np.array(r.embedding)
+        for r in text_embed(df, "doc_id", "text", dims=64).collect()
+    }
+    assert np.array_equal(emb[0], emb[1])
+    assert abs(np.linalg.norm(emb[0]) - 1.0) < 1e-4
+    assert float(emb[0] @ emb[2]) > 0.9
+    assert float(emb[0] @ emb[3]) < 0.5
+    assert not emb[4].any() and not emb[5].any()
+
+    vecs = text_embed(df, "doc_id", "text", dims=64, round6=False).select(
+        F.col("id").alias("vec_id"), "embedding"
+    )
+    pairs = {
+        (r.id_a, r.id_b): r.cosine
+        for r in cosine_near_dup_pairs_blocked(
+            vecs, threshold=0.9, num_blocks=2
+        ).collect()
+    }
+    assert set(pairs) == {(0, 1), (0, 2), (1, 2)}
+    assert pairs[(0, 1)] == 1.0

@@ -90,3 +90,34 @@ def test_salted_moments_match_plain(spark):
     assert (got["cnt"] == exp["cnt"]).all()
     np.testing.assert_allclose(got["mean"], exp["mean"], rtol=1e-9)
     np.testing.assert_allclose(got["std"], exp["std"], rtol=1e-7)
+
+
+def test_hot_key_share_datagen_knob(spark):
+    """The skew-bench input knob: hot_key_share makes a deterministic
+    hash-chosen share of rows full copies of clip 0 — one degenerate
+    clip_id AND one degenerate bucket — identically in Spark and in the
+    pandas oracle path, and the share lands near the nominal value."""
+    import numpy as np
+
+    from pyanomalydetector2_spark.datagen.clips import (
+        _gen_batch,
+        clips_table,
+        u01,
+    )
+
+    n = 4000
+    df = clips_table(spark, n, planted=False, n_buckets=8, hot_key_share=0.5)
+    pdf = df.select("clip_id", "bucket").toPandas()
+    hot_mask = u01(np.arange(n, dtype=np.int64), 90) < 0.5
+    n_hot = int(hot_mask.sum())
+    assert abs(n_hot / n - 0.5) < 0.05  # hash-uniform share
+    counts = pdf["clip_id"].value_counts()
+    # clip 0's row id is itself outside the hot mask or not — either way
+    # the hot rows all collapse onto clip-000000000000
+    assert counts["clip-" + "0" * 12] in (n_hot, n_hot + 1)
+    # all hot rows share clip 0's bucket (bucket = crc32(clip_id) % B)
+    hot_bucket = pdf.loc[pdf["clip_id"] == "clip-" + "0" * 12, "bucket"]
+    assert hot_bucket.nunique() == 1
+    # pandas-oracle parity (same code path, but pin it anyway)
+    o = _gen_batch(np.arange(n, dtype=np.int64), False, hot_key_share=0.5)
+    assert (o["clip_id"] == "clip-" + "0" * 12).sum() == counts["clip-" + "0" * 12]
