@@ -136,14 +136,19 @@ class Suite:
 
 # transcript token count as a pure SQL expression (space-delimited runs;
 # trim + empty-filter so ''/NULL count 0 — same contract as text.ws_tokens).
-# Deliberately backslash-free so the YAML mirror is byte-identical.
-_TOK = (
+# Deliberately backslash-free so the YAML mirror is byte-identical. The
+# suite runner materializes this ONCE as the ``transcript_tokens`` column
+# on the audio-invariant projection — the cross-modal predicates reference
+# the column, not the expression: inlining it re-ran the regex split up to
+# 6× per row and cost a measured ~27 % of the 8M suite wall
+# (BENCH/BASELINE.md §13).
+TOKEN_COUNT_SQL = (
     "size(filter(split(lower(trim(coalesce(transcript, ''))), ' +'), "
     "x -> x != ''))"
 )
 # declared tokens/second; NULL when dur_ms is NULL/0 (missing evidence —
 # SQL null semantics make the outlier comparison vacuous-false)
-_RATE = f"{_TOK} * 1000.0 / nullif(dur_ms, 0)"
+_RATE = "transcript_tokens * 1000.0 / nullif(dur_ms, 0)"
 
 
 def default_clips_suite() -> Suite:
@@ -190,15 +195,17 @@ def default_clips_suite() -> Suite:
             # three predicates are vacuous-true without decode evidence.
             RowCheck(
                 "transcript_silence_consistent",
-                f"NOT (decode_ok AND silence_ratio >= 0.99 AND {_TOK} >= 1)",
+                "NOT (decode_ok AND silence_ratio >= 0.99 "
+                "AND transcript_tokens >= 1)",
                 "concat('silence_ratio=', cast(round(silence_ratio, 3) as "
-                f"string), ' n_tokens=', cast({_TOK} as string))",
+                "string), ' n_tokens=', cast(transcript_tokens as string))",
                 "no non-empty transcript on a silent clip",
                 requires_audio=True,
             ),
             RowCheck(
                 "transcript_speech_labeled",
-                f"NOT (decode_ok AND silence_ratio <= 0.5 AND {_TOK} = 0)",
+                "NOT (decode_ok AND silence_ratio <= 0.5 "
+                "AND transcript_tokens = 0)",
                 "concat('silence_ratio=', cast(round(silence_ratio, 3) as "
                 "string), ' transcript=', coalesce(transcript, 'NULL'))",
                 "speech audio carries a non-empty transcript",
@@ -206,7 +213,8 @@ def default_clips_suite() -> Suite:
             ),
             RowCheck(
                 "speaking_rate_sane",
-                f"NOT (decode_ok AND silence_ratio <= 0.5 AND {_TOK} >= 1 "
+                f"NOT (decode_ok AND silence_ratio <= 0.5 "
+                f"AND transcript_tokens >= 1 "
                 f"AND ({_RATE} < 0.02 OR {_RATE} > 100.0))",
                 f"concat('tokens_per_s=', cast(round({_RATE}, 3) as string))",
                 "0.02 <= declared tokens/second <= 100 on speech rows",

@@ -192,7 +192,15 @@ def run_suite(
 
         audio_base = with_container_meta(audio_base)
     if needs_audio:
-        audio_base = with_audio_invariants(audio_base)
+        from pyanomalydetector2_spark.constraints.dsl import TOKEN_COUNT_SQL
+
+        # transcript_tokens computed ONCE as a column: the cross-modal
+        # predicates reference it by name — inlining the split/filter
+        # expression into each predicate re-ran the regex up to 6× per
+        # row (~27 % of the 8M suite wall, BENCH §13)
+        audio_base = with_audio_invariants(audio_base).withColumn(
+            "transcript_tokens", F.expr(TOKEN_COUNT_SQL)
+        )
     elif needs_container and not any(
         "bytes" in c.predicate or "bytes" in c.observed
         for c in suite.row_checks
