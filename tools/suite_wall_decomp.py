@@ -20,7 +20,7 @@ full/lazy (the knob is execution-shape only) and recorded for the
 ablations.
 
 Usage: python tools/suite_wall_decomp.py [--rows 8000000] [--cpus 4]
-       [--repeat 2] [--reuse-warehouse]
+       [--repeat 2] [--reuse-warehouse] [--configs full,noxmodal]
 """
 
 from __future__ import annotations
@@ -75,7 +75,15 @@ def main() -> None:
     ap.add_argument("--repeat", type=int, default=2)
     ap.add_argument("--warehouse", default="/tmp/pyad2_scaling_wh")
     ap.add_argument("--reuse-warehouse", action="store_true")
+    ap.add_argument(
+        "--configs", default=",".join(CONFIGS),
+        help="comma-separated subset of configs to run (still interleaved)",
+    )
     args = ap.parse_args()
+    configs = [c.strip() for c in args.configs.split(",") if c.strip()]
+    unknown = [c for c in configs if c not in CONFIGS]
+    if unknown:
+        raise SystemExit(f"unknown configs: {unknown}")
 
     have = os.path.exists(
         os.path.join(args.warehouse, "clips_current", "_meta.json")
@@ -97,10 +105,10 @@ def main() -> None:
             raise SystemExit("materialize failed")
         time.sleep(10)
 
-    walls: dict[str, list[float]] = {c: [] for c in CONFIGS}
+    walls: dict[str, list[float]] = {c: [] for c in configs}
     counts: dict[str, tuple] = {}
     for rep in range(args.repeat):
-        for cfg in CONFIGS:
+        for cfg in configs:
             s = run_one(cfg, args.cpus, args.warehouse, args.rows, rep)
             walls[cfg].append(s["wall_sec"])
             counts[cfg] = (s["violations"], s["failed_verdicts"])
@@ -111,7 +119,8 @@ def main() -> None:
             )
             time.sleep(5)
 
-    assert counts["full"][0] == counts["lazy"][0], counts
+    if "full" in counts and "lazy" in counts:
+        assert counts["full"][0] == counts["lazy"][0], counts
     med = {c: round(statistics.median(w), 1) for c, w in walls.items()}
     out = {
         "metric": "suite_wall_decomposition",
@@ -121,7 +130,9 @@ def main() -> None:
         "medians": med,
         "counts": {c: list(v) for c, v in counts.items()},
         "deltas_vs_full": {
-            c: round(med["full"] - med[c], 1) for c in ("nocat", "noxmodal", "lazy")
+            c: round(med["full"] - med[c], 1)
+            for c in ("nocat", "noxmodal", "lazy")
+            if c in med and "full" in med
         },
     }
     path = os.path.join(REPO, "BENCH", "decomp.jsonl")
