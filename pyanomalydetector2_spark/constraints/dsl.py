@@ -138,10 +138,11 @@ class Suite:
 # trim + empty-filter so ''/NULL count 0 — same contract as text.ws_tokens).
 # Deliberately backslash-free so the YAML mirror is byte-identical. The
 # suite runner materializes this ONCE as the ``transcript_tokens`` column
-# on the audio-invariant projection — the cross-modal predicates reference
-# the column, not the expression: inlining it re-ran the regex split up to
-# 6× per row and cost a measured ~27 % of the 8M suite wall
-# (BENCH/BASELINE.md §13).
+# on the audio-invariant projection and the cross-modal predicates
+# reference the column by name — a single definition for the DSL and the
+# YAML mirror. Perf-neutral by measurement: codegen subexpression
+# elimination already evaluated the previously-inlined duplicates once
+# per row (A/B in BENCH/BASELINE.md §13).
 TOKEN_COUNT_SQL = (
     "size(filter(split(lower(trim(coalesce(transcript, ''))), ' +'), "
     "x -> x != ''))"

@@ -194,10 +194,10 @@ def run_suite(
     if needs_audio:
         from pyanomalydetector2_spark.constraints.dsl import TOKEN_COUNT_SQL
 
-        # transcript_tokens computed ONCE as a column: the cross-modal
-        # predicates reference it by name — inlining the split/filter
-        # expression into each predicate re-ran the regex up to 6× per
-        # row (~27 % of the 8M suite wall, BENCH §13)
+        # transcript_tokens computed ONCE as a column the cross-modal
+        # predicates reference by name — single definition shared by the
+        # DSL and the YAML mirror; perf-neutral vs inlining (codegen
+        # subexpression elimination, A/B in BENCH/BASELINE.md §13)
         audio_base = with_audio_invariants(audio_base).withColumn(
             "transcript_tokens", F.expr(TOKEN_COUNT_SQL)
         )

@@ -117,6 +117,10 @@ def main() -> None:
                 f"viol={s['violations']} fails={s['failed_verdicts']}",
                 flush=True,
             )
+            # each run writes ~100s of MB of results/verdicts that the next
+            # run deletes; without a sync the successor pays the writeback
+            # (the ingest ladder's root-cause #3, BENCH/BASELINE.md §10)
+            subprocess.run(["sync"], timeout=600)
             time.sleep(5)
 
     if "full" in counts and "lazy" in counts:
