@@ -57,6 +57,8 @@ def run_one(salt: int | None, cpus: int, warehouse: str, rows: int, rep: int) ->
 def capture_plans(warehouse: str, out_path: str) -> None:
     """Formatted plans of the uniqueness aggregation over the REAL skewed
     table, plain vs salted, plus the session's AQE knobs."""
+    if REPO not in sys.path:  # run as a script, sys.path[0] is tools/
+        sys.path.insert(0, REPO)
     from pyanomalydetector2_spark.operators.uniqueness import exact_duplicates
     from pyanomalydetector2_spark.plans import explain_formatted
     from pyanomalydetector2_spark.session import get_spark
