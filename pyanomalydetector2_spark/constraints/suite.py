@@ -124,6 +124,165 @@ def _row_check_violations(
     )
 
 
+def row_check_base(current: DataFrame, suite: Suite) -> DataFrame:
+    """The row-check projection: the source frame plus whatever invariant
+    columns the suite's row checks require. Row checks get the
+    audio-invariant / container-meta columns; every OTHER family reads the
+    source directly so its scan prunes down to its own columns. Container
+    meta attaches FIRST (it reads bytes); the audio-invariant projection
+    then drops bytes. Shared by the one-shot runner and the streaming
+    per-batch path so both evaluate predicates over identical columns."""
+    needs_audio = any(c.requires_audio for c in suite.row_checks)
+    needs_container = any(
+        getattr(c, "requires_container", False) for c in suite.row_checks
+    )
+    audio_base = current
+    if needs_container:
+        from pyanomalydetector2_spark.operators.multimodal import (
+            with_container_meta,
+        )
+
+        audio_base = with_container_meta(audio_base)
+    if needs_audio:
+        from pyanomalydetector2_spark.constraints.dsl import TOKEN_COUNT_SQL
+
+        # transcript_tokens computed ONCE as a column the cross-modal
+        # predicates reference by name — single definition shared by the
+        # DSL and the YAML mirror; perf-neutral vs inlining (codegen
+        # subexpression elimination, A/B in BENCH/BASELINE.md §13)
+        audio_base = with_audio_invariants(audio_base).withColumn(
+            "transcript_tokens", F.expr(TOKEN_COUNT_SQL)
+        )
+    elif needs_container and not any(
+        "bytes" in c.predicate or "bytes" in c.observed
+        for c in suite.row_checks
+    ):
+        # prune bytes out of the row-check projection — but never out from
+        # under a row check whose own expression references it
+        audio_base = audio_base.drop("bytes")
+    return audio_base
+
+
+def verdict_frame(
+    df: DataFrame, run_id: str, cid: str, metric, observed, threshold,
+    passed, cnt=None,
+) -> DataFrame:
+    """Shape one family's aggregate frame into VERDICT_SCHEMA columns.
+    ``df`` must carry an int ``bucket`` column; the remaining args are
+    Column expressions evaluated against it. Shared by the one-shot
+    runner and the streaming assembler so both emit identical verdicts."""
+    return df.select(
+        F.lit(run_id).alias("run_id"),
+        F.col("bucket").cast("int").alias("bucket"),
+        F.lit(cid).alias("constraint_id"),
+        (F.lit(metric) if isinstance(metric, str) else metric).alias(
+            "metric"
+        ),
+        observed.cast("double").alias("observed"),
+        threshold.cast("double").alias("threshold"),
+        passed.cast("boolean").alias("passed"),
+        (F.lit(0) if cnt is None else cnt).cast("long").alias(
+            "violation_cnt"
+        ),
+    )
+
+
+_CMP_OPS = {
+    "<": lambda a, b: a < b,
+    "<=": lambda a, b: a <= b,
+    ">": lambda a, b: a > b,
+    ">=": lambda a, b: a >= b,
+    "==": lambda a, b: a == b,
+}
+
+
+def stat_verdict_frames(
+    prof: DataFrame, stat_checks, run_id: str, bucket_col: str
+) -> list[DataFrame]:
+    """Per-check verdict frames from a (long-layout) column profile.
+    NULL stat (all-null column in a bucket) → observed NaN, failed — and
+    NaN must fail EVERY op: Spark orders NaN above all doubles (NaN >= x
+    is true), unlike the old driver-side Python comparison where NaN
+    compares false — the old semantics are pinned explicitly."""
+    out = []
+    for c in stat_checks:
+        rows = prof.filter(F.col("column") == c.column).withColumn(
+            "bucket", F.col(bucket_col).cast("int")
+        )
+        stat = F.col(c.stat)
+        out.append(
+            verdict_frame(
+                rows,
+                run_id,
+                c.constraint_id,
+                f"{c.column}.{c.stat}",
+                F.coalesce(stat.cast("double"), F.lit(float("nan"))),
+                F.lit(float(c.threshold)),
+                F.when(F.isnan(stat.cast("double")), F.lit(False)).otherwise(
+                    F.coalesce(
+                        _CMP_OPS[c.op](stat.cast("double"), F.lit(c.threshold)),
+                        F.lit(False),
+                    )
+                ),
+            )
+        )
+    return out
+
+
+def drift_verdict_frames(
+    frame: DataFrame, c, run_id: str, bucket_col: str, ks_col: str
+) -> list[DataFrame]:
+    """Per-bucket psi + ks verdict frames from a drift-score DataFrame —
+    the scores never reach the driver (VERDICT r03 #7). psi/ks cannot
+    be NULL here: the drift APIs validate an empty/all-null baseline
+    EAGERLY (raising the contract ValueError) and the ε-smoothed
+    algebra is total after that — a hypothetical NULL still FAILS via
+    coalesce(False) rather than vacuously passing."""
+    rows = frame.withColumn("bucket", F.col(bucket_col).cast("int"))
+    psi, ks = F.col("psi"), F.col(ks_col)
+    return [
+        verdict_frame(
+            rows, run_id, c.constraint_id, "psi", psi, F.lit(c.psi_max),
+            F.coalesce(psi <= c.psi_max, F.lit(False)),
+        ),
+        verdict_frame(
+            rows, run_id, c.constraint_id, "ks", ks, F.lit(c.ks_max),
+            F.coalesce(ks <= c.ks_max, F.lit(False)),
+        ),
+    ]
+
+
+def violation_count_verdicts(
+    violations: DataFrame,
+    bucket_df: DataFrame,
+    counted_ids: list[str],
+    run_id: str,
+) -> DataFrame:
+    """(bucket × constraint) grid left-joined to the violation counts so
+    zero-violation cells still emit a passing verdict — all
+    DataFrame-side, no counts dict on the driver."""
+    spark = violations.sparkSession
+    cid_df = spark.createDataFrame(
+        [(c,) for c in counted_ids], "constraint_id string"
+    )
+    vcounts = violations.groupBy("bucket", "constraint_id").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    grid = bucket_df.crossJoin(F.broadcast(cid_df))
+    joined = grid.join(vcounts, ["bucket", "constraint_id"], "left")
+    n = F.coalesce(F.col("cnt"), F.lit(0))
+    return joined.select(
+        F.lit(run_id).alias("run_id"),
+        F.col("bucket").cast("int").alias("bucket"),
+        "constraint_id",
+        F.lit("violation_cnt").alias("metric"),
+        n.cast("double").alias("observed"),
+        F.lit(0.0).alias("threshold"),
+        (n == 0).alias("passed"),
+        n.cast("long").alias("violation_cnt"),
+    )
+
+
 def run_suite(
     current: DataFrame,
     baseline: DataFrame,
@@ -176,38 +335,7 @@ def run_suite(
         if skipped:
             current = current.filter(~F.col(bucket_col).isin(skipped))
 
-    needs_audio = any(c.requires_audio for c in suite.row_checks)
-    needs_container = any(
-        getattr(c, "requires_container", False) for c in suite.row_checks
-    )
-    # row checks get the audio-invariant / container-meta columns; every
-    # OTHER family reads the source directly so its scan prunes down to
-    # its own columns. Container meta attaches FIRST (it reads bytes);
-    # the audio-invariant projection then drops bytes as before.
-    audio_base = current
-    if needs_container:
-        from pyanomalydetector2_spark.operators.multimodal import (
-            with_container_meta,
-        )
-
-        audio_base = with_container_meta(audio_base)
-    if needs_audio:
-        from pyanomalydetector2_spark.constraints.dsl import TOKEN_COUNT_SQL
-
-        # transcript_tokens computed ONCE as a column the cross-modal
-        # predicates reference by name — single definition shared by the
-        # DSL and the YAML mirror; perf-neutral vs inlining (codegen
-        # subexpression elimination, A/B in BENCH/BASELINE.md §13)
-        audio_base = with_audio_invariants(audio_base).withColumn(
-            "transcript_tokens", F.expr(TOKEN_COUNT_SQL)
-        )
-    elif needs_container and not any(
-        "bytes" in c.predicate or "bytes" in c.observed
-        for c in suite.row_checks
-    ):
-        # prune bytes out of the row-check projection — but never out from
-        # under a row check whose own expression references it
-        audio_base = audio_base.drop("bytes")
+    audio_base = row_check_base(current, suite)
     base = current
     if cache:  # opt-in only: helps tiny inputs, hurts at scale (see module doc)
         audio_base = audio_base.cache()
@@ -272,27 +400,6 @@ def run_suite(
     bucket_df = spark.createDataFrame(
         [(int(b),) for b in buckets], "bucket int"
     )
-
-    def _verdict_frame(
-        df: DataFrame, cid: str, metric, observed, threshold, passed, cnt=None
-    ) -> DataFrame:
-        """Shape one family's aggregate frame into VERDICT_SCHEMA columns.
-        ``df`` must carry an int ``bucket`` column; the remaining args are
-        Column expressions evaluated against it."""
-        return df.select(
-            F.lit(run_id).alias("run_id"),
-            F.col("bucket").cast("int").alias("bucket"),
-            F.lit(cid).alias("constraint_id"),
-            (F.lit(metric) if isinstance(metric, str) else metric).alias(
-                "metric"
-            ),
-            observed.cast("double").alias("observed"),
-            threshold.cast("double").alias("threshold"),
-            passed.cast("boolean").alias("passed"),
-            (F.lit(0) if cnt is None else cnt).cast("long").alias(
-                "violation_cnt"
-            ),
-        )
 
     # ---- row checks: one scan (with audio invariants), all predicates -----
     rc_viol = _row_check_violations(audio_base, suite, run_id, key_col, bucket_col)
@@ -370,29 +477,8 @@ def run_suite(
         + [c.constraint_id for c in suite.ref_checks]
     )
     if counted_ids:
-        # (bucket × constraint) grid left-joined to the violation counts so
-        # zero-violation cells still emit a passing verdict — all
-        # DataFrame-side, no counts dict on the driver
-        cid_df = spark.createDataFrame(
-            [(c,) for c in counted_ids], "constraint_id string"
-        )
-        vcounts = violations.groupBy("bucket", "constraint_id").agg(
-            F.count(F.lit(1)).alias("cnt")
-        )
-        grid = bucket_df.crossJoin(F.broadcast(cid_df))
-        joined = grid.join(vcounts, ["bucket", "constraint_id"], "left")
-        n = F.coalesce(F.col("cnt"), F.lit(0))
         verdict_frames.append(
-            joined.select(
-                F.lit(run_id).alias("run_id"),
-                F.col("bucket").cast("int").alias("bucket"),
-                "constraint_id",
-                F.lit("violation_cnt").alias("metric"),
-                n.cast("double").alias("observed"),
-                F.lit(0.0).alias("threshold"),
-                (n == 0).alias("passed"),
-                n.cast("long").alias("violation_cnt"),
-            )
+            violation_count_verdicts(violations, bucket_df, counted_ids, run_id)
         )
 
     # ---- stat checks: single-pass per-bucket column profile ---------------
@@ -404,39 +490,9 @@ def run_suite(
         prof = column_profile(base, stat_cols, group_cols=[bucket_col]).persist()
         stat_prof = prof  # unpersisted after the verdict legs materialize
         _tick("stat profile (lazy)")
-        cmp_ops = {
-            "<": lambda a, b: a < b,
-            "<=": lambda a, b: a <= b,
-            ">": lambda a, b: a > b,
-            ">=": lambda a, b: a >= b,
-            "==": lambda a, b: a == b,
-        }
-        for c in suite.stat_checks:
-            rows = prof.filter(F.col("column") == c.column).withColumn(
-                "bucket", F.col(bucket_col).cast("int")
-            )
-            stat = F.col(c.stat)
-            # NULL stat (all-null column in a bucket) → observed NaN,
-            # failed — same semantics as the old driver-side float(nan)
-            verdict_frames.append(
-                _verdict_frame(
-                    rows,
-                    c.constraint_id,
-                    f"{c.column}.{c.stat}",
-                    F.coalesce(stat.cast("double"), F.lit(float("nan"))),
-                    F.lit(float(c.threshold)),
-                    # NaN must fail EVERY op: Spark orders NaN above all
-                    # doubles (NaN >= x is true), unlike the old driver-side
-                    # Python comparison where NaN compares false — pin the
-                    # old semantics explicitly
-                    F.when(F.isnan(stat.cast("double")), F.lit(False)).otherwise(
-                        F.coalesce(
-                            cmp_ops[c.op](stat.cast("double"), F.lit(c.threshold)),
-                            F.lit(False),
-                        )
-                    ),
-                )
-            )
+        verdict_frames.extend(
+            stat_verdict_frames(prof, suite.stat_checks, run_id, bucket_col)
+        )
 
     # ---- drift checks: ONE histogram pass per side for ALL uniform-bin ----
     # columns; equi-depth checks run per column (edges from the baseline's
@@ -471,25 +527,8 @@ def run_suite(
         ):
             scored.append((c, s))
     def _drift_verdicts(frame: DataFrame, c, ks_col: str) -> None:
-        """Per-bucket psi + ks verdict frames from a drift-score DataFrame —
-        the scores never reach the driver (VERDICT r03 #7). psi/ks cannot
-        be NULL here: the drift APIs validate an empty/all-null baseline
-        EAGERLY (raising the contract ValueError) and the ε-smoothed
-        algebra is total after that — a hypothetical NULL still FAILS via
-        coalesce(False) rather than vacuously passing."""
-        rows = frame.withColumn("bucket", F.col(bucket_col).cast("int"))
-        psi, ks = F.col("psi"), F.col(ks_col)
-        verdict_frames.append(
-            _verdict_frame(
-                rows, c.constraint_id, "psi", psi, F.lit(c.psi_max),
-                F.coalesce(psi <= c.psi_max, F.lit(False)),
-            )
-        )
-        verdict_frames.append(
-            _verdict_frame(
-                rows, c.constraint_id, "ks", ks, F.lit(c.ks_max),
-                F.coalesce(ks <= c.ks_max, F.lit(False)),
-            )
+        verdict_frames.extend(
+            drift_verdict_frames(frame, c, run_id, bucket_col, ks_col)
         )
 
     for c in dist:

@@ -62,12 +62,14 @@ def binned_counts(
     )
 
 
-def histogram_counts(
+def histogram_counts_df(
     df: DataFrame, specs: list[HistSpec], group_col: str | None = None
-) -> dict[tuple, np.ndarray]:
-    """ONE pass for all drift columns: explode per-column bins, one groupBy.
-    Returns {(group, column): counts[nbins+2]} (group is None when global).
-    """
+) -> DataFrame:
+    """The distributed half of ``histogram_counts``: one pass for all drift
+    columns, returning the (g, c, b, n) count frame WITHOUT collecting.
+    Counts are integers and therefore exactly additive — the streaming
+    suite persists this frame per micro-batch and sums across batches,
+    which reproduces the one-shot histogram bit-for-bit."""
     entries = [
         F.struct(
             F.lit(s.column).alias("c"),
@@ -84,13 +86,27 @@ def histogram_counts(
         for s in specs
     ]
     gsel = [F.col(group_col).alias("g")] if group_col else [F.lit(None).cast("int").alias("g")]
-    rows = (
+    return (
         df.select(*gsel, F.explode(F.array(*entries)).alias("e"))
         .filter(F.col("e.b").isNotNull())
         .groupBy("g", F.col("e.c").alias("c"), F.col("e.b").alias("b"))
         .agg(F.count(F.lit(1)).alias("n"))
-        .collect()
     )
+
+
+def histogram_counts(
+    df: DataFrame, specs: list[HistSpec], group_col: str | None = None
+) -> dict[tuple, np.ndarray]:
+    """ONE pass for all drift columns: explode per-column bins, one groupBy.
+    Returns {(group, column): counts[nbins+2]} (group is None when global).
+    """
+    rows = histogram_counts_df(df, specs, group_col).collect()
+    return hist_rows_to_arrays(rows, specs)
+
+
+def hist_rows_to_arrays(rows, specs: list[HistSpec]) -> dict[tuple, np.ndarray]:
+    """Shape collected (g, c, b, n) rows into the {(group, column): counts}
+    dict ``psi_ks`` consumes. Shared by the one-shot and streaming paths."""
     nb = {s.column: s.nbins for s in specs}
     out: dict[tuple, np.ndarray] = {}
     for r in rows:
@@ -436,18 +452,47 @@ def drift_scores_categorical_df(
     non-negative ⇒ the running max equals the total). NULL categories are
     excluded — null-rate is a StatCheck concern, same contract as the
     numeric binning paths."""
+    cur_cnt = categorical_counts(current, column, group_col)
+    return drift_scores_categorical_from_counts(
+        cur_cnt, baseline, column, group_col
+    )
+
+
+def categorical_counts(
+    df: DataFrame, column: str, group_col: str | None = None
+) -> DataFrame:
+    """Per-(group, category) counts — the distributed, exactly-additive
+    half of categorical drift. The streaming suite persists this frame per
+    micro-batch; summing across batches reproduces the one-shot counts
+    bit-for-bit (integer addition)."""
+    g = group_col or "_g"
+    return (
+        df.filter(F.col(column).isNotNull())
+        .select(
+            (F.col(group_col) if group_col else F.lit(0)).alias(g),
+            F.col(column).cast("string").alias("cat"),
+        )
+        .groupBy(g, "cat")
+        .agg(F.count(F.lit(1)).alias("cur_cat_n"))
+    )
+
+
+def drift_scores_categorical_from_counts(
+    cur_cnt: DataFrame,
+    baseline: DataFrame,
+    column: str,
+    group_col: str | None = None,
+) -> DataFrame:
+    """Frequency-PSI + linf from a pre-aggregated current-counts frame
+    (``categorical_counts`` shape) vs the baseline rows. The arithmetic
+    from counts onward is shared with ``drift_scores_categorical_df``, so
+    merged streaming counts score identically to the one-shot pass."""
     from pyspark.sql import Window
 
     g = group_col or "_g"
-    cur = current.filter(F.col(column).isNotNull()).select(
-        (F.col(group_col) if group_col else F.lit(0)).alias(g),
-        F.col(column).cast("string").alias("cat"),
-    )
     base = baseline.filter(F.col(column).isNotNull()).select(
         F.col(column).cast("string").alias("cat")
     )
-
-    cur_cnt = cur.groupBy(g, "cat").agg(F.count(F.lit(1)).alias("cur_cat_n"))
     base_cnt = base.groupBy("cat").agg(F.count(F.lit(1)).alias("base_cat_n"))
     # eager baseline validation — same contract as _drift_df_from_bins
     base_row = base_cnt.agg(F.sum("base_cat_n").alias("base_n")).first()

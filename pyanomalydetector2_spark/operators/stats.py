@@ -97,6 +97,78 @@ def subtract_moments(cur: DataFrame, old: DataFrame, keys: Sequence[str]) -> Dat
     return merge_moments(cur, neg, keys).filter(F.col("cnt") > 0)
 
 
+def column_profile_partial(
+    df: DataFrame, columns: Sequence[str], group_cols: Sequence[str] = ()
+) -> DataFrame:
+    """The exactly-mergeable subset of ``column_profile``: per (group,
+    column) — row_cnt, cnt, null_cnt, min, max, sum, sqr_sum — in the same
+    long layout and with the same try_cast semantics. The streaming suite
+    persists this frame per micro-batch; ``merge_profile_partials`` +
+    ``finalize_profile_partial`` then reproduce the one-shot profile's
+    null_rate/mean/std/min/max/cnt algebra over the merged scalars.
+    (approx_distinct and quantiles are sketch-backed and NOT derivable
+    from these scalars — a streaming StatCheck on those stats must be
+    rejected, not silently wrong.)"""
+    total = F.count(F.lit(1))
+    fields = ("row_cnt", "cnt", "null_cnt", "min", "max", "sum", "sqr_sum")
+    aggs = []
+    for c in columns:
+        v = F.col(c)
+        num = v.try_cast("double")
+        aggs += [
+            total.alias(f"{c}__row_cnt"),
+            F.count(num).alias(f"{c}__cnt"),
+            (total - F.count(v)).alias(f"{c}__null_cnt"),
+            F.min(num).alias(f"{c}__min"),
+            F.max(num).alias(f"{c}__max"),
+            F.sum(num).alias(f"{c}__sum"),
+            F.sum(num * num).alias(f"{c}__sqr_sum"),
+        ]
+    g = df.groupBy(*group_cols) if group_cols else df.groupBy()
+    wide = g.agg(*aggs)
+    stack_args = ", ".join(
+        "'{c}', {flds}".format(
+            c=c, flds=", ".join(f"`{c}__{f}`" for f in fields)
+        )
+        for c in columns
+    )
+    return wide.select(
+        *group_cols,
+        F.expr(
+            f"stack({len(columns)}, {stack_args}) AS "
+            f"(column, {', '.join(fields)})"
+        ),
+    )
+
+
+def merge_profile_partials(
+    parts: DataFrame, group_cols: Sequence[str] = ()
+) -> DataFrame:
+    """Merge per-batch profile partials: counts and sums add, min/max
+    combine — all exact (counts are longs; float sums differ from the
+    one-shot pass only in addition order)."""
+    keys = list(group_cols) + ["column"]
+    return parts.groupBy(*keys).agg(
+        F.sum("row_cnt").alias("row_cnt"),
+        F.sum("cnt").alias("cnt"),
+        F.sum("null_cnt").alias("null_cnt"),
+        F.min("min").alias("min"),
+        F.max("max").alias("max"),
+        F.sum("sum").alias("sum"),
+        F.sum("sqr_sum").alias("sqr_sum"),
+    )
+
+
+def finalize_profile_partial(merged: DataFrame) -> DataFrame:
+    """Derive null_rate/mean/std from merged partials — the identical
+    closed-form algebra ``column_profile`` applies (finalize_moments +
+    try_divide null_rate), so streaming stat verdicts share one
+    definition with the one-shot profile."""
+    return finalize_moments(merged).withColumn(
+        "null_rate", F.try_divide(F.col("null_cnt"), F.col("row_cnt"))
+    )
+
+
 def column_profile(
     df: DataFrame,
     columns: Sequence[str],

@@ -64,68 +64,15 @@ CLIPS_SCHEMA = (
     "clip_id long, bytes binary, codec string, dur_ms int, sr_hz int"
 )
 
-
-def _batch_dirs(path: str) -> list[tuple[int, str]]:
-    if not os.path.isdir(path):
-        return []
-    return sorted(
-        (int(f.split("=", 1)[1]), f"{path}/{f}")
-        for f in os.listdir(path)
-        if f.startswith("batch=")
-    )
-
-
-def _latest_gen(path: str) -> tuple[int, str] | None:
-    """Newest COMPLETE compacted generation (``gen=N`` with ``_SUCCESS``)
-    under ``path``, or None. An interrupted compaction leaves a gen dir
-    without ``_SUCCESS``; it is invisible here, so readers fall back to
-    the delta dirs it failed to fold — compaction is crash-safe by
-    construction."""
-    if not os.path.isdir(path):
-        return None
-    gens = [
-        (int(f.split("=", 1)[1]), f"{path}/{f}")
-        for f in os.listdir(path)
-        if f.startswith("gen=")
-        and os.path.exists(f"{path}/{f}/_SUCCESS")
-    ]
-    return max(gens) if gens else None
-
-
-def _state_paths(
-    state_dir: str, comp: str, thru: int | None = None
-) -> list[str]:
-    """Concrete read list for one index component (``fp`` / ``banded``):
-    the newest complete compacted base (if any) plus every delta batch
-    AFTER the generation it folded — bounded above by ``thru`` when the
-    caller (compaction) must not fold a torn batch's orphan delta.
-    Concrete directories, not a glob: a glob path makes every read
-    re-probe for a streaming-sink metadata dir (a logged FileNotFound
-    per read)."""
-    base = _latest_gen(f"{state_dir}/{comp}_base")
-    folded_thru = base[0] if base else -1
-    paths = [base[1]] if base else []
-    paths += [
-        d
-        for n, d in _batch_dirs(f"{state_dir}/{comp}")
-        if n > folded_thru and (thru is None or n <= thru)
-    ]
-    return paths
-
-
-def _read_state(
-    spark: SparkSession,
-    state_dir: str,
-    comp: str,
-    schema,
-    thru: int | None = None,
-) -> DataFrame:
-    """Read an index component (compacted base + deltas), or an empty
-    frame of the right schema before the first batch lands."""
-    paths = _state_paths(state_dir, comp, thru=thru)
-    if paths:
-        return spark.read.parquet(*paths)
-    return spark.createDataFrame([], schema)
+# delta-dir state helpers now live in streaming/state.py (shared with the
+# streaming constraint suite); the underscore aliases keep this module's
+# call sites and the existing test imports unchanged
+from pyanomalydetector2_spark.streaming.state import (  # noqa: E402
+    batch_dirs as _batch_dirs,
+    latest_gen as _latest_gen,
+    read_state as _read_state,
+    state_paths as _state_paths,
+)
 
 
 def process_batch(

@@ -1,0 +1,628 @@
+"""Streaming constraint validation: the batch suite's semantics over a
+Structured Streaming drain, with per-micro-batch incremental state.
+
+The batch runner (constraints/suite.py) makes one pass per check family
+over the full table. At 10^12 rows with continuous arrival, re-validating
+the corpus per delivery is not an option — but every family the default
+clips suite uses is **algebraically mergeable**, so the stream keeps
+per-batch partial state and the one-shot result is reproducible at any
+time without touching a single already-processed row:
+
+- row / referential checks are stateless per row → violation rows append;
+- column stats keep (row_cnt, cnt, null_cnt, min, max, sum, sqr_sum) per
+  (bucket, column) — counts/sums add, min/max combine
+  (stats.column_profile_partial; same closed-form mean/std finalize as
+  the one-shot profile);
+- numeric drift keeps integer histogram-bin counts, categorical drift
+  keeps category counts — exactly additive, so merged counts score
+  bit-identically to the one-shot pass (drift.histogram_counts_df /
+  categorical_counts share the scoring arithmetic);
+- uniqueness keeps per-(bucket, key) counts — additive; the HLL screen
+  estimate recomputed over the stored key set equals the batch estimate
+  because HyperLogLog depends only on the distinct value set.
+
+Checks that are NOT mergeable from scalars are rejected up front
+(``ensure_streamable``): ANN recall audits, equi-depth / distributed
+drift, StatChecks on sketch-backed stats (quantiles, approx_distinct) —
+a silently-wrong streaming verdict would be worse than an error.
+
+State layout (streaming/state.py delta-dir pattern, shared with the
+audio-ingest index): each component writes ``<comp>/batch=N`` parquet
+deltas; a ``commit/batch=N.json`` marker (with per-batch lineage metrics:
+rows, buckets, wall) lands LAST, so a torn batch is invisible to readers
+and Structured Streaming's redelivery overwrites it idempotently —
+exactly-once state without a transactional store. ``compact_suite_state``
+folds committed deltas into a ``gen=N`` base (additive merge for counts,
+plain concat for violations) so read cost stays flat over thousands of
+micro-batches; the fold reads only COMMITTED batch ids, which closes the
+torn-batch-orphan-delta hazard (ADVICE r04) by construction.
+
+Reference analog: the incremental trends_stats maintenance
+(trends_stats.py:24-60 — per-epoch moment upsert) generalized to every
+check family; resumability mirrors the reference's per-run checkpoint
+(detect_anomalies.py:49-77) at micro-batch granularity.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pyanomalydetector2_spark.constraints.dsl import Suite
+from pyanomalydetector2_spark.constraints.suite import (
+    VIOLATION_SCHEMA,
+    VERDICT_SCHEMA,
+    SuiteResult,
+    _row_check_violations,
+    drift_verdict_frames,
+    row_check_base,
+    stat_verdict_frames,
+    violation_count_verdicts,
+)
+from pyanomalydetector2_spark.operators.drift import (
+    HistSpec,
+    drift_scores_categorical_from_counts,
+    hist_rows_to_arrays,
+    histogram_counts,
+    histogram_counts_df,
+    categorical_counts,
+    psi_ks,
+)
+from pyanomalydetector2_spark.operators.integrity import referential_violations
+from pyanomalydetector2_spark.operators.stats import (
+    column_profile_partial,
+    finalize_profile_partial,
+    merge_profile_partials,
+)
+from pyanomalydetector2_spark.streaming.state import batch_dirs, latest_gen
+
+_MERGEABLE_STATS = {
+    "row_cnt", "cnt", "null_cnt", "null_rate", "min", "max", "sum",
+    "sqr_sum", "mean", "std",
+}
+
+_BUCKETS_SCHEMA = "bucket int, n long"
+_PROFILE_SCHEMA = (
+    "bucket int, column string, row_cnt long, cnt long, null_cnt long, "
+    "min double, max double, sum double, sqr_sum double"
+)
+_HIST_SCHEMA = "g int, c string, b int, n long"
+_CATS_SCHEMA = "column string, bucket int, cat string, cur_cat_n long"
+_IDS_SCHEMA = "column string, bucket int, key string, cnt long"
+
+
+def ensure_streamable(suite: Suite) -> None:
+    """Reject checks whose state cannot be maintained from mergeable
+    scalars — erroring beats a silently-wrong streaming verdict."""
+    if suite.ann_checks:
+        raise ValueError(
+            "streaming suite: AnnChecks are not streamable (recall audits "
+            "need the full embedding corpus per run) — run them in the "
+            "batch suite"
+        )
+    for c in suite.drift_checks:
+        if c.equi_depth or c.distributed:
+            raise ValueError(
+                f"streaming suite: drift check {c.constraint_id!r} uses "
+                "equi_depth/distributed mode — streaming supports uniform-"
+                "bin and categorical drift (additive counts)"
+            )
+    for c in suite.stat_checks:
+        if c.stat not in _MERGEABLE_STATS:
+            raise ValueError(
+                f"streaming suite: stat check {c.constraint_id!r} uses "
+                f"sketch-backed stat {c.stat!r} which is not mergeable "
+                "from per-batch scalars"
+            )
+
+
+def _committed(state_dir: str) -> list[int]:
+    cdir = f"{state_dir}/commit"
+    if not os.path.isdir(cdir):
+        return []
+    return sorted(
+        int(f[len("batch="):-len(".json")])
+        for f in os.listdir(cdir)
+        if f.startswith("batch=") and f.endswith(".json")
+    )
+
+
+def batch_metrics(state_dir: str) -> list[dict]:
+    """Per-batch lineage/metrics rows (rows, buckets, wall, finish time) —
+    the stream's observability surface, written with the commit marker."""
+    out = []
+    for n in _committed(state_dir):
+        with open(f"{state_dir}/commit/batch={n}.json") as f:
+            out.append(json.load(f))
+    return out
+
+
+def _read_component(
+    spark: SparkSession, state_dir: str, comp: str, schema: str
+) -> DataFrame:
+    """Read a component's compacted base (if any) plus every COMMITTED
+    delta after it. Uncommitted (torn) deltas are invisible."""
+    committed = set(_committed(state_dir))
+    base = latest_gen(f"{state_dir}/{comp}_base")
+    folded_thru = base[0] if base else -1
+    paths = [base[1]] if base else []
+    paths += [
+        d
+        for n, d in batch_dirs(f"{state_dir}/{comp}")
+        if n > folded_thru and n in committed
+    ]
+    if paths:
+        return spark.read.parquet(*paths)
+    return spark.createDataFrame([], schema)
+
+
+def _uniform_specs(suite: Suite) -> list[HistSpec]:
+    return [
+        HistSpec(c.column, c.lo, c.hi, c.nbins)
+        for c in suite.drift_checks
+        if not c.categorical
+    ]
+
+
+def process_suite_batch(
+    batch: DataFrame,
+    batch_id: int,
+    state_dir: str,
+    suite: Suite,
+    dims: dict[str, DataFrame] | None,
+    run_id: str,
+    key_col: str = "clip_id",
+    bucket_col: str = "bucket",
+) -> None:
+    """Validate one micro-batch and append its partial state. Idempotent
+    per batch id: a redelivered batch overwrites its own deltas; the
+    commit marker lands last, so a crash mid-batch leaves no visible
+    state."""
+    marker = f"{state_dir}/commit/batch={batch_id}.json"
+    if os.path.exists(marker):
+        return  # redelivery of a fully committed batch — no-op
+    t0 = time.time()
+    spark = batch.sparkSession
+
+    # bucket counts: the row-count/bucket-list/lineage component (always)
+    brows = (
+        batch.groupBy(bucket_col)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    rows = sum(r["n"] for r in brows)
+    spark.createDataFrame(
+        [(int(r[bucket_col]), int(r["n"])) for r in brows], _BUCKETS_SCHEMA
+    ).coalesce(1).write.mode("overwrite").parquet(
+        f"{state_dir}/buckets/batch={batch_id}"
+    )
+
+    # row + referential violations (stateless per row → append)
+    vio_frames = []
+    rc = _row_check_violations(
+        row_check_base(batch, suite), suite, run_id, key_col, bucket_col
+    )
+    if rc is not None:
+        vio_frames.append(rc)
+    for c in suite.ref_checks:
+        dim = (dims or {})[c.dim_name]
+        vio_frames.append(
+            referential_violations(
+                batch, c.column, dim, keep_cols=[key_col, bucket_col]
+            ).select(
+                F.lit(run_id).alias("run_id"),
+                F.col(bucket_col).cast("int").alias("bucket"),
+                F.col(key_col).alias("clip_id"),
+                F.lit(c.constraint_id).alias("constraint_id"),
+                F.col(c.column).cast("string").alias("observed"),
+                F.lit(f"{c.column} in {c.dim_name}").alias("expected"),
+            )
+        )
+    if vio_frames:
+        vio = vio_frames[0]
+        for vf in vio_frames[1:]:
+            vio = vio.unionByName(vf)
+        vio.write.mode("overwrite").parquet(
+            f"{state_dir}/violations/batch={batch_id}"
+        )
+
+    # mergeable stat partials
+    if suite.stat_checks:
+        stat_cols = sorted({c.column for c in suite.stat_checks})
+        column_profile_partial(
+            batch, stat_cols, group_cols=[bucket_col]
+        ).withColumn("bucket", F.col(bucket_col).cast("int")).select(
+            "bucket", "column", "row_cnt", "cnt", "null_cnt",
+            "min", "max", "sum", "sqr_sum",
+        ).write.mode("overwrite").parquet(
+            f"{state_dir}/profile/batch={batch_id}"
+        )
+
+    # drift histogram / category counts (integer → exactly additive)
+    specs = _uniform_specs(suite)
+    if specs:
+        histogram_counts_df(batch, specs, group_col=bucket_col).write.mode(
+            "overwrite"
+        ).parquet(f"{state_dir}/hist/batch={batch_id}")
+    cat_checks = [c for c in suite.drift_checks if c.categorical]
+    if cat_checks:
+        frames = [
+            categorical_counts(batch, c.column, bucket_col).select(
+                F.lit(c.column).alias("column"),
+                F.col(bucket_col).cast("int").alias("bucket"),
+                "cat",
+                "cur_cat_n",
+            )
+            for c in cat_checks
+        ]
+        cats = frames[0]
+        for f2 in frames[1:]:
+            cats = cats.unionByName(f2)
+        cats.write.mode("overwrite").parquet(
+            f"{state_dir}/cats/batch={batch_id}"
+        )
+
+    # uniqueness key counts — one component per checked column so the key
+    # keeps its source TYPE inside the per-column state... cast to string
+    # at the shared-schema boundary; the HLL screen re-runs on these keys
+    # and the default clips key is already a string (clip-############)
+    if suite.unique_checks:
+        frames = [
+            batch.groupBy(
+                F.col(bucket_col).cast("int").alias("bucket"),
+                F.col(c.column).cast("string").alias("key"),
+            )
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .select(F.lit(c.column).alias("column"), "bucket", "key", "cnt")
+            for c in suite.unique_checks
+        ]
+        ids = frames[0]
+        for f2 in frames[1:]:
+            ids = ids.unionByName(f2)
+        ids.write.mode("overwrite").parquet(
+            f"{state_dir}/ids/batch={batch_id}"
+        )
+
+    # commit marker LAST — with the batch's lineage metrics
+    os.makedirs(f"{state_dir}/commit", exist_ok=True)
+    tmp = f"{marker}.tmp"
+    with open(tmp, "w") as f:
+        json.dump(
+            {
+                "batch": int(batch_id),
+                "rows": int(rows),
+                "buckets": len(brows),
+                "wall_sec": round(time.time() - t0, 3),
+                "finished_at": time.time(),
+            },
+            f,
+        )
+    os.replace(tmp, marker)
+
+
+def run_suite_stream(
+    spark: SparkSession,
+    source_dir: str,
+    state_dir: str,
+    suite: Suite,
+    dims: dict[str, DataFrame] | None,
+    run_id: str,
+    schema: str,
+    key_col: str = "clip_id",
+    bucket_col: str = "bucket",
+    max_files_per_trigger: int = 1,
+    shuffle_partitions: int | None = None,
+) -> None:
+    """Drain everything currently in ``source_dir`` through the validator
+    (Trigger.AvailableNow), micro-batch by micro-batch. Re-invoking after
+    new files arrive resumes from the stream checkpoint — already-
+    validated files are never re-read, and ``streaming_suite_result``
+    reflects all committed batches at any point."""
+    ensure_streamable(suite)
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    if shuffle_partitions is not None:
+        spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
+
+    def process(b: DataFrame, i: int) -> None:
+        process_suite_batch(
+            b, i, state_dir, suite, dims, run_id,
+            key_col=key_col, bucket_col=bucket_col,
+        )
+
+    try:
+        q = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", max_files_per_trigger)
+            .parquet(source_dir)
+            .writeStream.foreachBatch(process)
+            .option("checkpointLocation", f"{state_dir}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        if shuffle_partitions is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+
+def streaming_suite_result(
+    spark: SparkSession,
+    state_dir: str,
+    suite: Suite,
+    baseline: DataFrame | None,
+    run_id: str,
+    key_col: str = "clip_id",
+) -> SuiteResult:
+    """Assemble the suite verdict over everything committed so far — the
+    same VERDICT/VIOLATION frames the one-shot runner emits over the union
+    of all processed batches, computed purely from merged state (no source
+    re-scan). Equality with the batch runner is pytest-pinned."""
+    ensure_streamable(suite)
+    t0 = time.time()
+
+    bcounts = _read_component(spark, state_dir, "buckets", _BUCKETS_SCHEMA)
+    brows = bcounts.groupBy("bucket").agg(F.sum("n").alias("n")).collect()
+    buckets = [int(r["bucket"]) for r in brows]
+    row_count = int(sum(r["n"] for r in brows))
+    if not buckets:
+        return SuiteResult(
+            run_id,
+            spark.createDataFrame([], VERDICT_SCHEMA),
+            spark.createDataFrame([], VIOLATION_SCHEMA),
+            [], [], 0, 0.0,
+        )
+    bucket_df = spark.createDataFrame([(b,) for b in buckets], "bucket int")
+
+    # ---- violations: stored row/ref deltas + uniqueness from merged ids --
+    violations = _read_component(
+        spark, state_dir, "violations", VIOLATION_SCHEMA
+    )
+    ids_all = _read_component(spark, state_dir, "ids", _IDS_SCHEMA)
+    merged_ids = (
+        ids_all.groupBy("column", "bucket", "key")
+        .agg(F.sum("cnt").alias("cnt"))
+        if suite.unique_checks
+        else None
+    )
+    if merged_ids is not None:
+        merged_ids = merged_ids.cache()
+    verdict_rows: list[tuple] = []
+    for c in suite.unique_checks:
+        col_ids = merged_ids.filter(F.col("column") == c.column)
+        # HLL screen recomputed over the stored key set — identical to the
+        # batch estimate (HLL depends only on the distinct values). The
+        # bucket-key column sums per-bucket estimates; others get a global
+        # sketch — same split as the batch runner.
+        if c.column == key_col:
+            est = col_ids.groupBy("bucket").agg(
+                F.approx_count_distinct("key", 0.02).alias("ad")
+            ).agg(F.sum("ad")).first()[0]
+        else:
+            est = col_ids.agg(
+                F.approx_count_distinct("key", 0.02).alias("ad")
+            ).first()["ad"]
+        verdict_rows.append(
+            (
+                run_id, -1, c.constraint_id, "hll_approx_distinct",
+                float(est or 0), float(row_count), True, 0,
+            )
+        )
+        # exact violations: one row PER PARTICIPATING ROW of a duplicated
+        # key — the batch runner's duplicate_rows multiset, reproduced by
+        # exploding the merged per-(bucket, key) count. The dup decision
+        # groups by KEY ONLY (matching exact_duplicates): a key duplicated
+        # ACROSS buckets is still a duplicate, and observed carries the
+        # key's TOTAL count while each row keeps its own bucket.
+        totals = col_ids.groupBy("key").agg(
+            F.sum("cnt").alias("dup_cnt")
+        ).filter(F.col("dup_cnt") > 1)
+        dup = (
+            col_ids.join(F.broadcast(totals), "key", "inner")
+            .select(
+                F.lit(run_id).alias("run_id"),
+                F.col("bucket").cast("int").alias("bucket"),
+                F.col("key").alias("clip_id"),
+                F.lit(c.constraint_id).alias("constraint_id"),
+                F.concat(F.lit("dup_cnt="), F.col("dup_cnt")).alias(
+                    "observed"
+                ),
+                F.lit(f"unique {c.column}").alias("expected"),
+                F.explode(F.sequence(F.lit(1), F.col("cnt"))).alias("_i"),
+            )
+            .drop("_i")
+        )
+        violations = violations.unionByName(dup)
+    violations = violations.cache()
+    violations.count()
+
+    verdict_frames: list[DataFrame] = []
+    counted_ids = (
+        [c.constraint_id for c in suite.row_checks]
+        + [c.constraint_id for c in suite.unique_checks]
+        + [c.constraint_id for c in suite.ref_checks]
+    )
+    if counted_ids:
+        verdict_frames.append(
+            violation_count_verdicts(violations, bucket_df, counted_ids, run_id)
+        )
+
+    # ---- stat verdicts from merged partials ------------------------------
+    if suite.stat_checks:
+        prof = finalize_profile_partial(
+            merge_profile_partials(
+                _read_component(spark, state_dir, "profile", _PROFILE_SCHEMA),
+                group_cols=["bucket"],
+            )
+        )
+        verdict_frames.extend(
+            stat_verdict_frames(prof, suite.stat_checks, run_id, "bucket")
+        )
+
+    # ---- uniform drift: merged integer bins → identical psi/ks -----------
+    specs = _uniform_specs(suite)
+    if specs:
+        if baseline is None:
+            raise ValueError(
+                "streaming suite has drift checks but no baseline frame "
+                "was provided"
+            )
+        merged = (
+            _read_component(spark, state_dir, "hist", _HIST_SCHEMA)
+            .groupBy("g", "c", "b")
+            .agg(F.sum("n").alias("n"))
+            .collect()
+        )
+        cur_h = hist_rows_to_arrays(merged, specs)
+        base_h = histogram_counts(baseline, specs, None)
+        by_col = {s.column: s for s in specs}
+        checks = {
+            c.column: c for c in suite.drift_checks if not c.categorical
+        }
+        for s in specs:
+            if (None, s.column) not in base_h:
+                raise ValueError(
+                    f"drift baseline for column {s.column!r} is empty or "
+                    "all-null — no histogram to compare against (fix the "
+                    "baseline snapshot)"
+                )
+        seen = set()
+        for (g, col), counts in sorted(
+            cur_h.items(), key=lambda kv: (str(kv[0][0]), kv[0][1])
+        ):
+            psi, ks = psi_ks(counts, base_h[(None, col)])
+            c = checks[col]
+            seen.add(c.constraint_id)
+            verdict_rows.append(
+                (run_id, int(g), c.constraint_id, "psi", psi, c.psi_max,
+                 psi <= c.psi_max, 0)
+            )
+            verdict_rows.append(
+                (run_id, int(g), c.constraint_id, "ks", ks, c.ks_max,
+                 ks <= c.ks_max, 0)
+            )
+        for c in checks.values():
+            if c.constraint_id not in seen:
+                raise ValueError(
+                    f"drift check {c.constraint_id!r} produced no score — "
+                    f"column {c.column!r} is empty/all-null in the baseline "
+                    "or in every current bucket (fix the snapshot or drop "
+                    "the check)"
+                )
+
+    # ---- categorical drift from merged category counts -------------------
+    cat_checks = [c for c in suite.drift_checks if c.categorical]
+    if cat_checks:
+        if baseline is None:
+            raise ValueError(
+                "streaming suite has drift checks but no baseline frame "
+                "was provided"
+            )
+        cats = _read_component(spark, state_dir, "cats", _CATS_SCHEMA)
+        for c in cat_checks:
+            cur_cnt = (
+                cats.filter(F.col("column") == c.column)
+                .groupBy("bucket", "cat")
+                .agg(F.sum("cur_cat_n").alias("cur_cat_n"))
+            )
+            frame = drift_scores_categorical_from_counts(
+                cur_cnt, baseline, c.column, group_col="bucket"
+            )
+            verdict_frames.extend(
+                drift_verdict_frames(frame, c, run_id, "bucket", "linf")
+            )
+
+    verdicts = spark.createDataFrame(verdict_rows, VERDICT_SCHEMA)
+    for vf in verdict_frames:
+        verdicts = verdicts.unionByName(vf)
+    verdicts = verdicts.cache()
+    if merged_ids is not None:
+        merged_ids.unpersist()
+
+    return SuiteResult(
+        run_id,
+        verdicts,
+        violations,
+        sorted(buckets),
+        [],
+        row_count,
+        time.time() - t0,
+    )
+
+
+# ---------------------------------------------------------------------------
+# state maintenance
+
+
+_ADDITIVE: dict[str, tuple[str, list[str], dict[str, str]]] = {
+    # comp -> (schema, group keys, {col: agg})
+    "buckets": (_BUCKETS_SCHEMA, ["bucket"], {"n": "sum"}),
+    "profile": (
+        _PROFILE_SCHEMA,
+        ["bucket", "column"],
+        {
+            "row_cnt": "sum", "cnt": "sum", "null_cnt": "sum",
+            "min": "min", "max": "max", "sum": "sum", "sqr_sum": "sum",
+        },
+    ),
+    "hist": (_HIST_SCHEMA, ["g", "c", "b"], {"n": "sum"}),
+    "cats": (_CATS_SCHEMA, ["column", "bucket", "cat"], {"cur_cat_n": "sum"}),
+    "ids": (_IDS_SCHEMA, ["column", "bucket", "key"], {"cnt": "sum"}),
+}
+
+
+def compact_suite_state(spark: SparkSession, state_dir: str) -> int:
+    """Fold all COMMITTED deltas of every component into a new compacted
+    generation (additive merge for count state, plain concat for the
+    violation log), keyed on the newest committed batch id. Only committed
+    ids are folded — an uncommitted (torn) trailing batch keeps its
+    deltas for the stream's redelivery, closing the orphan-delta hazard.
+    Returns the new generation id, or -1 if there was nothing to fold."""
+    committed = _committed(state_dir)
+    if not committed:
+        return -1
+    gen_id = committed[-1]
+    comps = list(_ADDITIVE) + ["violations"]
+    for comp in comps:
+        base = latest_gen(f"{state_dir}/{comp}_base")
+        folded_thru = base[0] if base else -1
+        paths = [base[1]] if base else []
+        paths += [
+            d
+            for n, d in batch_dirs(f"{state_dir}/{comp}")
+            if n > folded_thru and n in set(committed)
+        ]
+        if not paths or (base and folded_thru == gen_id):
+            continue
+        df = spark.read.parquet(*paths)
+        if comp in _ADDITIVE:
+            _, keys, aggs = _ADDITIVE[comp]
+            df = df.groupBy(*keys).agg(
+                *[getattr(F, fn)(c).alias(c) for c, fn in aggs.items()]
+            )
+        out = f"{state_dir}/{comp}_base/gen={gen_id}"
+        df.write.mode("overwrite").parquet(out)
+        # parquet write emits _SUCCESS; latest_gen only trusts dirs that
+        # have it, so an interrupted fold is invisible
+    return gen_id
+
+
+def vacuum_suite_state(state_dir: str) -> list[str]:
+    """Delete delta dirs already folded into each component's newest
+    complete generation. Safe any time: readers resolve base + deltas
+    strictly AFTER the base's id."""
+    import shutil
+
+    removed = []
+    for comp in list(_ADDITIVE) + ["violations"]:
+        base = latest_gen(f"{state_dir}/{comp}_base")
+        if base is None:
+            continue
+        for n, d in batch_dirs(f"{state_dir}/{comp}"):
+            if n <= base[0]:
+                shutil.rmtree(d, ignore_errors=True)
+                removed.append(d)
+    return removed

@@ -1,0 +1,198 @@
+"""Streaming constraint suite: streaming-equals-batch, incremental
+resume, per-batch idempotence, torn-batch invisibility, and state
+compaction (streaming/suite_stream.py)."""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import pytest
+
+from pyanomalydetector2_spark.constraints import default_clips_suite, run_suite
+from pyanomalydetector2_spark.constraints.dsl import (
+    AnnCheck,
+    DriftCheck,
+    StatCheck,
+    Suite,
+)
+from pyanomalydetector2_spark.datagen.clips import (
+    CLIPS_SCHEMA,
+    clips_table,
+    dim_codec,
+    dim_sr,
+)
+from pyanomalydetector2_spark.streaming.suite_stream import (
+    batch_metrics,
+    compact_suite_state,
+    ensure_streamable,
+    process_suite_batch,
+    run_suite_stream,
+    streaming_suite_result,
+    vacuum_suite_state,
+)
+
+N = 2000
+BUCKETS = 8
+K_FILES = 3
+
+
+def _sorted_violations(res):
+    return sorted(
+        tuple(r)
+        for r in res.violations.select(
+            "bucket", "clip_id", "constraint_id", "observed", "expected"
+        ).collect()
+    )
+
+
+def _sorted_verdicts(res):
+    return sorted(
+        (
+            (r["bucket"], r["constraint_id"], r["metric"]),
+            (r["observed"], r["threshold"], r["passed"], r["violation_cnt"]),
+        )
+        for r in res.verdicts.collect()
+    )
+
+
+def _assert_results_equal(stream_res, batch_res):
+    assert _sorted_violations(stream_res) == _sorted_violations(batch_res)
+    sv, bv = _sorted_verdicts(stream_res), _sorted_verdicts(batch_res)
+    assert [k for k, _ in sv] == [k for k, _ in bv]
+    for (key, s), (_, b) in zip(sv, bv):
+        # integer-count state (histograms, categories, violation counts,
+        # HLL over identical distinct sets) reproduces the one-shot floats
+        # bit-for-bit; only the moment sums may differ in ADDITION ORDER
+        assert s[0] == pytest.approx(b[0], rel=1e-9, nan_ok=True), key
+        assert s[1:] == b[1:], key
+
+
+@pytest.fixture(scope="module")
+def drained(spark, tmp_path_factory):
+    """Source files + a full availableNow drain + the matching one-shot
+    batch run over the identical frame."""
+    root = tmp_path_factory.mktemp("suite_stream")
+    src, state = str(root / "src"), str(root / "state")
+    cur = clips_table(spark, N, planted=True, n_buckets=BUCKETS)
+    cur.repartition(K_FILES).write.mode("overwrite").parquet(src)
+    base = clips_table(spark, N, planted=False, n_buckets=BUCKETS).cache()
+    dims = {"dim_codec": dim_codec(spark), "dim_sr": dim_sr(spark)}
+    suite = default_clips_suite()
+
+    run_suite_stream(
+        spark, src, state, suite, dims, "stream_run", CLIPS_SCHEMA,
+        max_files_per_trigger=1,
+    )
+    stream_res = streaming_suite_result(
+        spark, state, suite, base, "stream_run"
+    )
+    batch_res = run_suite(
+        spark.read.parquet(src), base, dims, suite, "stream_run"
+    )
+    return src, state, base, dims, suite, stream_res, batch_res
+
+
+def test_stream_equals_batch(drained):
+    _, state, _, _, _, stream_res, batch_res = drained
+    assert stream_res.row_count == batch_res.row_count == N
+    assert stream_res.processed_buckets == batch_res.processed_buckets
+    _assert_results_equal(stream_res, batch_res)
+    # one committed micro-batch per source file, each with lineage metrics
+    metrics = batch_metrics(state)
+    assert len(metrics) == K_FILES
+    assert sum(m["rows"] for m in metrics) == N
+    assert all(m["wall_sec"] > 0 for m in metrics)
+
+
+def test_redelivered_batch_is_noop(spark, drained):
+    src, state, base, dims, suite, stream_res, _ = drained
+    before = _sorted_verdicts(stream_res)
+    one_file = spark.read.parquet(src).limit(50)
+    process_suite_batch(  # batch id 0 is already committed
+        one_file, 0, state, suite, dims, "stream_run"
+    )
+    after = _sorted_verdicts(
+        streaming_suite_result(spark, state, suite, base, "stream_run")
+    )
+    assert after == before
+
+
+def test_torn_batch_is_invisible(spark, drained):
+    src, state, base, dims, suite, stream_res, _ = drained
+    # a crashed batch wrote SOME component deltas but no commit marker
+    torn = 999
+    spark.read.parquet(src).limit(100).groupBy("bucket").count().selectExpr(
+        "cast(bucket as int) bucket", "cast(count as long) n"
+    ).write.parquet(f"{state}/buckets/batch={torn}")
+    try:
+        res = streaming_suite_result(spark, state, suite, base, "stream_run")
+        assert res.row_count == N  # torn rows not counted
+        assert _sorted_verdicts(res) == _sorted_verdicts(stream_res)
+    finally:
+        shutil.rmtree(f"{state}/buckets/batch={torn}", ignore_errors=True)
+
+
+def test_compaction_preserves_result(spark, drained):
+    _, state, base, _, suite, stream_res, _ = drained
+    gen = compact_suite_state(spark, state)
+    assert gen == K_FILES - 1  # newest committed batch id
+    removed = vacuum_suite_state(state)
+    assert removed  # folded deltas reclaimed
+    res = streaming_suite_result(spark, state, suite, base, "stream_run")
+    assert _sorted_violations(res) == _sorted_violations(stream_res)
+    assert _sorted_verdicts(res) == _sorted_verdicts(stream_res)
+
+
+def test_incremental_arrival_resumes(spark, tmp_path):
+    """Two drains over a growing source equal one batch run over the
+    union — the checkpoint skips already-validated files."""
+    src, state = str(tmp_path / "src"), str(tmp_path / "state")
+    suite = default_clips_suite()
+    dims = {"dim_codec": dim_codec(spark), "dim_sr": dim_sr(spark)}
+    base = clips_table(spark, 800, planted=False, n_buckets=BUCKETS).cache()
+
+    cur = clips_table(spark, 800, planted=True, n_buckets=BUCKETS).cache()
+    first = cur.filter("crc32(clip_id) % 2 = 0")
+    second = cur.filter("crc32(clip_id) % 2 = 1")
+    os.makedirs(src, exist_ok=True)
+    first.coalesce(1).write.mode("append").parquet(src)
+    run_suite_stream(
+        spark, src, state, suite, dims, "inc", CLIPS_SCHEMA
+    )
+    mid = streaming_suite_result(spark, state, suite, base, "inc")
+    assert 0 < mid.row_count < 800
+
+    second.coalesce(1).write.mode("append").parquet(src)
+    run_suite_stream(
+        spark, src, state, suite, dims, "inc", CLIPS_SCHEMA
+    )
+    final = streaming_suite_result(spark, state, suite, base, "inc")
+    assert final.row_count == 800
+    batch_res = run_suite(cur, base, dims, suite, "inc")
+    _assert_results_equal(final, batch_res)
+
+
+def test_ensure_streamable_rejects_non_mergeable():
+    ok = default_clips_suite()
+    ensure_streamable(ok)  # the default suite is fully streamable
+    with pytest.raises(ValueError, match="AnnChecks"):
+        ensure_streamable(
+            Suite(ann_checks=(AnnCheck("ann", dims=8),))
+        )
+    with pytest.raises(ValueError, match="equi_depth"):
+        ensure_streamable(
+            Suite(
+                drift_checks=(
+                    DriftCheck("d", "dur_ms", 0, 1, equi_depth=True),
+                )
+            )
+        )
+    with pytest.raises(ValueError, match="sketch-backed"):
+        ensure_streamable(
+            Suite(
+                stat_checks=(
+                    StatCheck("q", "dur_ms", "quantiles", "<=", 1.0),
+                )
+            )
+        )
