@@ -188,18 +188,13 @@ def process_suite_batch(
     t0 = time.time()
     spark = batch.sparkSession
 
-    # bucket counts: the row-count/bucket-list/lineage component (always)
-    brows = (
-        batch.groupBy(bucket_col)
-        .agg(F.count(F.lit(1)).alias("n"))
-        .collect()
-    )
-    rows = sum(r["n"] for r in brows)
-    spark.createDataFrame(
-        [(int(r[bucket_col]), int(r["n"])) for r in brows], _BUCKETS_SCHEMA
-    ).coalesce(1).write.mode("overwrite").parquet(
-        f"{state_dir}/buckets/batch={batch_id}"
-    )
+    # Build every component frame lazily, then run ALL the writes as
+    # CONCURRENT Spark jobs: each component reads its own column-pruned
+    # slice of the batch, so the jobs don't contend on anything but
+    # executor slots, and the per-batch wall is max(job) not sum(job) —
+    # the knob that keeps small-micro-batch fixed cost flat. (The audio
+    # decode pass, when present, rides ONLY the violations job.)
+    writes: list[tuple[str, DataFrame]] = []
 
     # row + referential violations (stateless per row → append)
     vio_frames = []
@@ -226,28 +221,32 @@ def process_suite_batch(
         vio = vio_frames[0]
         for vf in vio_frames[1:]:
             vio = vio.unionByName(vf)
-        vio.write.mode("overwrite").parquet(
-            f"{state_dir}/violations/batch={batch_id}"
-        )
+        writes.append((f"{state_dir}/violations/batch={batch_id}", vio))
 
     # mergeable stat partials
     if suite.stat_checks:
         stat_cols = sorted({c.column for c in suite.stat_checks})
-        column_profile_partial(
-            batch, stat_cols, group_cols=[bucket_col]
-        ).withColumn("bucket", F.col(bucket_col).cast("int")).select(
-            "bucket", "column", "row_cnt", "cnt", "null_cnt",
-            "min", "max", "sum", "sqr_sum",
-        ).write.mode("overwrite").parquet(
-            f"{state_dir}/profile/batch={batch_id}"
+        writes.append(
+            (
+                f"{state_dir}/profile/batch={batch_id}",
+                column_profile_partial(batch, stat_cols, group_cols=[bucket_col])
+                .withColumn("bucket", F.col(bucket_col).cast("int"))
+                .select(
+                    "bucket", "column", "row_cnt", "cnt", "null_cnt",
+                    "min", "max", "sum", "sqr_sum",
+                ),
+            )
         )
 
     # drift histogram / category counts (integer → exactly additive)
     specs = _uniform_specs(suite)
     if specs:
-        histogram_counts_df(batch, specs, group_col=bucket_col).write.mode(
-            "overwrite"
-        ).parquet(f"{state_dir}/hist/batch={batch_id}")
+        writes.append(
+            (
+                f"{state_dir}/hist/batch={batch_id}",
+                histogram_counts_df(batch, specs, group_col=bucket_col),
+            )
+        )
     cat_checks = [c for c in suite.drift_checks if c.categorical]
     if cat_checks:
         frames = [
@@ -262,14 +261,11 @@ def process_suite_batch(
         cats = frames[0]
         for f2 in frames[1:]:
             cats = cats.unionByName(f2)
-        cats.write.mode("overwrite").parquet(
-            f"{state_dir}/cats/batch={batch_id}"
-        )
+        writes.append((f"{state_dir}/cats/batch={batch_id}", cats))
 
-    # uniqueness key counts — one component per checked column so the key
-    # keeps its source TYPE inside the per-column state... cast to string
-    # at the shared-schema boundary; the HLL screen re-runs on these keys
-    # and the default clips key is already a string (clip-############)
+    # uniqueness key counts (cast to string at the shared-schema boundary;
+    # the HLL screen re-runs on these keys and the default clips key is
+    # already a string)
     if suite.unique_checks:
         frames = [
             batch.groupBy(
@@ -283,9 +279,32 @@ def process_suite_batch(
         ids = frames[0]
         for f2 in frames[1:]:
             ids = ids.unionByName(f2)
-        ids.write.mode("overwrite").parquet(
-            f"{state_dir}/ids/batch={batch_id}"
+        writes.append((f"{state_dir}/ids/batch={batch_id}", ids))
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    def _write(path: str, df: DataFrame) -> None:
+        df.write.mode("overwrite").parquet(path)
+
+    def _bucket_counts() -> list:
+        return (
+            batch.groupBy(bucket_col)
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
         )
+
+    with ThreadPoolExecutor(max_workers=len(writes) + 1) as ex:
+        fut_counts = ex.submit(_bucket_counts)
+        futs = [ex.submit(_write, p, df) for p, df in writes]
+        brows = fut_counts.result()
+        for f in futs:
+            f.result()
+    rows = sum(r["n"] for r in brows)
+    spark.createDataFrame(
+        [(int(r[bucket_col]), int(r["n"])) for r in brows], _BUCKETS_SCHEMA
+    ).coalesce(1).write.mode("overwrite").parquet(
+        f"{state_dir}/buckets/batch={batch_id}"
+    )
 
     # commit marker LAST — with the batch's lineage metrics
     os.makedirs(f"{state_dir}/commit", exist_ok=True)
