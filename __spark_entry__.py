@@ -1648,6 +1648,68 @@ def q_suite_stream_verdicts(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_snapshot_diff(spark: SparkSession, sf: str) -> DataFrame:
+    """Cross-snapshot row-level reconciliation
+    (operators/reconcile.snapshot_diff): which keys were added, removed,
+    or had a compared column change between two versions of the same
+    table — the check a snapshot-versioned (Iceberg-shaped) warehouse
+    runs after every backfill/compaction. One full-outer sort-merge join
+    on the key + null-safe codegen'd per-column compares; with a
+    bucketed-by-key layout the exchange vanishes (storage-partitioned
+    join). Deterministic derived snapshots of events: baseline drops
+    event_id % 10 == 3, current drops % 10 == 7 and perturbs value by
+    +1.0 where event_id % 7 == 0 — so all three change kinds occur."""
+    from pyanomalydetector2_spark.operators.reconcile import snapshot_diff
+
+    ev = load_table(spark, sf, "events")
+    base = ev.filter(F.col("event_id") % 10 != 3).select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    cur = ev.filter(F.col("event_id") % 10 != 7).select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.when(F.col("event_id") % 7 == 0, F.col("value") + F.lit(1.0))
+        .otherwise(F.col("value"))
+        .alias("value"),
+    )
+    return snapshot_diff(
+        base, cur, ["event_id"], ["user_id", "event_type", "value"]
+    )
+
+
+def q_metrics_anomaly(spark: SparkSession, sf: str) -> DataFrame:
+    """Metrics-repository anomaly detection
+    (operators/reconcile.metrics_zscores): the reference's per-item
+    z-score screen (detector.py:196-215 — lambda threshold, min-support
+    and zero-variance guards) aimed at a metrics HISTORY: per event_type,
+    daily mean value forms a run series and the LATEST day is scored
+    against the mean/stddev of its own earlier days — the Deequ-style
+    'anomaly detection on your own data-quality metrics' loop that
+    run_suite --metrics-history feeds with real verdict observations.
+    Emits the full scored frame (value, history stats, z, flagged)."""
+    from pyanomalydetector2_spark.operators.reconcile import metrics_zscores
+
+    ev = load_table(spark, sf, "events")
+    epoch = F.unix_timestamp("ts").cast("long")
+    hist = ev.groupBy(
+        "event_type", (epoch - epoch % 86400).alias("run_seq")
+    ).agg(F.avg("value").alias("value"))
+    scored = metrics_zscores(
+        hist, ["event_type"], "run_seq", "value", lam=1.0, min_runs=5
+    )
+    return scored.select(
+        "event_type",
+        F.col("run").alias("run_seq"),
+        _r("value").alias("value"),
+        _r("mean_hist").alias("mean_hist"),
+        _r("std_hist").alias("std_hist"),
+        "n_hist",
+        _r("z").alias("z"),
+        "flagged",
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the detect1-style z-score screen on sf0.001."""
     return q_zscore_screen(spark, "/root/testdata/sf0.001")
@@ -1718,6 +1780,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_keep_best": q_audio_keep_best,
         "suite_stream": q_suite_stream,
         "suite_stream_verdicts": q_suite_stream_verdicts,
+        "snapshot_diff": q_snapshot_diff,
+        "metrics_anomaly": q_metrics_anomaly,
     }
 
 
@@ -3256,5 +3320,70 @@ def oracle_sql() -> dict[str, str]:
         UNION ALL SELECT * FROM statv
         UNION ALL SELECT * FROM driftv
         UNION ALL SELECT * FROM catv
+    """
+    # snapshot reconciliation: the same full-outer + IS DISTINCT FROM
+    # comparison (DuckDB concat_ws skips NULL args exactly like Spark's)
+    out["snapshot_diff"] = """
+        WITH base AS (
+          SELECT event_id, user_id, event_type, value
+          FROM events WHERE event_id % 10 <> 3
+        ), cur AS (
+          SELECT event_id, user_id, event_type,
+                 CASE WHEN event_id % 7 = 0 THEN value + 1.0
+                      ELSE value END AS value
+          FROM events WHERE event_id % 10 <> 7
+        )
+        SELECT COALESCE(b.event_id, c.event_id) AS event_id,
+               CASE WHEN b.event_id IS NULL THEN 'added'
+                    WHEN c.event_id IS NULL THEN 'removed'
+                    ELSE 'changed' END AS change,
+               CASE WHEN b.event_id IS NOT NULL AND c.event_id IS NOT NULL
+                    THEN concat_ws(',',
+                      CASE WHEN b.user_id IS DISTINCT FROM c.user_id
+                           THEN 'user_id' END,
+                      CASE WHEN b.event_type IS DISTINCT FROM c.event_type
+                           THEN 'event_type' END,
+                      CASE WHEN b.value IS DISTINCT FROM c.value
+                           THEN 'value' END)
+                    ELSE '' END AS changed_cols
+        FROM base b FULL OUTER JOIN cur c ON b.event_id = c.event_id
+        WHERE b.event_id IS NULL OR c.event_id IS NULL
+           OR b.user_id IS DISTINCT FROM c.user_id
+           OR b.event_type IS DISTINCT FROM c.event_type
+           OR b.value IS DISTINCT FROM c.value
+    """
+    # metrics-repository z-score screen: latest daily-mean per event_type
+    # vs its own history (sample stddev; min-support 5; zero-variance →
+    # any move flags; z NULL when std == 0), lam = 1.0
+    out["metrics_anomaly"] = """
+        WITH h AS (
+          SELECT event_type,
+                 CAST(floor(epoch(ts)) AS BIGINT)
+                   - CAST(floor(epoch(ts)) AS BIGINT) % 86400 AS run_seq,
+                 avg(value) AS value
+          FROM events GROUP BY 1, 2
+        ), r AS (
+          SELECT *, row_number() OVER (PARTITION BY event_type
+                                       ORDER BY run_seq DESC) AS rn
+          FROM h
+        ), latest AS (
+          SELECT event_type, run_seq, value FROM r WHERE rn = 1
+        ), hist AS (
+          SELECT event_type, avg(value) AS mean_hist,
+                 stddev_samp(value) AS std_hist, count(*) AS n_hist
+          FROM r WHERE rn > 1 GROUP BY 1
+        )
+        SELECT l.event_type, l.run_seq, round(l.value, 6) AS value,
+               round(h.mean_hist, 6) AS mean_hist,
+               round(h.std_hist, 6) AS std_hist,
+               COALESCE(h.n_hist, 0) AS n_hist,
+               round(CASE WHEN h.std_hist > 0
+                          THEN abs(l.value - h.mean_hist) / h.std_hist
+                     END, 6) AS z,
+               CASE WHEN COALESCE(h.n_hist, 0) < 5 THEN FALSE
+                    WHEN COALESCE(h.std_hist, 0) > 0
+                      THEN abs(l.value - h.mean_hist) / h.std_hist > 1.0
+                    ELSE l.value <> h.mean_hist END AS flagged
+        FROM latest l LEFT JOIN hist h USING (event_type)
     """
     return out

@@ -86,6 +86,20 @@ def main(argv: list[str] | None = None) -> dict:
         "localCheckpoint materialization (small-driver shape); results "
         "are bit-identical either way",
     )
+    ap.add_argument(
+        "--metrics-history",
+        default=None,
+        help="metrics-repository parquet dir: append this run's verdict "
+        "observations after persist, then z-score the latest run against "
+        "the repository history (reference screen semantics, "
+        "operators/reconcile.py) and report flagged metrics",
+    )
+    ap.add_argument(
+        "--metrics-lam",
+        type=float,
+        default=3.0,
+        help="z-score lambda for --metrics-history anomaly reporting",
+    )
     ap.add_argument("--json-out", default=None, help="also append summary JSON to this file")
     args = ap.parse_args(argv)
 
@@ -183,6 +197,22 @@ def main(argv: list[str] | None = None) -> dict:
         from pyanomalydetector2_spark.constraints.suite import commit_checkpoint
 
         commit_checkpoint(res, ledger)
+    n_metric_anomalies = None
+    if args.metrics_history:
+        from pyanomalydetector2_spark.operators.reconcile import (
+            append_suite_metrics,
+            next_run_seq,
+            suite_metrics_anomalies,
+        )
+
+        # append AFTER the verdicts are durably persisted (same write-ahead
+        # ordering as the ledger): the repository must never hold a run the
+        # results tables lost
+        seq = next_run_seq(spark, args.metrics_history)
+        append_suite_metrics(res.verdicts, seq, args.metrics_history)
+        n_metric_anomalies = suite_metrics_anomalies(
+            spark, args.metrics_history, lam=args.metrics_lam
+        ).count()
     wall = time.time() - t0
 
     n_viol = res.violations.count()
@@ -205,6 +235,8 @@ def main(argv: list[str] | None = None) -> dict:
         "cpus": args.cpus,
         "catalog_backend": results_t.backend,
     }
+    if n_metric_anomalies is not None:
+        summary["metric_anomalies"] = n_metric_anomalies
     print(json.dumps(summary))
     if args.json_out:
         with open(args.json_out, "a") as f:
