@@ -1710,6 +1710,44 @@ def q_metrics_anomaly(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_fd_violations(spark: SparkSession, sf: str) -> DataFrame:
+    """Functional-dependency check (operators/integrity.fd_violations,
+    FdCheck in the constraint DSL): determinant-value groups whose
+    dependent column is not single-valued. The manufacturer is derived
+    from the brand ('Brand#N' → 'Manufacturer#N'), so p_brand → p_mfgr
+    holds by construction; a deterministic perturbation gives every
+    p_partkey % 97 == 0 row a unique manufacturer, so exactly the
+    brands containing a perturbed part violate. Two algebraic aggregations
+    (distinct pairs, then per-determinant rollup with O(1) min/max conflict
+    witnesses — no collect_set). Reference analog: the per-item condition
+    interpreter detector.py:169-185, which cannot express group
+    properties."""
+    from pyanomalydetector2_spark.operators.integrity import fd_violations
+
+    part = load_table(spark, sf, "part")
+    perturbed = part.select(
+        "p_partkey",
+        "p_brand",
+        F.when(
+            F.col("p_partkey") % 97 == 0,
+            F.concat(
+                F.lit("Manufacturer#X-"), F.col("p_partkey").cast("string")
+            ),
+        )
+        .otherwise(F.concat(F.lit("Manufacturer#"), F.expr("substring(p_brand, 7)")))
+        .alias("p_mfgr"),
+    )
+    out = fd_violations(perturbed, ["p_brand"], "p_mfgr", carry_min=["p_partkey"])
+    return out.select(
+        "p_brand",
+        "n_values",
+        F.col("n_rows").cast("long").alias("n_rows"),
+        "dep_min",
+        "dep_max",
+        F.col("p_partkey").alias("exemplar_key"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the detect1-style z-score screen on sf0.001."""
     return q_zscore_screen(spark, "/root/testdata/sf0.001")
@@ -1782,6 +1820,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "suite_stream_verdicts": q_suite_stream_verdicts,
         "snapshot_diff": q_snapshot_diff,
         "metrics_anomaly": q_metrics_anomaly,
+        "fd_violations": q_fd_violations,
     }
 
 
@@ -3385,5 +3424,26 @@ def oracle_sql() -> dict[str, str]:
                       THEN abs(l.value - h.mean_hist) / h.std_hist > 1.0
                     ELSE l.value <> h.mean_hist END AS flagged
         FROM latest l LEFT JOIN hist h USING (event_type)
+    """
+    # functional dependency: same two-stage shape (distinct pairs, then
+    # per-determinant rollup); DuckDB sum() is HUGEINT → cast to BIGINT
+    out["fd_violations"] = """
+        WITH perturbed AS (
+          SELECT p_partkey, p_brand,
+                 CASE WHEN p_partkey % 97 = 0
+                      THEN 'Manufacturer#X-' || CAST(p_partkey AS VARCHAR)
+                      ELSE 'Manufacturer#' || substr(p_brand, 7) END AS p_mfgr
+          FROM part
+        ), pairs AS (
+          SELECT p_brand, p_mfgr, count(*) AS cnt, min(p_partkey) AS k
+          FROM perturbed GROUP BY 1, 2
+        )
+        SELECT p_brand,
+               count(*) AS n_values,
+               CAST(sum(cnt) AS BIGINT) AS n_rows,
+               min(p_mfgr) AS dep_min,
+               max(p_mfgr) AS dep_max,
+               min(k) AS exemplar_key
+        FROM pairs GROUP BY 1 HAVING count(*) > 1
     """
     return out

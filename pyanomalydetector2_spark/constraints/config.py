@@ -27,6 +27,8 @@ import yaml
 from pyanomalydetector2_spark.constraints.dsl import (
     AnnCheck,
     DriftCheck,
+    FdCheck,
+    ReconcileCheck,
     RefCheck,
     RowCheck,
     StatCheck,
@@ -136,7 +138,37 @@ def suite_from_dict(spec: dict) -> Suite:
         )
         for d in spec.get("ann_checks", [])
     )
-    suite = Suite(rows, stats, uniques, refs, drifts, anns)
+    fds = tuple(
+        FdCheck(
+            cid(d),
+            tuple(
+                [d["determinant"]]
+                if isinstance(d["determinant"], str)
+                else d["determinant"]
+            ),
+            d["dependent"],
+        )
+        for d in spec.get("fd_checks", [])
+    )
+    recs = tuple(
+        ReconcileCheck(
+            cid(d),
+            tuple(
+                [d["compare_cols"]]
+                if isinstance(d["compare_cols"], str)
+                else d["compare_cols"]
+            ),
+            max_removed_rate=float(d.get("max_removed_rate", 0.0)),
+            max_changed_rate=float(d.get("max_changed_rate", 0.0)),
+            max_added_rate=(
+                None
+                if d.get("max_added_rate") is None
+                else float(d["max_added_rate"])
+            ),
+        )
+        for d in spec.get("reconcile_checks", [])
+    )
+    suite = Suite(rows, stats, uniques, refs, drifts, anns, fds, recs)
     ids = suite.all_ids()
     dupes = {i for i in ids if ids.count(i) > 1}
     if dupes:

@@ -6,14 +6,17 @@ samples/zabbix.yml:26-81) interpreted row-by-row in Python
 (detector.py:169-185 ``_evaluate_cond``). Here each spec compiles ONCE to a
 Column expression / DataFrame plan; there is no per-row Python anywhere.
 
-Five constraint kinds cover the north_rule surface:
-- RowCheck     per-row predicate (schema invariants, audio/transcript
-               invariants) — violations are rows.
-- StatCheck    per-bucket column-stat threshold (null-rate, mean, std, …)
-               over the single-pass column profile.
-- UniqueCheck  key uniqueness (HLL screen → exact confirm).
-- RefCheck     referential integrity vs a dimension table.
-- DriftCheck   PSI/KS distribution drift vs the baseline snapshot.
+Constraint kinds covering the north_rule surface:
+- RowCheck        per-row predicate (schema invariants, audio/transcript
+                  invariants) — violations are rows.
+- StatCheck       per-bucket column-stat threshold (null-rate, mean, std, …)
+                  over the single-pass column profile.
+- UniqueCheck     key uniqueness (HLL screen → exact confirm).
+- RefCheck        referential integrity vs a dimension table.
+- DriftCheck      PSI/KS distribution drift vs the baseline snapshot.
+- AnnCheck        sampled ANN recall audit vs brute-force exact.
+- FdCheck         functional dependency (determinant → single dependent).
+- ReconcileCheck  bounded row-level diff vs the baseline snapshot.
 """
 
 from __future__ import annotations
@@ -92,6 +95,41 @@ class DriftCheck:
 
 
 @dataclass(frozen=True)
+class FdCheck:
+    """Functional dependency: within every ``determinant`` value group the
+    ``dependent`` column must be single-valued (codec → container family,
+    declared sr_hz → bytes-per-second class). A group property no per-row
+    predicate can express; violations are one row per conflicting group
+    with O(1) min/max witnesses (operators/integrity.fd_violations)."""
+
+    constraint_id: str
+    determinant: tuple[str, ...]
+    dependent: str
+
+
+@dataclass(frozen=True)
+class ReconcileCheck:
+    """Row-level reconciliation against the suite's baseline snapshot
+    (operators/reconcile.snapshot_diff on the run's key column): bounds the
+    RATE of removed / changed / (optionally) added keys relative to the
+    baseline row count, per bucket. The post-backfill / post-compaction
+    invariant a snapshot-versioned warehouse checks between any two
+    versions — drift checks see distributions move, this sees individual
+    rows vanish or mutate.
+
+    ``max_added_rate=None`` (default) treats appends as normal growth: no
+    added-rate verdict and added rows are NOT emitted as violations.
+    Removed and changed keys are always violation rows.
+    """
+
+    constraint_id: str
+    compare_cols: tuple[str, ...]
+    max_removed_rate: float = 0.0
+    max_changed_rate: float = 0.0
+    max_added_rate: float | None = None
+
+
+@dataclass(frozen=True)
 class AnnCheck:
     """Sampled ANN recall audit (VERDICT r03 next-round #6): compare the
     LSH/IVF top-k against brute-force exact top-k on a deterministic query
@@ -118,6 +156,8 @@ class Suite:
     ref_checks: tuple[RefCheck, ...] = ()
     drift_checks: tuple[DriftCheck, ...] = ()
     ann_checks: tuple[AnnCheck, ...] = ()
+    fd_checks: tuple[FdCheck, ...] = ()
+    reconcile_checks: tuple[ReconcileCheck, ...] = ()
 
     def all_ids(self) -> list[str]:
         return [
@@ -129,6 +169,8 @@ class Suite:
                 self.ref_checks,
                 self.drift_checks,
                 self.ann_checks,
+                self.fd_checks,
+                self.reconcile_checks,
             )
             for c in group
         ]

@@ -36,7 +36,11 @@ from pyanomalydetector2_spark.operators.drift import (
     drift_scores_multi,
     drift_scores_quantile,
 )
-from pyanomalydetector2_spark.operators.integrity import referential_violations
+from pyanomalydetector2_spark.operators.integrity import (
+    fd_violations,
+    referential_violations,
+)
+from pyanomalydetector2_spark.operators.reconcile import snapshot_diff
 from pyanomalydetector2_spark.operators.stats import column_profile
 from pyanomalydetector2_spark.operators.uniqueness import duplicate_rows
 from pyanomalydetector2_spark.streaming.checkpoint import CheckpointLedger
@@ -457,6 +461,78 @@ def run_suite(
         )
         violation_frames.append(viol)
 
+    # ---- functional dependencies: algebraic two-stage agg ------------------
+    # Resume semantics match uniqueness: on a bucket-filtered resume the FD
+    # is evaluated over the remaining buckets' rows only (determinant-global
+    # conflicts already caught in committed buckets were reported then).
+    for c in suite.fd_checks:
+        det = list(c.determinant)
+        grp = fd_violations(base, det, c.dependent, carry_min=[key_col, bucket_col])
+        det_repr = F.concat_ws(
+            ",",
+            *[
+                F.concat(F.lit(f"{d}="), F.col(d).cast("string"))
+                for d in det
+            ],
+        )
+        viol = grp.select(
+            F.lit(run_id).alias("run_id"),
+            F.col(bucket_col).cast("int").alias("bucket"),
+            F.col(key_col).cast("string").alias("clip_id"),
+            F.lit(c.constraint_id).alias("constraint_id"),
+            F.concat(
+                det_repr,
+                F.lit(" n_values="),
+                F.col("n_values").cast("string"),
+                F.lit(" rows="),
+                F.col("n_rows").cast("string"),
+                F.lit(" e.g. "),
+                F.coalesce(F.col("dep_min").cast("string"), F.lit("NULL")),
+                F.lit(" vs "),
+                F.coalesce(F.col("dep_max").cast("string"), F.lit("NULL")),
+            ).alias("observed"),
+            F.lit(
+                f"{c.dependent} functionally determined by ({', '.join(det)})"
+            ).alias("expected"),
+        )
+        violation_frames.append(viol)
+    if suite.fd_checks:
+        _tick("functional dependencies (lazy)")
+
+    # ---- reconcile vs baseline: removed/changed (and bounded added) rows --
+    # Both sides bucket-filtered on resume: bucket = hash(key) is identical
+    # across snapshots, so per-bucket resume composes with the diff — a
+    # committed bucket's reconcile rows were persisted by the run that
+    # committed it.
+    baseline_rec = (
+        baseline.filter(~F.col(bucket_col).isin(skipped)) if skipped else baseline
+    )
+    for c in suite.reconcile_checks:
+        diff = snapshot_diff(
+            baseline_rec,
+            current,
+            [key_col],
+            list(c.compare_cols),
+            carry_cols=[bucket_col],
+        )
+        if c.max_added_rate is None:
+            diff = diff.filter(F.col("change") != "added")
+        viol = diff.select(
+            F.lit(run_id).alias("run_id"),
+            F.col(bucket_col).cast("int").alias("bucket"),
+            F.col(key_col).cast("string").alias("clip_id"),
+            F.lit(c.constraint_id).alias("constraint_id"),
+            F.concat(
+                F.col("change"),
+                F.when(
+                    F.col("changed_cols") != "",
+                    F.concat(F.lit(":"), F.col("changed_cols")),
+                ).otherwise(F.lit("")),
+            ).alias("observed"),
+            F.lit("unchanged vs baseline snapshot").alias("expected"),
+        )
+        violation_frames.append(viol)
+
     # ---- materialize violations once, derive per-bucket counts ------------
     if violation_frames:
         violations = violation_frames[0]
@@ -475,11 +551,80 @@ def run_suite(
         [c.constraint_id for c in suite.row_checks]
         + [c.constraint_id for c in suite.unique_checks]
         + [c.constraint_id for c in suite.ref_checks]
+        + [c.constraint_id for c in suite.fd_checks]
     )
     if counted_ids:
         verdict_frames.append(
             violation_count_verdicts(violations, bucket_df, counted_ids, run_id)
         )
+
+    # ---- reconcile rate verdicts: counts from the CACHED violations frame -
+    # (the diff join never runs twice), baseline sizes from one tiny
+    # algebraic agg; rates per bucket vs the check's bounds. Reconcile ids
+    # are deliberately NOT in counted_ids — pass/fail is the rate bound,
+    # not zero-violations.
+    if suite.reconcile_checks:
+        bl_counts = baseline_rec.groupBy(
+            F.col(bucket_col).cast("int").alias("bucket")
+        ).agg(F.count(F.lit(1)).alias("_base_n"))
+        # a bucket fully removed in current still needs a verdict row —
+        # union its baseline buckets into the grid (tiny frames)
+        rec_buckets = (
+            bucket_df.unionByName(bl_counts.select("bucket")).distinct()
+        )
+        kind = F.split(F.col("observed"), ":").getItem(0)
+        for c in suite.reconcile_checks:
+            kc = (
+                violations.filter(F.col("constraint_id") == c.constraint_id)
+                .groupBy("bucket")
+                .agg(
+                    F.sum((kind == "removed").cast("long")).alias("_rm"),
+                    F.sum((kind == "changed").cast("long")).alias("_ch"),
+                    F.sum((kind == "added").cast("long")).alias("_ad"),
+                )
+            )
+            g = (
+                rec_buckets.join(kc, "bucket", "left")
+                .join(bl_counts, "bucket", "left")
+                .select(
+                    "bucket",
+                    *[
+                        F.coalesce(F.col(x), F.lit(0)).alias(x)
+                        for x in ("_rm", "_ch", "_ad", "_base_n")
+                    ],
+                )
+            )
+            bounded = [("removed_rate", "_rm", c.max_removed_rate),
+                       ("changed_rate", "_ch", c.max_changed_rate)]
+            if c.max_added_rate is not None:
+                bounded.append(("added_rate", "_ad", c.max_added_rate))
+            for metric, cnt_col, bound in bounded:
+                # empty-baseline bucket: removed/changed are impossible
+                # (cnt 0 → rate 0 passes); added with a bound but no
+                # baseline denominator fails unless the bound is given —
+                # try_divide NULL → coalesce to cnt>0 ? inf : 0
+                rate = F.coalesce(
+                    F.try_divide(
+                        F.col(cnt_col).cast("double"),
+                        F.col("_base_n").cast("double"),
+                    ),
+                    F.when(F.col(cnt_col) > 0, F.lit(float("inf"))).otherwise(
+                        F.lit(0.0)
+                    ),
+                )
+                verdict_frames.append(
+                    verdict_frame(
+                        g,
+                        run_id,
+                        c.constraint_id,
+                        metric,
+                        rate,
+                        F.lit(float(bound)),
+                        rate <= F.lit(float(bound)),
+                        cnt=F.col(cnt_col),
+                    )
+                )
+        _tick("reconcile verdicts (lazy)")
 
     # ---- stat checks: single-pass per-bucket column profile ---------------
     if suite.stat_checks:

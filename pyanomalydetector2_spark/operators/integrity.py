@@ -32,3 +32,46 @@ def domain_summary(fact: DataFrame, column: str, dim: DataFrame) -> DataFrame:
         .groupBy(column)
         .agg(F.count(F.lit(1)).alias("violation_cnt"))
     )
+
+
+def fd_violations(
+    fact: DataFrame,
+    determinant: list[str],
+    dependent: str,
+    carry_min: list[str] | None = None,
+) -> DataFrame:
+    """Functional-dependency violations: one row per determinant-value group
+    whose ``dependent`` column takes more than one distinct value — the
+    cross-column consistency check (codec → container family, brand →
+    manufacturer) that per-column stats and referential checks cannot see.
+    The reference's nearest analog is the per-item condition interpreter
+    (detector.py:169-185), which can only look at one row at a time; an FD
+    is inherently a group property.
+
+    Output per violating group: the determinant columns, ``n_values``
+    (distinct dependent values), ``n_rows`` (rows in the group), and two
+    O(1) conflict witnesses ``dep_min``/``dep_max`` (no collect_set — a
+    pathological determinant with millions of dependent values costs
+    nothing extra; min/max skip NULLs, so a NULL-vs-value conflict shows
+    the same witness twice). ``carry_min`` columns come back as their
+    group-wise min (exemplar key / bucket for violation-row plumbing).
+
+    Scale shape: two aggregations, both algebraic and map-side combinable —
+    distinct (determinant, dependent) pairs first (duplicates collapse
+    before the exchange), then a per-determinant rollup of the tiny pair
+    frame. Grouping is null-safe natively (NULL dependent is a value and
+    conflicts with any non-NULL one).
+    """
+    carry = [c for c in (carry_min or []) if c not in determinant and c != dependent]
+    pairs = fact.groupBy(*determinant, dependent).agg(
+        F.count(F.lit(1)).alias("_cnt"),
+        *[F.min(c).alias(f"_m_{c}") for c in carry],
+    )
+    grp = pairs.groupBy(*determinant).agg(
+        F.count(F.lit(1)).alias("n_values"),
+        F.sum("_cnt").alias("n_rows"),
+        F.min(dependent).alias("dep_min"),
+        F.max(dependent).alias("dep_max"),
+        *[F.min(f"_m_{c}").alias(c) for c in carry],
+    )
+    return grp.filter(F.col("n_values") > 1)

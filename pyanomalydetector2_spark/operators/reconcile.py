@@ -41,6 +41,7 @@ def snapshot_diff(
     current: DataFrame,
     key_cols: list[str],
     compare_cols: list[str],
+    carry_cols: list[str] | None = None,
 ) -> DataFrame:
     """Rows that differ between two snapshots of the same table.
 
@@ -52,12 +53,22 @@ def snapshot_diff(
 
     Comparison is null-safe (`<=>`): NULL == NULL is equal, NULL vs value
     is a change — so nullability regressions surface as 'changed' rows.
+
+    ``carry_cols`` pass through uncompared as ``coalesce(current, baseline)``
+    — for key-derived columns identical on both sides (the suite's bucket
+    column), so added rows carry the current side's value and removed rows
+    the baseline's.
     """
+    carry = [x for x in (carry_cols or []) if x not in key_cols]
     b = baseline.select(
-        *key_cols, *[F.col(c).alias(f"_b_{c}") for c in compare_cols]
+        *key_cols,
+        *[F.col(c).alias(f"_b_{c}") for c in compare_cols],
+        *[F.col(c).alias(f"_bk_{c}") for c in carry],
     ).withColumn("_in_b", F.lit(1))
     c = current.select(
-        *key_cols, *[F.col(col).alias(f"_c_{col}") for col in compare_cols]
+        *key_cols,
+        *[F.col(col).alias(f"_c_{col}") for col in compare_cols],
+        *[F.col(col).alias(f"_ck_{col}") for col in carry],
     ).withColumn("_in_c", F.lit(1))
     j = b.join(c, key_cols, "full_outer")
 
@@ -81,7 +92,15 @@ def snapshot_diff(
     return (
         j.withColumn("change", change)
         .filter(F.col("change").isNotNull())
-        .select(*key_cols, "change", changed_cols.alias("changed_cols"))
+        .select(
+            *key_cols,
+            "change",
+            changed_cols.alias("changed_cols"),
+            *[
+                F.coalesce(F.col(f"_ck_{x}"), F.col(f"_bk_{x}")).alias(x)
+                for x in carry
+            ],
+        )
     )
 
 

@@ -118,6 +118,19 @@ def ensure_streamable(suite: Suite) -> None:
                 f"sketch-backed stat {c.stat!r} which is not mergeable "
                 "from per-batch scalars"
             )
+    if suite.fd_checks:
+        # (det, dep) pair counts ARE additive — implementable, just not
+        # implemented; reject rather than silently drop the check
+        raise ValueError(
+            "streaming suite: FdChecks are not yet maintained incrementally "
+            "— run them in the batch suite"
+        )
+    if suite.reconcile_checks:
+        raise ValueError(
+            "streaming suite: ReconcileChecks need the full current "
+            "snapshot per run (removal detection is not per-batch "
+            "decidable) — run them in the batch suite"
+        )
 
 
 def _committed(state_dir: str) -> list[int]:
