@@ -37,6 +37,8 @@ from pyanomalydetector2_spark.operators.drift import (
     drift_scores_quantile,
 )
 from pyanomalydetector2_spark.operators.integrity import (
+    fd_det_repr,
+    fd_observed,
     fd_violations,
     referential_violations,
 )
@@ -468,28 +470,17 @@ def run_suite(
     for c in suite.fd_checks:
         det = list(c.determinant)
         grp = fd_violations(base, det, c.dependent, carry_min=[key_col, bucket_col])
-        det_repr = F.concat_ws(
-            ",",
-            *[
-                F.concat(F.lit(f"{d}="), F.col(d).cast("string"))
-                for d in det
-            ],
-        )
         viol = grp.select(
             F.lit(run_id).alias("run_id"),
             F.col(bucket_col).cast("int").alias("bucket"),
             F.col(key_col).cast("string").alias("clip_id"),
             F.lit(c.constraint_id).alias("constraint_id"),
-            F.concat(
-                det_repr,
-                F.lit(" n_values="),
-                F.col("n_values").cast("string"),
-                F.lit(" rows="),
-                F.col("n_rows").cast("string"),
-                F.lit(" e.g. "),
-                F.coalesce(F.col("dep_min").cast("string"), F.lit("NULL")),
-                F.lit(" vs "),
-                F.coalesce(F.col("dep_max").cast("string"), F.lit("NULL")),
+            fd_observed(
+                fd_det_repr(det),
+                F.col("n_values"),
+                F.col("n_rows"),
+                F.col("dep_min"),
+                F.col("dep_max"),
             ).alias("observed"),
             F.lit(
                 f"{c.dependent} functionally determined by ({', '.join(det)})"

@@ -75,3 +75,32 @@ def fd_violations(
         *[F.min(f"_m_{c}").alias(c) for c in carry],
     )
     return grp.filter(F.col("n_values") > 1)
+
+
+def fd_det_repr(determinant: list[str]):
+    """'col=value' comma-joined Column over the determinant — the violation
+    row's group label, shared by the batch and streaming suite runners so
+    both emit byte-identical observed strings."""
+    return F.concat_ws(
+        ",",
+        *[
+            F.concat(F.lit(f"{d}="), F.col(d).cast("string"))
+            for d in determinant
+        ],
+    )
+
+
+def fd_observed(det_repr, n_values, n_rows, dep_min, dep_max):
+    """The FD violation row's observed string: group label, sizes, and the
+    two min/max conflict witnesses (shared batch/streaming formatting)."""
+    return F.concat(
+        det_repr,
+        F.lit(" n_values="),
+        n_values.cast("string"),
+        F.lit(" rows="),
+        n_rows.cast("string"),
+        F.lit(" e.g. "),
+        F.coalesce(dep_min.cast("string"), F.lit("NULL")),
+        F.lit(" vs "),
+        F.coalesce(dep_max.cast("string"), F.lit("NULL")),
+    )

@@ -114,16 +114,26 @@ def process_batch(
     def _mark(label: str) -> None:
         marks.append((label, time.time()))
 
+    from pyspark.sql import Observation
+
     sess = batch.sparkSession
     gated = ingest_gate_fingerprints(
         batch, dur_tol_ms=dur_tol_ms
     ).localCheckpoint()
     _mark("gate+fp")
-    gated.filter(
-        F.col("probe_failed")
-        | F.col("dur_mismatch")
-        | F.col("sr_mismatch")
-    ).select(
+    # ops counts ride the EXISTING jobs as observations (CollectMetrics is
+    # a filter-pushdown barrier, so the pre-filter count sees every row):
+    # zero extra Spark jobs per micro-batch — three extra fixed-cost jobs
+    # here measured 13→30 s on the 4-batch sf0.1 drain (BENCH r05)
+    quar_cond = (
+        F.col("probe_failed") | F.col("dur_mismatch") | F.col("sr_mismatch")
+    )
+    obs_gate = Observation(f"ingest_gate_{batch_id}")
+    gated.observe(
+        obs_gate,
+        F.count(F.lit(1)).alias("n_clips"),
+        F.sum(quar_cond.cast("long")).alias("n_quarantined"),
+    ).filter(quar_cond).select(
         F.col("id").alias("clip_id"),
         "codec",
         "container",
@@ -164,9 +174,10 @@ def process_batch(
         broadcast_keys=new_n <= 1_000_000,
         prune=index_n > 4 * new_n,
     )
-    pairs.write.mode("overwrite").parquet(
-        f"{state_dir}/pairs/batch={batch_id}"
-    )
+    obs_pairs = Observation(f"ingest_pairs_{batch_id}")
+    pairs.observe(obs_pairs, F.count(F.lit(1)).alias("n_pairs")).write.mode(
+        "overwrite"
+    ).parquet(f"{state_dir}/pairs/batch={batch_id}")
     _mark("probe+pairs")
     # index the batch only AFTER its pairs landed: a crash between the
     # two writes replays the batch into the same batch= dirs, so the
@@ -178,42 +189,55 @@ def process_batch(
         f"{state_dir}/banded/batch={batch_id}"
     )
     _mark("index-append")
+    # per-batch ops metrics row (VERDICT r04 #7): counts + phase walls +
+    # start/finish stamps, durable next to the batch's other outputs so
+    # ingest_summary can surface slow batches and quarantine-rate spikes.
+    # Counts come from the observations above — already collected by the
+    # quarantine and pairs write jobs, so this is pure driver arithmetic.
+    gate_m = obs_gate.get
+    n_clips = int(gate_m["n_clips"])
+    n_quar = int(gate_m["n_quarantined"] or 0)
+    n_pairs = int(obs_pairs.get["n_pairs"])
+    _mark("obs-get")
     deltas = {
         label: round(t - marks[i][1], 4)
         for i, (label, t) in enumerate(marks[1:])
     }
+    finished = time.time()
+    # driver-side JSON sidecar (atomic tmp+rename, the suite_stream commit-
+    # marker pattern): a one-row-per-batch ops record is DRIVER data — the
+    # previous single-row parquet write was a full Spark job costing a
+    # measured 4.2-4.5 s of fixed scheduling per micro-batch (the whole
+    # 13→30 s sf0.1 drain regression, BENCH r05)
+    import json as _json
+
+    os.makedirs(f"{state_dir}/metrics", exist_ok=True)
+    mpath = f"{state_dir}/metrics/batch={batch_id}.json"
+    with open(f"{mpath}.tmp", "w") as fh:
+        _json.dump(
+            {
+                "batch": int(batch_id),
+                "n_clips": n_clips,
+                "n_quarantined": n_quar,
+                "n_pairs": n_pairs,
+                "secs_gate_fp": deltas.get("gate+fp", 0.0),
+                "secs_quarantine": deltas.get("quarantine", 0.0),
+                "secs_band": deltas.get("band", 0.0),
+                "secs_probe": deltas.get("probe+pairs", 0.0),
+                "secs_index": deltas.get("index-append", 0.0),
+                "secs_total": round(finished - marks[0][1], 4),
+                "started_at": marks[0][1],
+                "finished_at": finished,
+            },
+            fh,
+        )
+    os.replace(f"{mpath}.tmp", mpath)
     if timing:
         print(
             f"[ingest-timing] batch={batch_id} {deltas}",
             file=sys.stderr,
             flush=True,
         )
-    # per-batch ops metrics row (VERDICT r04 #7): counts + phase walls +
-    # start/finish stamps, durable next to the batch's other outputs so
-    # ingest_summary can surface slow batches and quarantine-rate spikes.
-    # Counts are cheap: gated is checkpointed (cached-partition scans) and
-    # the pairs count reads back the just-written parquet footers.
-    n_clips = gated.count()
-    n_quar = gated.filter(
-        F.col("probe_failed") | F.col("dur_mismatch") | F.col("sr_mismatch")
-    ).count()
-    n_pairs = sess.read.parquet(f"{state_dir}/pairs/batch={batch_id}").count()
-    finished = time.time()
-    sess.createDataFrame(
-        [
-            (
-                int(batch_id), n_clips, n_quar, n_pairs,
-                deltas.get("gate+fp", 0.0), deltas.get("quarantine", 0.0),
-                deltas.get("band", 0.0), deltas.get("probe+pairs", 0.0),
-                deltas.get("index-append", 0.0),
-                round(finished - marks[0][1], 4),
-                marks[0][1], finished,
-            )
-        ],
-        METRICS_SCHEMA,
-    ).coalesce(1).write.mode("overwrite").parquet(
-        f"{state_dir}/metrics/batch={batch_id}"
-    )
 
 
 def ingest_audio_stream(
@@ -306,6 +330,26 @@ METRICS_SCHEMA = (
     "secs_probe double, secs_index double, secs_total double, "
     "started_at double, finished_at double"
 )
+METRICS_FIELDS = [
+    f.strip().split(" ")[0] for f in METRICS_SCHEMA.split(",")
+]
+
+
+def _metric_rows(state_dir: str) -> list[dict]:
+    """Per-batch ops-metric dicts from the JSON sidecars, batch order."""
+    mdir = f"{state_dir}/metrics"
+    if not os.path.isdir(mdir):
+        return []
+    import json as _json
+
+    rows = []
+    for f in sorted(os.listdir(mdir)):
+        if f.startswith("batch=") and f.endswith(".json"):
+            with open(f"{mdir}/{f}") as fh:
+                rows.append(_json.load(fh))
+    return sorted(rows, key=lambda r: r["batch"])
+
+
 QUARANTINE_SCHEMA = (
     "clip_id long, codec string, container string, probe_failed boolean, "
     "dur_mismatch boolean, sr_mismatch boolean"
@@ -387,8 +431,15 @@ def ingest_summary(spark: SparkSession, state_dir: str) -> DataFrame:
             )
         ],
     )
-    if _batch_dirs(f"{state_dir}/metrics"):
-        m = spark.read.parquet(f"{state_dir}/metrics").select(
+    mrows = _metric_rows(state_dir)
+    if mrows:
+        m = spark.createDataFrame(
+            [
+                tuple(r.get(f) for f in METRICS_FIELDS)
+                for r in mrows
+            ],
+            METRICS_SCHEMA,
+        ).select(
             "batch", "n_clips", "secs_total", "secs_gate_fp",
             "secs_probe", "started_at", "finished_at",
         )

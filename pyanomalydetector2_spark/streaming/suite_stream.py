@@ -19,11 +19,20 @@ time without touching a single already-processed row:
   categorical_counts share the scoring arithmetic);
 - uniqueness keeps per-(bucket, key) counts — additive; the HLL screen
   estimate recomputed over the stored key set equals the batch estimate
-  because HyperLogLog depends only on the distinct value set.
+  because HyperLogLog depends only on the distinct value set;
+- functional dependencies keep per-(check, determinant, dependent) pair
+  counts with min key/bucket exemplars — additive; the n_values > 1
+  group decision over merged pairs is exact. Values cross the shared
+  state schema STRINGIFIED (same policy as the ids component): exact for
+  atomic types (Spark's numeric→string casts are injective), with the
+  min/max conflict witnesses becoming lexicographic, and composite
+  determinants whose values contain ',' can collide in the group label —
+  use the batch suite for those.
 
 Checks that are NOT mergeable from scalars are rejected up front
 (``ensure_streamable``): ANN recall audits, equi-depth / distributed
-drift, StatChecks on sketch-backed stats (quantiles, approx_distinct) —
+drift, StatChecks on sketch-backed stats (quantiles, approx_distinct),
+ReconcileChecks (removal detection needs the full current snapshot) —
 a silently-wrong streaming verdict would be worse than an error.
 
 State layout (streaming/state.py delta-dir pattern, shared with the
@@ -93,6 +102,7 @@ _PROFILE_SCHEMA = (
 _HIST_SCHEMA = "g int, c string, b int, n long"
 _CATS_SCHEMA = "column string, bucket int, cat string, cur_cat_n long"
 _IDS_SCHEMA = "column string, bucket int, key string, cnt long"
+_FDPAIRS_SCHEMA = "cid string, det string, dep string, cnt long, k string, b int"
 
 
 def ensure_streamable(suite: Suite) -> None:
@@ -118,13 +128,6 @@ def ensure_streamable(suite: Suite) -> None:
                 f"sketch-backed stat {c.stat!r} which is not mergeable "
                 "from per-batch scalars"
             )
-    if suite.fd_checks:
-        # (det, dep) pair counts ARE additive — implementable, just not
-        # implemented; reject rather than silently drop the check
-        raise ValueError(
-            "streaming suite: FdChecks are not yet maintained incrementally "
-            "— run them in the batch suite"
-        )
     if suite.reconcile_checks:
         raise ValueError(
             "streaming suite: ReconcileChecks need the full current "
@@ -293,6 +296,32 @@ def process_suite_batch(
         for f2 in frames[1:]:
             ids = ids.unionByName(f2)
         writes.append((f"{state_dir}/ids/batch={batch_id}", ids))
+
+    # FD pair counts: (check, determinant repr, dependent) → additive cnt
+    # plus min key/bucket exemplars. Values are STRINGIFIED at the shared-
+    # schema boundary (same policy as the ids component): the n_values>1
+    # decision is exact for atomic types (Spark's numeric→string casts are
+    # injective); only the min/max conflict WITNESSES become lexicographic.
+    if suite.fd_checks:
+        from pyanomalydetector2_spark.operators.integrity import fd_det_repr
+
+        frames = [
+            batch.groupBy(
+                fd_det_repr(list(c.determinant)).alias("det"),
+                F.col(c.dependent).cast("string").alias("dep"),
+            )
+            .agg(
+                F.count(F.lit(1)).alias("cnt"),
+                F.min(F.col(key_col).cast("string")).alias("k"),
+                F.min(F.col(bucket_col).cast("int")).alias("b"),
+            )
+            .select(F.lit(c.constraint_id).alias("cid"), "det", "dep", "cnt", "k", "b")
+            for c in suite.fd_checks
+        ]
+        fd = frames[0]
+        for f2 in frames[1:]:
+            fd = fd.unionByName(f2)
+        writes.append((f"{state_dir}/fdpairs/batch={batch_id}", fd))
 
     from concurrent.futures import ThreadPoolExecutor
 
@@ -468,6 +497,57 @@ def streaming_suite_result(
             .drop("_i")
         )
         violations = violations.unionByName(dup)
+
+    # ---- FD violations from merged pair counts ----------------------------
+    if suite.fd_checks:
+        from pyanomalydetector2_spark.operators.integrity import fd_observed
+
+        merged_fd = (
+            _read_component(spark, state_dir, "fdpairs", _FDPAIRS_SCHEMA)
+            .groupBy("cid", "det", "dep")
+            .agg(
+                F.sum("cnt").alias("cnt"),
+                F.min("k").alias("k"),
+                F.min("b").alias("b"),
+            )
+            .groupBy("cid", "det")
+            .agg(
+                F.count(F.lit(1)).alias("n_values"),
+                F.sum("cnt").alias("n_rows"),
+                F.min("dep").alias("dep_min"),
+                F.max("dep").alias("dep_max"),
+                F.min("k").alias("k"),
+                F.min("b").alias("b"),
+            )
+            .filter(F.col("n_values") > 1)
+        )
+        expected_by_cid = {
+            c.constraint_id: (
+                f"{c.dependent} functionally determined by "
+                f"({', '.join(c.determinant)})"
+            )
+            for c in suite.fd_checks
+        }
+        expected = F.lit(None).cast("string")
+        for cid, text in expected_by_cid.items():
+            expected = F.when(F.col("cid") == cid, F.lit(text)).otherwise(
+                expected
+            )
+        fd_viol = merged_fd.select(
+            F.lit(run_id).alias("run_id"),
+            F.col("b").cast("int").alias("bucket"),
+            F.col("k").alias("clip_id"),
+            F.col("cid").alias("constraint_id"),
+            fd_observed(
+                F.col("det"),
+                F.col("n_values"),
+                F.col("n_rows"),
+                F.col("dep_min"),
+                F.col("dep_max"),
+            ).alias("observed"),
+            expected.alias("expected"),
+        )
+        violations = violations.unionByName(fd_viol)
     violations = violations.cache()
     violations.count()
 
@@ -476,6 +556,7 @@ def streaming_suite_result(
         [c.constraint_id for c in suite.row_checks]
         + [c.constraint_id for c in suite.unique_checks]
         + [c.constraint_id for c in suite.ref_checks]
+        + [c.constraint_id for c in suite.fd_checks]
     )
     if counted_ids:
         verdict_frames.append(
@@ -603,6 +684,11 @@ _ADDITIVE: dict[str, tuple[str, list[str], dict[str, str]]] = {
     "hist": (_HIST_SCHEMA, ["g", "c", "b"], {"n": "sum"}),
     "cats": (_CATS_SCHEMA, ["column", "bucket", "cat"], {"cur_cat_n": "sum"}),
     "ids": (_IDS_SCHEMA, ["column", "bucket", "key"], {"cnt": "sum"}),
+    "fdpairs": (
+        _FDPAIRS_SCHEMA,
+        ["cid", "det", "dep"],
+        {"cnt": "sum", "k": "min", "b": "min"},
+    ),
 }
 
 

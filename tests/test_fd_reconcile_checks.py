@@ -196,15 +196,75 @@ def test_reconcile_bounded_added(spark, rec_frames):
     assert ver[(1, "added_rate")] is True
 
 
-def test_new_kinds_rejected_by_streaming_suite():
+def test_reconcile_rejected_by_streaming_suite():
     from pyanomalydetector2_spark.streaming.suite_stream import ensure_streamable
 
-    with pytest.raises(ValueError, match="FdChecks"):
-        ensure_streamable(Suite(fd_checks=(FdCheck("f", ("a",), "b"),)))
     with pytest.raises(ValueError, match="ReconcileChecks"):
         ensure_streamable(
             Suite(reconcile_checks=(ReconcileCheck("r", ("a",)),))
         )
+
+
+def test_fd_streaming_equals_batch(spark, tmp_path):
+    """FD pair counts merge additively across micro-batches: a conflict
+    whose two sides arrive in DIFFERENT batches is still caught, and the
+    merged result equals the one-shot batch run byte-for-byte."""
+    from pyanomalydetector2_spark.constraints.suite import run_suite
+    from pyanomalydetector2_spark.streaming.suite_stream import (
+        run_suite_stream,
+        streaming_suite_result,
+    )
+
+    schema = "clip_id string, bucket int, codec string, container string"
+    # file 0: flac→flac; file 2: flac→ogg (cross-batch conflict);
+    # file 1: g711→{wav,NULL} in ONE batch (in-batch conflict);
+    # pcm16→wav consistent everywhere
+    files = [
+        [("a1", 0, "flac", "flac"), ("a2", 1, "pcm16", "wav")],
+        [("b1", 0, "g711", "wav"), ("b2", 2, "g711", None),
+         ("b3", 1, "pcm16", "wav")],
+        [("c1", 2, "flac", "ogg"), ("c2", 0, "pcm16", "wav")],
+    ]
+    src = str(tmp_path / "src")
+    for i, rows in enumerate(files):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    suite = Suite(
+        fd_checks=(FdCheck("fd_codec_container", ("codec",), "container"),)
+    )
+    state = str(tmp_path / "state")
+    run_suite_stream(
+        spark, src, state, suite, {}, "fd_stream", schema,
+        max_files_per_trigger=1,
+    )
+    stream_res = streaming_suite_result(spark, state, suite, None, "fd_stream")
+    batch_res = run_suite(
+        spark.read.parquet(src), spark.read.parquet(src), {}, suite, "fd_stream"
+    )
+
+    sv = sorted(
+        tuple(r)
+        for r in stream_res.violations.select(
+            "bucket", "clip_id", "constraint_id", "observed", "expected"
+        ).collect()
+    )
+    bv = sorted(
+        tuple(r)
+        for r in batch_res.violations.select(
+            "bucket", "clip_id", "constraint_id", "observed", "expected"
+        ).collect()
+    )
+    assert sv == bv
+    assert len(sv) == 2  # flac (cross-batch) + g711 (in-batch w/ NULL)
+    assert {v[1] for v in sv} == {"a1", "b1"}  # min-key exemplars
+    sver = sorted(
+        tuple(r) for r in stream_res.verdicts.collect()
+    )
+    bver = sorted(tuple(r) for r in batch_res.verdicts.collect())
+    assert sver == bver
+    assert not stream_res.passed()
 
 
 def test_config_parses_new_kinds():
