@@ -1492,6 +1492,7 @@ def _ss_clips_frame(spark: SparkSession, sf: str, baseline: bool) -> DataFrame:
 def _ss_suite():
     from pyanomalydetector2_spark.constraints.dsl import (
         DriftCheck,
+        ReconcileCheck,
         RefCheck,
         RowCheck,
         StatCheck,
@@ -1533,6 +1534,18 @@ def _ss_suite():
             DriftCheck(
                 "codec_shift", "codec", 0.0, 0.0,
                 psi_max=5.0, ks_max=1.0, categorical=True,
+            ),
+        ),
+        # reconcile vs the baseline snapshot: identical key sets (both
+        # derived from events via the same _SS_EFF), so the diff is pure
+        # 'changed' rows wherever the planted codec differs — replayed in
+        # streaming from merged (key, compare-tuple, bucket) counts. The
+        # changed rate is ~0.1 per bucket, robustly under the 0.5 bound;
+        # the ORACLE checks the rate values themselves.
+        reconcile_checks=(
+            ReconcileCheck(
+                "codec_reconcile", ("codec",),
+                max_removed_rate=0.0, max_changed_rate=0.5,
             ),
         ),
     )
@@ -3156,6 +3169,13 @@ def oracle_sql() -> dict[str, str]:
         dups AS MATERIALIZED (
           SELECT clip_id, count(*)::BIGINT AS dup_cnt FROM clips
           GROUP BY 1 HAVING count(*) > 1
+        ),
+        bclips AS MATERIALIZED (
+          SELECT cast(event_id % 8 as int) AS bucket,
+                 concat('clip-', lpad(cast({_SS_EFF} as varchar), 12, '0'))
+                   AS clip_id,
+                 {_SS_CODEC5} AS codec
+          FROM events
         )"""
     _ss_vio_body = f"""
           SELECT bucket, clip_id, 'dur_ms_positive' AS constraint_id,
@@ -3181,7 +3201,16 @@ def oracle_sql() -> dict[str, str]:
           UNION ALL
           SELECT bucket, clip_id, 'sr_in_dim', cast(sr_hz as varchar),
                  'sr_hz in dim_sr'
-          FROM clips WHERE sr_hz NOT IN {_SS_SRS!r}"""
+          FROM clips WHERE sr_hz NOT IN {_SS_SRS!r}
+          UNION ALL
+          -- reconcile: key sets are identical (same _SS_EFF derivation),
+          -- so the full-outer diff reduces to the inner join's 'changed'
+          -- rows; duplicate keys multiply exactly like snapshot_diff's
+          -- full-outer join; bucket is the CURRENT side's carry value
+          SELECT c.bucket, c.clip_id, 'codec_reconcile',
+                 'changed:codec', 'unchanged vs baseline snapshot'
+          FROM clips c JOIN bclips b ON b.clip_id = c.clip_id
+          WHERE c.codec IS DISTINCT FROM b.codec"""
     out["suite_stream"] = f"""
         WITH {_ss_clips}
         {_ss_vio_body}
@@ -3354,11 +3383,34 @@ def oracle_sql() -> dict[str, str]:
           SELECT bucket, 'codec_shift', 'ks', round(linf, 6), 1.0,
                  CASE WHEN linf <= 1.0 THEN 1 ELSE 0 END, 0::BIGINT
           FROM cscore
+        ),
+        bl_n AS (
+          SELECT bucket, count(*)::BIGINT AS base_n FROM bclips GROUP BY 1
+        ),
+        rec_ch AS (
+          SELECT c.bucket, count(*)::BIGINT AS n
+          FROM clips c JOIN bclips b ON b.clip_id = c.clip_id
+          WHERE c.codec IS DISTINCT FROM b.codec
+          GROUP BY 1
+        ),
+        reconv AS (
+          SELECT bucket, 'codec_reconcile' AS constraint_id,
+                 'removed_rate' AS metric, 0.0 AS observed,
+                 0.0 AS threshold, 1 AS passed, 0::BIGINT AS violation_cnt
+          FROM bl_n
+          UNION ALL
+          SELECT bl.bucket, 'codec_reconcile', 'changed_rate',
+                 round(coalesce(r.n, 0)::DOUBLE / bl.base_n, 6), 0.5,
+                 CASE WHEN coalesce(r.n, 0)::DOUBLE / bl.base_n <= 0.5
+                      THEN 1 ELSE 0 END,
+                 coalesce(r.n, 0)::BIGINT
+          FROM bl_n bl LEFT JOIN rec_ch r ON r.bucket = bl.bucket
         )
         SELECT * FROM counts
         UNION ALL SELECT * FROM statv
         UNION ALL SELECT * FROM driftv
         UNION ALL SELECT * FROM catv
+        UNION ALL SELECT * FROM reconv
     """
     # snapshot reconciliation: the same full-outer + IS DISTINCT FROM
     # comparison (DuckDB concat_ws skips NULL args exactly like Spark's)

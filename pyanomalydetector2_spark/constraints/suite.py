@@ -289,6 +289,107 @@ def violation_count_verdicts(
     )
 
 
+def reconcile_violation_frame(
+    diff: DataFrame, c, run_id: str, key_col: str, bucket_col: str
+) -> DataFrame:
+    """Shape one ReconcileCheck's ``snapshot_diff`` output into
+    VIOLATION_SCHEMA rows. ``max_added_rate=None`` drops added rows —
+    appends are normal growth, not violations. Shared by the one-shot
+    runner and the streaming assembler so both emit identical reconcile
+    violations."""
+    if c.max_added_rate is None:
+        diff = diff.filter(F.col("change") != "added")
+    return diff.select(
+        F.lit(run_id).alias("run_id"),
+        F.col(bucket_col).cast("int").alias("bucket"),
+        F.col(key_col).cast("string").alias("clip_id"),
+        F.lit(c.constraint_id).alias("constraint_id"),
+        F.concat(
+            F.col("change"),
+            F.when(
+                F.col("changed_cols") != "",
+                F.concat(F.lit(":"), F.col("changed_cols")),
+            ).otherwise(F.lit("")),
+        ).alias("observed"),
+        F.lit("unchanged vs baseline snapshot").alias("expected"),
+    )
+
+
+def reconcile_rate_verdicts(
+    violations: DataFrame,
+    bucket_df: DataFrame,
+    baseline: DataFrame,
+    checks,
+    run_id: str,
+    bucket_col: str,
+) -> list[DataFrame]:
+    """Per-bucket removed/changed/(bounded added) RATE verdict frames for
+    every ReconcileCheck: counts from the (cached) violations frame, the
+    denominator from ONE tiny per-bucket baseline agg. A bucket present
+    only in the baseline (fully removed from current) still gets verdict
+    rows — the baseline's buckets are unioned into the grid. Shared by
+    the one-shot runner and the streaming assembler so rate arithmetic
+    is bit-identical between them."""
+    bl_counts = baseline.groupBy(
+        F.col(bucket_col).cast("int").alias("bucket")
+    ).agg(F.count(F.lit(1)).alias("_base_n"))
+    rec_buckets = bucket_df.unionByName(bl_counts.select("bucket")).distinct()
+    kind = F.split(F.col("observed"), ":").getItem(0)
+    out: list[DataFrame] = []
+    for c in checks:
+        kc = (
+            violations.filter(F.col("constraint_id") == c.constraint_id)
+            .groupBy("bucket")
+            .agg(
+                F.sum((kind == "removed").cast("long")).alias("_rm"),
+                F.sum((kind == "changed").cast("long")).alias("_ch"),
+                F.sum((kind == "added").cast("long")).alias("_ad"),
+            )
+        )
+        g = (
+            rec_buckets.join(kc, "bucket", "left")
+            .join(bl_counts, "bucket", "left")
+            .select(
+                "bucket",
+                *[
+                    F.coalesce(F.col(x), F.lit(0)).alias(x)
+                    for x in ("_rm", "_ch", "_ad", "_base_n")
+                ],
+            )
+        )
+        bounded = [("removed_rate", "_rm", c.max_removed_rate),
+                   ("changed_rate", "_ch", c.max_changed_rate)]
+        if c.max_added_rate is not None:
+            bounded.append(("added_rate", "_ad", c.max_added_rate))
+        for metric, cnt_col, bound in bounded:
+            # empty-baseline bucket: removed/changed are impossible
+            # (cnt 0 → rate 0 passes); added with a bound but no
+            # baseline denominator fails unless the bound is given —
+            # try_divide NULL → coalesce to cnt>0 ? inf : 0
+            rate = F.coalesce(
+                F.try_divide(
+                    F.col(cnt_col).cast("double"),
+                    F.col("_base_n").cast("double"),
+                ),
+                F.when(F.col(cnt_col) > 0, F.lit(float("inf"))).otherwise(
+                    F.lit(0.0)
+                ),
+            )
+            out.append(
+                verdict_frame(
+                    g,
+                    run_id,
+                    c.constraint_id,
+                    metric,
+                    rate,
+                    F.lit(float(bound)),
+                    rate <= F.lit(float(bound)),
+                    cnt=F.col(cnt_col),
+                )
+            )
+    return out
+
+
 def run_suite(
     current: DataFrame,
     baseline: DataFrame,
@@ -506,23 +607,9 @@ def run_suite(
             list(c.compare_cols),
             carry_cols=[bucket_col],
         )
-        if c.max_added_rate is None:
-            diff = diff.filter(F.col("change") != "added")
-        viol = diff.select(
-            F.lit(run_id).alias("run_id"),
-            F.col(bucket_col).cast("int").alias("bucket"),
-            F.col(key_col).cast("string").alias("clip_id"),
-            F.lit(c.constraint_id).alias("constraint_id"),
-            F.concat(
-                F.col("change"),
-                F.when(
-                    F.col("changed_cols") != "",
-                    F.concat(F.lit(":"), F.col("changed_cols")),
-                ).otherwise(F.lit("")),
-            ).alias("observed"),
-            F.lit("unchanged vs baseline snapshot").alias("expected"),
+        violation_frames.append(
+            reconcile_violation_frame(diff, c, run_id, key_col, bucket_col)
         )
-        violation_frames.append(viol)
 
     # ---- materialize violations once, derive per-bucket counts ------------
     if violation_frames:
@@ -555,66 +642,12 @@ def run_suite(
     # are deliberately NOT in counted_ids — pass/fail is the rate bound,
     # not zero-violations.
     if suite.reconcile_checks:
-        bl_counts = baseline_rec.groupBy(
-            F.col(bucket_col).cast("int").alias("bucket")
-        ).agg(F.count(F.lit(1)).alias("_base_n"))
-        # a bucket fully removed in current still needs a verdict row —
-        # union its baseline buckets into the grid (tiny frames)
-        rec_buckets = (
-            bucket_df.unionByName(bl_counts.select("bucket")).distinct()
+        verdict_frames.extend(
+            reconcile_rate_verdicts(
+                violations, bucket_df, baseline_rec,
+                suite.reconcile_checks, run_id, bucket_col,
+            )
         )
-        kind = F.split(F.col("observed"), ":").getItem(0)
-        for c in suite.reconcile_checks:
-            kc = (
-                violations.filter(F.col("constraint_id") == c.constraint_id)
-                .groupBy("bucket")
-                .agg(
-                    F.sum((kind == "removed").cast("long")).alias("_rm"),
-                    F.sum((kind == "changed").cast("long")).alias("_ch"),
-                    F.sum((kind == "added").cast("long")).alias("_ad"),
-                )
-            )
-            g = (
-                rec_buckets.join(kc, "bucket", "left")
-                .join(bl_counts, "bucket", "left")
-                .select(
-                    "bucket",
-                    *[
-                        F.coalesce(F.col(x), F.lit(0)).alias(x)
-                        for x in ("_rm", "_ch", "_ad", "_base_n")
-                    ],
-                )
-            )
-            bounded = [("removed_rate", "_rm", c.max_removed_rate),
-                       ("changed_rate", "_ch", c.max_changed_rate)]
-            if c.max_added_rate is not None:
-                bounded.append(("added_rate", "_ad", c.max_added_rate))
-            for metric, cnt_col, bound in bounded:
-                # empty-baseline bucket: removed/changed are impossible
-                # (cnt 0 → rate 0 passes); added with a bound but no
-                # baseline denominator fails unless the bound is given —
-                # try_divide NULL → coalesce to cnt>0 ? inf : 0
-                rate = F.coalesce(
-                    F.try_divide(
-                        F.col(cnt_col).cast("double"),
-                        F.col("_base_n").cast("double"),
-                    ),
-                    F.when(F.col(cnt_col) > 0, F.lit(float("inf"))).otherwise(
-                        F.lit(0.0)
-                    ),
-                )
-                verdict_frames.append(
-                    verdict_frame(
-                        g,
-                        run_id,
-                        c.constraint_id,
-                        metric,
-                        rate,
-                        F.lit(float(bound)),
-                        rate <= F.lit(float(bound)),
-                        cnt=F.col(cnt_col),
-                    )
-                )
         _tick("reconcile verdicts (lazy)")
 
     # ---- stat checks: single-pass per-bucket column profile ---------------

@@ -27,12 +27,23 @@ time without touching a single already-processed row:
   atomic types (Spark's numeric→string casts are injective), with the
   min/max conflict witnesses becoming lexicographic, and composite
   determinants whose values contain ',' can collide in the group label —
-  use the batch suite for those.
+  use the batch suite for those;
+- reconcile checks keep per-(check, key, compare-tuple, bucket) row
+  counts — additive, and exactly the information ``snapshot_diff``'s
+  full-outer join consumes. At drain time the current snapshot is
+  reconstructed from the merged counts (multiplicity replayed by
+  exploding each count) and diffed against the static baseline with the
+  batch runner's own operator + the SHARED violation/rate-verdict
+  helpers, so added/removed/changed rows — including duplicate-key join
+  multiplicity — are byte-identical to the one-shot run. Compare values
+  cross the state schema STRINGIFIED like the other components: exact
+  for atomic types, with two documented seams — Spark's typed compare
+  treats -0.0 == 0.0 and array/struct compare columns have no injective
+  string form; use the batch suite for those.
 
 Checks that are NOT mergeable from scalars are rejected up front
 (``ensure_streamable``): ANN recall audits, equi-depth / distributed
-drift, StatChecks on sketch-backed stats (quantiles, approx_distinct),
-ReconcileChecks (removal detection needs the full current snapshot) —
+drift, StatChecks on sketch-backed stats (quantiles, approx_distinct) —
 a silently-wrong streaming verdict would be worse than an error.
 
 State layout (streaming/state.py delta-dir pattern, shared with the
@@ -68,6 +79,8 @@ from pyanomalydetector2_spark.constraints.suite import (
     SuiteResult,
     _row_check_violations,
     drift_verdict_frames,
+    reconcile_rate_verdicts,
+    reconcile_violation_frame,
     row_check_base,
     stat_verdict_frames,
     violation_count_verdicts,
@@ -103,6 +116,7 @@ _HIST_SCHEMA = "g int, c string, b int, n long"
 _CATS_SCHEMA = "column string, bucket int, cat string, cur_cat_n long"
 _IDS_SCHEMA = "column string, bucket int, key string, cnt long"
 _FDPAIRS_SCHEMA = "cid string, det string, dep string, cnt long, k string, b int"
+_RECON_SCHEMA = "cid string, key string, vals array<string>, b int, cnt long"
 
 
 def ensure_streamable(suite: Suite) -> None:
@@ -128,12 +142,6 @@ def ensure_streamable(suite: Suite) -> None:
                 f"sketch-backed stat {c.stat!r} which is not mergeable "
                 "from per-batch scalars"
             )
-    if suite.reconcile_checks:
-        raise ValueError(
-            "streaming suite: ReconcileChecks need the full current "
-            "snapshot per run (removal detection is not per-batch "
-            "decidable) — run them in the batch suite"
-        )
 
 
 def _committed(state_dir: str) -> list[int]:
@@ -323,6 +331,30 @@ def process_suite_batch(
             fd = fd.unionByName(f2)
         writes.append((f"{state_dir}/fdpairs/batch={batch_id}", fd))
 
+    # reconcile row counts: (check, key, STRINGIFIED compare tuple, bucket)
+    # → additive cnt — exactly what snapshot_diff's full-outer join needs,
+    # including duplicate-key multiplicity (replayed at drain time by
+    # exploding the merged count)
+    if suite.reconcile_checks:
+        frames = [
+            batch.groupBy(
+                F.col(key_col).cast("string").alias("key"),
+                F.array(
+                    *[F.col(x).cast("string") for x in c.compare_cols]
+                ).alias("vals"),
+                F.col(bucket_col).cast("int").alias("b"),
+            )
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .select(
+                F.lit(c.constraint_id).alias("cid"), "key", "vals", "b", "cnt"
+            )
+            for c in suite.reconcile_checks
+        ]
+        rec = frames[0]
+        for f2 in frames[1:]:
+            rec = rec.unionByName(f2)
+        writes.append((f"{state_dir}/recon/batch={batch_id}", rec))
+
     from concurrent.futures import ThreadPoolExecutor
 
     def _write(path: str, df: DataFrame) -> None:
@@ -417,6 +449,7 @@ def streaming_suite_result(
     baseline: DataFrame | None,
     run_id: str,
     key_col: str = "clip_id",
+    bucket_col: str = "bucket",
 ) -> SuiteResult:
     """Assemble the suite verdict over everything committed so far — the
     same VERDICT/VIOLATION frames the one-shot runner emits over the union
@@ -548,6 +581,45 @@ def streaming_suite_result(
             expected.alias("expected"),
         )
         violations = violations.unionByName(fd_viol)
+
+    # ---- reconcile violations: reconstruct the current snapshot from ------
+    # merged (key, compare-tuple, bucket) counts — multiplicity replayed by
+    # exploding each count — then run the batch runner's OWN snapshot_diff
+    # against the string-cast baseline. String casts are injective for
+    # atomic types, so the null-safe compares match the typed batch diff.
+    if suite.reconcile_checks:
+        if baseline is None:
+            raise ValueError(
+                "streaming suite has reconcile checks but no baseline "
+                "frame was provided"
+            )
+        from pyanomalydetector2_spark.operators.reconcile import snapshot_diff
+
+        recon = _read_component(spark, state_dir, "recon", _RECON_SCHEMA)
+        for c in suite.reconcile_checks:
+            cols = list(c.compare_cols)
+            merged_rec = (
+                recon.filter(F.col("cid") == c.constraint_id)
+                .groupBy("key", "vals", "b")
+                .agg(F.sum("cnt").alias("cnt"))
+            )
+            cur_re = merged_rec.select(
+                F.col("key").alias(key_col),
+                *[F.col("vals").getItem(i).alias(x) for i, x in enumerate(cols)],
+                F.col("b").alias("bucket"),
+                F.explode(F.sequence(F.lit(1), F.col("cnt"))).alias("_i"),
+            ).drop("_i")
+            base_cast = baseline.select(
+                F.col(key_col).cast("string").alias(key_col),
+                *[F.col(x).cast("string").alias(x) for x in cols],
+                F.col(bucket_col).cast("int").alias("bucket"),
+            )
+            diff = snapshot_diff(
+                base_cast, cur_re, [key_col], cols, carry_cols=["bucket"]
+            )
+            violations = violations.unionByName(
+                reconcile_violation_frame(diff, c, run_id, key_col, "bucket")
+            )
     violations = violations.cache()
     violations.count()
 
@@ -561,6 +633,16 @@ def streaming_suite_result(
     if counted_ids:
         verdict_frames.append(
             violation_count_verdicts(violations, bucket_df, counted_ids, run_id)
+        )
+
+    # ---- reconcile rate verdicts: the SHARED helper over the cached ------
+    # violations frame — identical rate arithmetic to the batch runner
+    if suite.reconcile_checks:
+        verdict_frames.extend(
+            reconcile_rate_verdicts(
+                violations, bucket_df, baseline,
+                suite.reconcile_checks, run_id, bucket_col,
+            )
         )
 
     # ---- stat verdicts from merged partials ------------------------------
@@ -688,6 +770,11 @@ _ADDITIVE: dict[str, tuple[str, list[str], dict[str, str]]] = {
         _FDPAIRS_SCHEMA,
         ["cid", "det", "dep"],
         {"cnt": "sum", "k": "min", "b": "min"},
+    ),
+    "recon": (
+        _RECON_SCHEMA,
+        ["cid", "key", "vals", "b"],
+        {"cnt": "sum"},
     ),
 }
 

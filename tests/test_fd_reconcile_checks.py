@@ -196,13 +196,77 @@ def test_reconcile_bounded_added(spark, rec_frames):
     assert ver[(1, "added_rate")] is True
 
 
-def test_reconcile_rejected_by_streaming_suite():
-    from pyanomalydetector2_spark.streaming.suite_stream import ensure_streamable
+def test_reconcile_streaming_equals_batch(spark, tmp_path):
+    """Reconcile state merges additively across micro-batches: the current
+    snapshot reconstructed from merged (key, compare-tuple) counts diffs
+    against the baseline byte-identically to the one-shot batch run —
+    including duplicate-key join multiplicity where the duplicate rows
+    arrive in DIFFERENT micro-batches."""
+    from pyanomalydetector2_spark.streaming.suite_stream import (
+        run_suite_stream,
+        streaming_suite_result,
+    )
 
-    with pytest.raises(ValueError, match="ReconcileChecks"):
-        ensure_streamable(
-            Suite(reconcile_checks=(ReconcileCheck("r", ("a",)),))
+    schema = "clip_id string, bucket int, value double"
+    base = spark.range(20).select(
+        F.col("id").cast("string").alias("clip_id"),
+        (F.col("id") % 4).cast("int").alias("bucket"),
+        (F.col("id") * 10.0).alias("value"),
+    )
+    # current, split into 3 files: key 5 removed, keys 2/6 changed, key 100
+    # added, bucket 3 fully removed; key 8 DUPLICATED across files 0 and 2
+    # with different values (one matching baseline, one changed)
+    files = [
+        [(str(k), k % 4, k * 10.0) for k in (0, 4, 8, 12)],
+        [("2", 2, 21.0), ("6", 2, 61.0), ("100", 0, 1000.0)],
+        [(str(k), k % 4, k * 10.0) for k in (1, 9, 13, 17)]
+        + [("10", 2, 100.0), ("14", 2, 140.0), ("16", 0, 160.0),
+           ("18", 2, 180.0), ("8", 0, 81.0)],
+    ]
+    src = str(tmp_path / "src")
+    for rows in files:
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    suite = Suite(
+        reconcile_checks=(
+            ReconcileCheck(
+                "rec_value", ("value",),
+                max_removed_rate=0.25, max_changed_rate=0.5,
+                max_added_rate=1.0,
+            ),
         )
+    )
+    state = str(tmp_path / "state")
+    run_suite_stream(
+        spark, src, state, suite, {}, "rec_stream", schema,
+        max_files_per_trigger=1,
+    )
+    stream_res = streaming_suite_result(
+        spark, state, suite, base, "rec_stream"
+    )
+    batch_res = run_suite(
+        spark.read.parquet(src), base, {}, suite, "rec_stream"
+    )
+
+    cols = ["bucket", "clip_id", "constraint_id", "observed", "expected"]
+    sv = sorted(tuple(r) for r in stream_res.violations.select(*cols).collect())
+    bv = sorted(tuple(r) for r in batch_res.violations.select(*cols).collect())
+    assert sv == bv
+    by_kind = {}
+    for v in sv:
+        by_kind.setdefault(v[3].split(":")[0], []).append(v[1])
+    assert "5" in by_kind["removed"]  # single removed key caught
+    assert set(by_kind["added"]) == {"100"}
+    # key 8's duplicate (81.0, arrived two batches after 80.0) is one of
+    # the changed JOIN rows — multiplicity preserved
+    assert by_kind["changed"].count("8") == 1
+    assert {"2", "6"} <= set(by_kind["changed"])
+    sver = sorted(tuple(r) for r in stream_res.verdicts.collect())
+    bver = sorted(tuple(r) for r in batch_res.verdicts.collect())
+    assert sver == bver
+    assert not stream_res.passed()  # bucket 3 is 100 % removed
 
 
 def test_fd_streaming_equals_batch(spark, tmp_path):
