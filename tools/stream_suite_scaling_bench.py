@@ -52,7 +52,11 @@ SRC_DEFAULT = "/tmp/pyad2_ss_scale"
 
 def _suite():
     from pyanomalydetector2_spark.constraints import default_clips_suite
-    from pyanomalydetector2_spark.constraints.dsl import ReconcileCheck, Suite
+    from pyanomalydetector2_spark.constraints.dsl import (
+        FdCheck,
+        ReconcileCheck,
+        Suite,
+    )
 
     base = default_clips_suite()
     return Suite(
@@ -72,6 +76,10 @@ def _suite():
                 max_changed_rate=2.0,
             ),
         ),
+        # codec does NOT determine sr_hz in the datagen (the check fails)
+        # — fine: the ladder measures the fdpairs state cost, and the
+        # failed-verdict counts must simply be identical across levels
+        fd_checks=(FdCheck("fd_codec_sr", ("codec",), "sr_hz"),),
     )
 
 
