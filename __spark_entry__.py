@@ -351,14 +351,22 @@ def q_text_embed(spark: SparkSession, sf: str) -> DataFrame:
     zero trained state, and is DuckDB-replayable by construction: the
     pre-normalization sums are integer-valued doubles, so float addition
     order cannot differ between engines and the check is hash-exact.
-    Output exploded to (doc_id, i, val) scalars for the value-hash."""
+    Output exploded to (doc_id, i, val) scalars for the value-hash.
+
+    posexplode_OUTER, deliberately: plain posexplode makes Catalyst push a
+    `size(embedding) > 0` guard below the projections, and because
+    `embedding` is a computed expression (not a stored column) the pushed
+    filter INLINES the whole normalize/aggregate lambda tree ~3x per row
+    in an interpreted Filter — measured 5.5 s vs 1.2 s at sf0.1. The
+    embedding is a fixed dims-length array (all-zero for empty docs, never
+    empty/null), so outer and inner explode are row-for-row identical."""
     from pyanomalydetector2_spark.operators.text import text_embed
 
     docs = load_table(spark, sf, "documents")
     emb = text_embed(docs, "doc_id", "text", dims=64)
     return emb.select(
         F.col("id").alias("doc_id"),
-        F.posexplode("embedding").alias("i", "val"),
+        F.posexplode_outer("embedding").alias("i", "val"),
     )
 
 
