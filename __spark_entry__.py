@@ -1769,6 +1769,74 @@ def q_fd_violations(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+# one day in microseconds: the attribution window for the as-of contract
+_ASOF_TOL_US = 86_400_000_000
+# six hours in microseconds: the sessionization gap (median inter-event gap
+# in the synthetic events is ~26.4k s, so ~half the gaps split sessions)
+_SESSION_GAP_US = 21_600_000_000
+_EDIT_MAX_DIST = 40
+
+
+def q_asof_join(spark: SparkSession, sf: str) -> DataFrame:
+    """As-of join (most-recent-match) — the custom operator Spark lacks:
+    each purchase attributed to the latest 'view' at or before it within a
+    1-day tolerance, per user. Encoded as union + running-last over ONE
+    key shuffle (operators/asof.py — no join operator, no range explosion);
+    the oracle is DuckDB's native ASOF LEFT JOIN. Lag sums stay integer
+    microseconds so the compare is exact, not float-rounded."""
+    from pyanomalydetector2_spark.operators.asof import asof_join
+
+    ev = load_table(spark, sf, "events")
+    probe = ev.filter(F.col("event_type") == "purchase").select("user_id", "ts")
+    build = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("ref"))
+    )
+    m = asof_join(probe, build, "user_id", tolerance_us=_ASOF_TOL_US)
+    return m.groupBy(F.col("user_id").alias("itemid")).agg(
+        F.count(F.lit(1)).alias("n_probe"),
+        F.count("ref_b").alias("n_matched"),
+        F.coalesce(F.sum("asof_lag"), F.lit(0)).alias("lag_us_sum"),
+        _r(F.coalesce(F.sum("ref_b"), F.lit(0.0))).alias("ref_sum"),
+    )
+
+
+def q_sessionize(spark: SparkSession, sf: str) -> DataFrame:
+    """Gap-based sessionization (6h gap) + per-session rollup, summarized
+    per user. Two window expressions + one aggregate over a SINGLE shuffle
+    (the groupBy key extends the window key — pinned by
+    tests/test_asof_sessions.py). All outputs integer micros/counts —
+    engine-exact vs the DuckDB epoch_us window replay."""
+    from pyanomalydetector2_spark.operators.sessions import session_stats
+
+    ev = load_table(spark, sf, "events").select("user_id", "ts")
+    s = session_stats(ev, "user_id", "ts", gap_us=_SESSION_GAP_US)
+    return s.groupBy(F.col("user_id").alias("itemid")).agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.sum("n_events").alias("n_events"),
+        F.max("n_events").alias("max_len"),
+        F.sum("dur_us").alias("dur_us_sum"),
+    )
+
+
+def q_edit_near_dup(spark: SparkSession, sf: str) -> DataFrame:
+    """Near-dup confirm by edit distance: banded MinHash candidates (never
+    all-pairs) + length-band prune + Spark's thresholded JVM levenshtein
+    kernel (operators/dedup.py::edit_near_dup). Oracle replays the exact
+    candidate pipeline and DuckDB's levenshtein — both are the standard
+    unit-cost DP, and the documents corpus is pure ASCII, so the distances
+    are engine-exact integers."""
+    from pyanomalydetector2_spark.operators.dedup import edit_near_dup
+
+    docs = load_table(spark, sf, "documents")
+    # max_bucket_size=None: the oracle has no cap — contract semantics are
+    # exact; production callers keep the capped default
+    return edit_near_dup(
+        docs, "doc_id", "text", max_dist=_EDIT_MAX_DIST, max_bucket_size=None
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the detect1-style z-score screen on sf0.001."""
     return q_zscore_screen(spark, "/root/testdata/sf0.001")
@@ -1842,6 +1910,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snapshot_diff": q_snapshot_diff,
         "metrics_anomaly": q_metrics_anomaly,
         "fd_violations": q_fd_violations,
+        "asof_join": q_asof_join,
+        "sessionize": q_sessionize,
+        "edit_near_dup": q_edit_near_dup,
     }
 
 
@@ -3505,5 +3576,77 @@ def oracle_sql() -> dict[str, str]:
                max(p_mfgr) AS dep_max,
                min(k) AS exemplar_key
         FROM pairs GROUP BY 1 HAVING count(*) > 1
+    """
+    # as-of join: DuckDB's NATIVE ASOF LEFT JOIN is the oracle for the
+    # union+running-last encoding (operators/asof.py). Tolerance applies to
+    # the nearest match only (no fallback) on both sides; lag stays integer
+    # micros; DuckDB integer sum() is HUGEINT → cast to BIGINT
+    out["asof_join"] = f"""
+        WITH p AS (
+          SELECT user_id, ts, epoch_us(ts) AS pus
+          FROM events WHERE event_type = 'purchase'
+        ), b AS (
+          SELECT user_id, ts, epoch_us(ts) AS bus, max(value) AS ref
+          FROM events WHERE event_type = 'view' GROUP BY 1, 2, 3
+        ), m AS (
+          SELECT p.user_id, p.pus, b.bus, b.ref
+          FROM p ASOF LEFT JOIN b
+            ON p.user_id = b.user_id AND p.ts >= b.ts
+        ), t AS (
+          SELECT user_id,
+                 CASE WHEN pus - bus <= {_ASOF_TOL_US} THEN ref END AS ref,
+                 CASE WHEN pus - bus <= {_ASOF_TOL_US} THEN pus - bus
+                      END AS lag_us
+          FROM m
+        )
+        SELECT user_id AS itemid, count(*) AS n_probe,
+               count(ref) AS n_matched,
+               CAST(coalesce(sum(lag_us), 0) AS BIGINT) AS lag_us_sum,
+               round(coalesce(sum(ref), 0), 6) AS ref_sum
+        FROM t GROUP BY 1
+    """
+    # sessionization: the same two-window + rollup shape in SQL; all-integer
+    # outputs (epoch_us) so the compare is exact
+    out["sessionize"] = f"""
+        WITH e AS (
+          SELECT user_id, epoch_us(ts) AS us FROM events
+        ), l AS (
+          SELECT user_id, us,
+                 CASE WHEN us - lag(us) OVER w > {_SESSION_GAP_US}
+                        OR lag(us) OVER w IS NULL
+                      THEN 1 ELSE 0 END AS is_new
+          FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us)
+        ), s AS (
+          SELECT user_id, us,
+                 sum(is_new) OVER (PARTITION BY user_id ORDER BY us
+                                   ROWS UNBOUNDED PRECEDING) AS sess
+          FROM l
+        ), g AS (
+          SELECT user_id, sess, count(*) AS n,
+                 max(us) - min(us) AS dur_us
+          FROM s GROUP BY 1, 2
+        )
+        SELECT user_id AS itemid, count(*) AS n_sessions,
+               CAST(sum(n) AS BIGINT) AS n_events,
+               CAST(max(n) AS BIGINT) AS max_len,
+               CAST(sum(dur_us) AS BIGINT) AS dur_us_sum
+        FROM g GROUP BY 1
+    """
+    # edit-distance near-dup: exact candidate replay (same MinHash banding)
+    # + DuckDB's levenshtein — the same unit-cost DP as Spark's, and the
+    # documents corpus is pure ASCII, so distances are engine-exact ints
+    out["edit_near_dup"] = f"""
+        WITH {_MINHASH_CTES},
+        t AS (
+          SELECT doc_id, text, length(text) AS len FROM documents
+        )
+        SELECT c.id_a, c.id_b,
+               CAST(a.len AS INT) AS len_a, CAST(b.len AS INT) AS len_b,
+               CAST(levenshtein(a.text, b.text) AS INT) AS dist
+        FROM cand c
+        JOIN t a ON c.id_a = a.doc_id
+        JOIN t b ON c.id_b = b.doc_id
+        WHERE abs(a.len - b.len) <= {_EDIT_MAX_DIST}
+          AND levenshtein(a.text, b.text) <= {_EDIT_MAX_DIST}
     """
     return out

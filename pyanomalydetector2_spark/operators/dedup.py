@@ -728,3 +728,73 @@ def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 16) -> DataFr
         ).cast("long").alias("simhash"),
     )
     return sig
+
+
+def edit_near_dup(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_dist: int = 40,
+    k: int = 8,
+    n: int = 3,
+    bands: int = 4,
+    rows_per_band: int = 2,
+    max_bucket_size: int | None = 10_000,
+) -> DataFrame:
+    """Near-dup confirm by EDIT DISTANCE instead of Jaccard — the check that
+    catches small in-place edits (typo fixes, entity swaps) which keep
+    shingle overlap high but matter for exact-provenance dedup policies.
+
+    Composition is the same scale shape as near_dup_jaccard: banded MinHash
+    generates the candidates (never all-pairs), and the confirm touches only
+    pair members. The confirm itself stays fully JVM-side:
+
+      1. a length band prune ``|len_a - len_b| <= max_dist`` — the classic
+         Levenshtein lower bound, a free integer filter that kills most
+         candidates before any O(len_a * len_b) work, and
+      2. Spark's thresholded ``levenshtein(a, b, max_dist)`` kernel, which
+         abandons a row's DP early (returns -1) once the distance provably
+         exceeds the bound — per-pair cost O(max_dist * min_len), not
+         O(len_a * len_b).
+
+    Text reaches the pair frame through two hash joins keyed by id; at
+    corpus scale the candidate side is orders of magnitude smaller than the
+    corpus, so both joins are candidate-bounded. Output:
+    (id_a, id_b, len_a, len_b, dist) for pairs with dist <= max_dist.
+
+    Reference analog: none (the reference has no text dedup at all); this
+    extends the training-data-pipeline dedup family mandated by the build
+    brief alongside MinHash/SimHash/embedding near-dup.
+    """
+    sigs = minhash_signatures(df, id_col, text_col, k, n)
+    pairs = lsh_candidate_pairs(sigs, bands, rows_per_band, max_bucket_size)
+    texts = df.select(
+        F.col(id_col).alias("__id"),
+        F.col(text_col).alias("__txt"),
+        F.length(text_col).alias("__len"),
+    )
+    j = (
+        pairs.join(
+            texts.select(
+                F.col("__id").alias("id_a"),
+                F.col("__txt").alias("__txt_a"),
+                F.col("__len").alias("len_a"),
+            ),
+            "id_a",
+        )
+        .join(
+            texts.select(
+                F.col("__id").alias("id_b"),
+                F.col("__txt").alias("__txt_b"),
+                F.col("__len").alias("len_b"),
+            ),
+            "id_b",
+        )
+        .filter(F.abs(F.col("len_a") - F.col("len_b")) <= max_dist)
+    )
+    dist = F.levenshtein("__txt_a", "__txt_b", max_dist)
+    return (
+        j.withColumn("dist", dist)
+        .filter((F.col("dist") >= 0) & (F.col("dist") <= max_dist))
+        .select("id_a", "id_b", "len_a", "len_b", "dist")
+    )

@@ -1,0 +1,194 @@
+"""as-of join, sessionization, and edit-distance near-dup.
+
+Oracles here are tiny hand-walkable fixtures plus a pure-Python Levenshtein
+DP — the contract queries (`asof_join`, `sessionize`, `edit_near_dup`)
+re-verify the same operators hash-exact against DuckDB at sf0.01.
+"""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+from pyspark.sql import functions as F
+
+from pyanomalydetector2_spark.operators.asof import asof_join
+from pyanomalydetector2_spark.operators.dedup import edit_near_dup
+from pyanomalydetector2_spark.operators.sessions import (
+    session_stats,
+    sessionize,
+)
+
+
+def _ts(s: str) -> datetime:
+    return datetime.fromisoformat(s)
+
+
+# ------------------------------------------------------------------ asof --
+
+
+def _asof_fixture(spark):
+    probe = spark.createDataFrame(
+        [
+            (1, _ts("2024-01-01 10:00:00"), "p1"),
+            (1, _ts("2024-01-01 12:00:00"), "p2"),
+            (1, _ts("2024-01-01 09:00:00"), "p0"),  # before any build row
+            (2, _ts("2024-01-01 10:30:00"), "p3"),
+            (3, _ts("2024-01-01 10:00:00"), "p4"),  # key with no build rows
+        ],
+        "user_id long, ts timestamp, tag string",
+    )
+    build = spark.createDataFrame(
+        [
+            (1, _ts("2024-01-01 09:30:00"), 10.0),
+            (1, _ts("2024-01-01 10:00:00"), 20.0),  # ties probe p1 exactly
+            (1, _ts("2024-01-01 11:00:00"), 30.0),
+            (2, _ts("2024-01-01 08:00:00"), 40.0),
+        ],
+        "user_id long, ts timestamp, ref double",
+    )
+    return probe, build
+
+
+def test_asof_join_matches_most_recent(spark):
+    probe, build = _asof_fixture(spark)
+    out = asof_join(probe, build, "user_id").collect()
+    got = {r.tag: (r.ref_b, r.asof_lag) for r in out}
+    assert len(out) == 5  # left join: every probe row survives
+    # equal-ts build row matches (inclusive, DuckDB ASOF semantics)
+    assert got["p1"] == (20.0, 0)
+    assert got["p2"] == (30.0, 3_600_000_000)  # micros
+    assert got["p0"] == (None, None)  # no build row at or before
+    assert got["p3"] == (40.0, 2 * 3_600_000_000 + 1_800_000_000)
+    assert got["p4"] == (None, None)  # key absent from build
+
+
+def test_asof_join_tolerance_nulls_stale_match(spark):
+    probe, build = _asof_fixture(spark)
+    out = asof_join(
+        probe, build, "user_id", tolerance_us=3_600_000_000
+    ).collect()
+    got = {r.tag: r.ref_b for r in out}
+    assert got["p2"] == 30.0  # exactly at tolerance: inclusive
+    assert got["p3"] is None  # 2.5h stale — nulled, no older fallback
+    assert got["p1"] == 20.0
+
+
+def test_asof_join_plan_has_no_join(spark):
+    """The encoding's whole point: window over a union — no join operator,
+    one exchange on the key."""
+    probe, build = _asof_fixture(spark)
+    plan = asof_join(probe, build, "user_id")._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan
+    assert plan.count("Exchange") == 1
+
+
+# -------------------------------------------------------------- sessions --
+
+
+def _events(spark):
+    rows = [
+        # user 1: three events 1h apart (one session), then a 7h gap
+        (1, _ts("2024-01-01 00:00:00")),
+        (1, _ts("2024-01-01 01:00:00")),
+        (1, _ts("2024-01-01 02:00:00")),
+        (1, _ts("2024-01-01 09:00:00")),
+        # exactly the 6h gap: NOT a new session (strict >)
+        (1, _ts("2024-01-01 15:00:00")),
+        # one microsecond past the gap: new session
+        (1, _ts("2024-01-01 21:00:00.000001")),
+        (2, _ts("2024-01-01 00:00:00")),
+    ]
+    return spark.createDataFrame(rows, "user_id long, ts timestamp")
+
+
+def test_sessionize_boundaries(spark):
+    out = sessionize(_events(spark), "user_id", "ts").collect()
+    seqs = {
+        (r.user_id, r.ts.isoformat()): r.session_seq for r in out
+    }
+    assert seqs[(1, "2024-01-01T00:00:00")] == 1
+    assert seqs[(1, "2024-01-01T02:00:00")] == 1
+    assert seqs[(1, "2024-01-01T09:00:00")] == 2  # 7h gap
+    assert seqs[(1, "2024-01-01T15:00:00")] == 2  # exactly 6h: same session
+    assert seqs[(1, "2024-01-01T21:00:00.000001")] == 3  # 6h + 1us
+    assert seqs[(2, "2024-01-01T00:00:00")] == 1
+
+
+def test_session_stats_rollup(spark):
+    out = session_stats(_events(spark), "user_id", "ts").collect()
+    rows = {(r.user_id, r.session_seq): r for r in out}
+    assert len(rows) == 4
+    s1 = rows[(1, 1)]
+    assert s1.n_events == 3
+    assert s1.dur_us == 2 * 3_600_000_000
+    s2 = rows[(1, 2)]
+    assert s2.n_events == 2
+    assert s2.dur_us == 6 * 3_600_000_000
+    assert rows[(1, 3)].n_events == 1
+    assert rows[(2, 1)].dur_us == 0
+
+
+def test_sessionize_single_shuffle(spark):
+    plan = (
+        session_stats(_events(spark), "user_id", "ts")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    # one exchange for the window; the groupBy extends the window key so
+    # the aggregate must reuse that partitioning, not add a second one
+    assert plan.count("Exchange") == 1
+
+
+# ---------------------------------------------------------- edit near-dup --
+
+
+def _lev(a: str, b: str) -> int:
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(
+                min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb))
+            )
+        prev = cur
+    return prev[-1]
+
+
+def test_edit_near_dup_distances_match_dp_oracle(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    docs = [
+        (0, base),
+        (1, base.replace("quick", "quack")),  # dist 2
+        (2, base.replace("again and again", "againandagain")),  # dist 2
+        (3, "completely unrelated text about spark shuffles and joins"),
+        (4, base + " tail"),  # dist 5
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = edit_near_dup(
+        df, "doc_id", "text", max_dist=10, max_bucket_size=None
+    ).collect()
+    texts = dict(docs)
+    assert out, "expected near-dup pairs"
+    found = set()
+    for r in out:
+        assert r.dist == _lev(texts[r.id_a], texts[r.id_b])
+        assert r.dist <= 10
+        assert (r.len_a, r.len_b) == (len(texts[r.id_a]), len(texts[r.id_b]))
+        found.add((r.id_a, r.id_b))
+    assert (0, 1) in found and (0, 4) in found
+    assert all(3 not in p for p in found)
+
+
+def test_edit_near_dup_length_prune_is_lossless(spark):
+    """|len_a - len_b| > max_dist implies dist > max_dist (insertions alone
+    cost the length difference) — the prune can never drop a true pair."""
+    a = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    b = a + " " + "y" * 21  # appends one token: dist == 22 (space + 21 chars)
+    df = spark.createDataFrame([(0, a), (1, b)], "doc_id long, text string")
+    # sanity: banding does generate this candidate when the bound admits it
+    out = edit_near_dup(df, "doc_id", "text", max_dist=22,
+                        max_bucket_size=None).collect()
+    assert [(r.id_a, r.id_b, r.dist) for r in out] == [(0, 1, 22)]
+    # max_dist 21 < length gap 22: prune fires, and that is CORRECT
+    out = edit_near_dup(df, "doc_id", "text", max_dist=21,
+                        max_bucket_size=None).collect()
+    assert out == []
