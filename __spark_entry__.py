@@ -1820,6 +1820,47 @@ def q_sessionize(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+# two hours in microseconds: the post-error attribution window for the
+# interval-join contract (also the bucket width — each window spans <= 2
+# buckets, so the interval fan-out is bounded at 2x)
+_IV_WIN_US = 7_200_000_000
+
+
+def q_interval_join(spark: SparkSession, sf: str) -> DataFrame:
+    """Interval (range) join — the other classic operator Spark lacks:
+    each purchase matched to every 2h post-error window of the same user
+    via temporal bucketing (operators/intervals.py — an equi hash join on
+    (key, bucket) + exact containment filter; never the
+    BroadcastNestedLoopJoin a naive range predicate plans). The oracle is
+    DuckDB's native inequality join; all outputs integer micros/counts."""
+    from pyanomalydetector2_spark.operators.asof import _ordering_expr
+    from pyanomalydetector2_spark.operators.intervals import interval_join
+
+    ev = load_table(spark, sf, "events")
+    errs = ev.filter(F.col("event_type") == "error").select("user_id", "ts")
+    start = _ordering_expr(errs, "ts")
+    windows = errs.select(
+        "user_id",
+        start.alias("start_us"),
+        (start + F.lit(_IV_WIN_US)).alias("end_us"),
+    )
+    pts = ev.filter(F.col("event_type") == "purchase").select("user_id", "ts")
+    m = interval_join(
+        pts, windows, "user_id", point_ts="ts",
+        bucket_us=_IV_WIN_US, how="left",
+    )
+    pt_us = _ordering_expr(m, "ts")
+    covered = F.col("start_us_iv").isNotNull()
+    return m.groupBy(F.col("user_id").alias("itemid")).agg(
+        F.count("start_us_iv").alias("n_pairs"),
+        F.count_distinct(F.when(covered, F.col("ts"))).alias("n_covered"),
+        F.count_distinct("ts").alias("n_purchases"),
+        F.coalesce(
+            F.sum(pt_us - F.col("start_us_iv")), F.lit(0)
+        ).alias("off_sum"),
+    )
+
+
 def q_edit_near_dup(spark: SparkSession, sf: str) -> DataFrame:
     """Near-dup confirm by edit distance: banded MinHash candidates (never
     all-pairs) + length-band prune + Spark's thresholded JVM levenshtein
@@ -1913,6 +1954,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_join": q_asof_join,
         "sessionize": q_sessionize,
         "edit_near_dup": q_edit_near_dup,
+        "interval_join": q_interval_join,
     }
 
 
@@ -3648,5 +3690,30 @@ def oracle_sql() -> dict[str, str]:
         JOIN t b ON c.id_b = b.doc_id
         WHERE abs(a.len - b.len) <= {_EDIT_MAX_DIST}
           AND levenshtein(a.text, b.text) <= {_EDIT_MAX_DIST}
+    """
+    # interval join: DuckDB's native inequality LEFT JOIN is the oracle for
+    # the bucketed equi-join encoding (operators/intervals.py); integer
+    # micros throughout, DuckDB integer sum() HUGEINT → BIGINT
+    out["interval_join"] = f"""
+        WITH e AS (
+          SELECT user_id, epoch_us(ts) AS us, event_type FROM events
+        ), w AS (
+          SELECT user_id, us AS start_us, us + {_IV_WIN_US} AS end_us
+          FROM e WHERE event_type = 'error'
+        ), p AS (
+          SELECT user_id, us FROM e WHERE event_type = 'purchase'
+        ), m AS (
+          SELECT p.user_id, p.us, w.start_us
+          FROM p LEFT JOIN w
+            ON p.user_id = w.user_id
+           AND p.us >= w.start_us AND p.us <= w.end_us
+        )
+        SELECT user_id AS itemid,
+               count(start_us) AS n_pairs,
+               count(DISTINCT CASE WHEN start_us IS NOT NULL
+                                   THEN us END) AS n_covered,
+               count(DISTINCT us) AS n_purchases,
+               CAST(coalesce(sum(us - start_us), 0) AS BIGINT) AS off_sum
+        FROM m GROUP BY 1
     """
     return out

@@ -13,6 +13,7 @@ from pyspark.sql import functions as F
 
 from pyanomalydetector2_spark.operators.asof import asof_join
 from pyanomalydetector2_spark.operators.dedup import edit_near_dup
+from pyanomalydetector2_spark.operators.intervals import interval_join
 from pyanomalydetector2_spark.operators.sessions import (
     session_stats,
     sessionize,
@@ -192,3 +193,117 @@ def test_edit_near_dup_length_prune_is_lossless(spark):
     out = edit_near_dup(df, "doc_id", "text", max_dist=21,
                         max_bucket_size=None).collect()
     assert out == []
+
+
+# ----------------------------------------------------------- interval join --
+
+
+def _interval_fixture(spark):
+    # numeric "ts" in seconds to exercise the non-timestamp path;
+    # bucket width 100 so the [50, 350] interval spans 4 buckets
+    points = spark.createDataFrame(
+        [
+            (1, 50, "on_start"),
+            (1, 350, "on_end"),
+            (1, 200, "inside_long"),
+            (1, 351, "outside"),
+            (1, 120, "in_two"),  # inside [50,350] and [100,130]
+            (2, 200, "other_key"),
+        ],
+        "user_id long, ts long, tag string",
+    )
+    intervals = spark.createDataFrame(
+        [
+            (1, 50, 350, "long"),
+            (1, 100, 130, "short"),
+            (1, 400, 399, "degenerate"),  # start > end: dropped
+            (2, 500, 600, "elsewhere"),
+        ],
+        "user_id long, start_us long, end_us long, name string",
+    )
+    return points, intervals
+
+
+def test_interval_join_containment_inclusive_and_no_dups(spark):
+    points, intervals = _interval_fixture(spark)
+    out = interval_join(points, intervals, "user_id", point_ts="ts",
+                        bucket_us=100).collect()
+    got = sorted((r.tag, r.name_iv) for r in out)
+    # boundary-inclusive both ends; the 4-bucket interval matches each
+    # point exactly ONCE (a point lives in one bucket); overlaps multiply
+    assert got == [
+        ("in_two", "long"),
+        ("in_two", "short"),
+        ("inside_long", "long"),
+        ("on_end", "long"),
+        ("on_start", "long"),
+    ]
+
+
+def test_interval_join_left_keeps_unmatched(spark):
+    points, intervals = _interval_fixture(spark)
+    out = interval_join(points, intervals, "user_id", point_ts="ts",
+                        bucket_us=100, how="left").collect()
+    by_tag = {}
+    for r in out:
+        by_tag.setdefault(r.tag, []).append(r.name_iv)
+    assert by_tag["outside"] == [None]
+    assert by_tag["other_key"] == [None]  # key 2's interval doesn't cover 200
+    assert sorted(by_tag["in_two"]) == ["long", "short"]
+    assert len(out) == 7  # 5 matches + 2 null-padded
+
+
+def test_interval_join_plan_is_equi_hash_join(spark):
+    """The whole point vs the naive range join: an equi join on
+    (key, bucket), never a BroadcastNestedLoopJoin."""
+    points, intervals = _interval_fixture(spark)
+    plan = (
+        interval_join(points, intervals, "user_id", point_ts="ts",
+                      bucket_us=100)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastNestedLoop" not in plan
+    assert "Join" in plan
+
+
+# ------------------------------------------------- randomized asof oracle --
+
+
+def test_asof_join_matches_pandas_merge_asof(spark):
+    """Independent-oracle cross-check: pandas.merge_asof implements the
+    same backward-inclusive-with-tolerance contract."""
+    import numpy as np
+    import pandas as pd
+
+    rng = np.random.default_rng(7)
+    n_p, n_b = 400, 300
+    probe = pd.DataFrame({
+        "k": rng.integers(0, 8, n_p),
+        "t": rng.integers(0, 10_000, n_p),
+    })
+    build = pd.DataFrame({
+        "k": rng.integers(0, 8, n_b),
+        "t": rng.integers(0, 10_000, n_b),
+        "ref": rng.integers(0, 1_000_000, n_b).astype("float64"),
+    }).drop_duplicates(["k", "t"])
+    tol = 500
+
+    sp = asof_join(
+        spark.createDataFrame(probe, "k long, t long"),
+        spark.createDataFrame(build, "k long, t long, ref double"),
+        on="k", probe_ts="t", build_ts="t", tolerance_us=tol,
+    ).toPandas()
+
+    exp = pd.merge_asof(
+        probe.sort_values(["t", "k"], kind="stable"),
+        build.sort_values(["t", "k"], kind="stable"),
+        on="t", by="k", direction="backward", tolerance=tol,
+        allow_exact_matches=True,
+    )
+    key = ["k", "t"]
+    got = sp.sort_values(key).reset_index(drop=True)
+    exp = exp.sort_values(key).reset_index(drop=True)
+    assert len(got) == len(exp) == n_p
+    pd.testing.assert_series_equal(
+        got["ref_b"], exp["ref"], check_names=False
+    )
