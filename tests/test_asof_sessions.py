@@ -307,3 +307,70 @@ def test_asof_join_matches_pandas_merge_asof(spark):
     pd.testing.assert_series_equal(
         got["ref_b"], exp["ref"], check_names=False
     )
+
+
+# ------------------------------------------------ randomized invariances --
+
+
+def test_sessionize_matches_python_reference(spark):
+    """Randomized cross-check: session ordinals from a trivial sequential
+    scan must equal the window-expression encoding's."""
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    n = 600
+    ks = rng.integers(0, 12, n)
+    ts = rng.integers(0, 100_000, n)
+    # force some exact-gap edges: gap == 500 must NOT split (strict >)
+    ts[:10] = np.arange(10) * 500
+    ks[:10] = 99
+    rows = sorted(zip(ks.tolist(), ts.tolist()))
+    rows = [(k, t) for i, (k, t) in enumerate(rows)
+            if i == 0 or (k, t) != rows[i - 1]]  # unique (k, t)
+    gap = 500
+
+    expect = {}
+    prev_k, prev_t, seq = None, None, 0
+    for k, t in rows:
+        seq = 1 if k != prev_k else (seq + 1 if t - prev_t > gap else seq)
+        expect[(k, t)] = seq
+        prev_k, prev_t = k, t
+
+    df = spark.createDataFrame(rows, "k long, t long")
+    got = {
+        (r.k, r.t): r.session_seq
+        for r in sessionize(df, "k", "t", gap_us=gap).collect()
+    }
+    assert got == expect
+
+
+def test_interval_join_bucket_width_invariance(spark):
+    """The bucket width is a physical knob only: results must be identical
+    for any width, and equal to brute-force containment."""
+    import numpy as np
+
+    rng = np.random.default_rng(13)
+    pts = [(int(k), int(t)) for k, t in
+           zip(rng.integers(0, 6, 200), rng.integers(0, 5_000, 200))]
+    ivs = []
+    for k, s, span in zip(rng.integers(0, 6, 60),
+                          rng.integers(0, 5_000, 60),
+                          rng.integers(0, 900, 60)):
+        ivs.append((int(k), int(s), int(s + span)))
+
+    brute = sorted(
+        (k, t, s, e)
+        for k, t in pts
+        for k2, s, e in ivs
+        if k == k2 and s <= t <= e
+    )
+    p_df = spark.createDataFrame(pts, "k long, t long")
+    iv_df = spark.createDataFrame(ivs, "k long, start_us long, end_us long")
+    for width in (7, 256, 1_000_000):
+        got = sorted(
+            (r.k, r.t, r.start_us_iv, r.end_us_iv)
+            for r in interval_join(
+                p_df, iv_df, "k", point_ts="t", bucket_us=width
+            ).collect()
+        )
+        assert got == brute, f"bucket_us={width}"
