@@ -88,6 +88,11 @@ def asof_join(
         _ordering_expr(build, build_ts).alias(_MATCH_TS),
         *[F.col(c).alias(c) for c in build_cols],
     )
+    # a null-ts build row would sort FIRST (nulls-first asc) and then leak
+    # into every probe row via last(ignorenulls) — it carries no "as of"
+    # information, drop it; null-ts probe rows sort first too, match
+    # nothing, and come back unmatched (correct)
+    build = build.filter(F.col(build_ts).isNotNull())
     build_side = build.select(
         *keys,
         _ordering_expr(build, build_ts).alias(_TS),

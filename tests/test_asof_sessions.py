@@ -374,3 +374,18 @@ def test_interval_join_bucket_width_invariance(spark):
             ).collect()
         )
         assert got == brute, f"bucket_us={width}"
+
+
+def test_asof_join_null_ts_rows_are_inert(spark):
+    """A null-ts build row must not become 'the most recent build row' for
+    anything; a null-ts probe row comes back unmatched."""
+    probe = spark.createDataFrame(
+        [(1, _ts("2024-01-01 10:00:00"), "p"), (1, None, "pnull")],
+        "user_id long, ts timestamp, tag string",
+    )
+    build = spark.createDataFrame(
+        [(1, None, 99.0), (1, _ts("2024-01-01 09:00:00"), 7.0)],
+        "user_id long, ts timestamp, ref double",
+    )
+    got = {r.tag: r.ref_b for r in asof_join(probe, build, "user_id").collect()}
+    assert got == {"p": 7.0, "pnull": None}
