@@ -846,28 +846,54 @@ def q_topitems(spark: SparkSession, sf: str) -> DataFrame:
 
 def q_tpch_q1(spark: SparkSession, sf: str) -> DataFrame:
     """TPC-H Q1 pricing summary — the canonical scan→filter→agg shape
-    (predicate pushdown + map-side combine)."""
+    (predicate pushdown + map-side combine).
+
+    Money algebra is EXACT fixed-point (cents / 1e-4 / 1e-6 integer
+    units), like real TPC-H decimals. The float version failed at sf1.0:
+    a charge sum of ~2.9e10 has double ulp ~7.6e-6, so round(sum, 2) sits
+    near the noise floor and the summation order — parquet row order,
+    which make_sf1.py regeneration does not preserve — decided the hash.
+    Every per-row value is exactly 2-dp in the testdata, so the fixed-
+    point quantization is lossless and the sums are order-independent
+    BIGINTs at any scale; averages divide two exact integers (the same
+    single IEEE op on both engines). Lesson recorded in BENCH §22."""
     li = load_table(spark, sf, "lineitem").filter(
         F.col("l_shipdate") <= _ntz(_Q1_CUT)  # date-granular: <= is exact
     )
-    return li.groupBy("l_returnflag", "l_linestatus").agg(
-        _r(F.sum("l_quantity"), 2).alias("sum_qty"),
-        _r(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-        _r(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
-            "sum_disc_price"
-        ),
-        _r(
-            F.sum(
-                F.col("l_extendedprice")
-                * (1 - F.col("l_discount"))
-                * (1 + F.col("l_tax"))
-            ),
-            2,
-        ).alias("sum_charge"),
-        _r(F.avg("l_quantity"), 6).alias("avg_qty"),
-        _r(F.avg("l_extendedprice"), 6).alias("avg_price"),
-        _r(F.avg("l_discount"), 6).alias("avg_disc"),
+    cents = li.select(
+        "l_returnflag",
+        "l_linestatus",
+        F.round("l_quantity", 0).cast("long").alias("q"),
+        F.round(F.col("l_extendedprice") * 100, 0).cast("long").alias("p"),
+        F.round(F.col("l_discount") * 100, 0).cast("long").alias("d"),
+        F.round(F.col("l_tax") * 100, 0).cast("long").alias("t"),
+    )
+    g = cents.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum("q").alias("sum_qty"),
+        F.sum("p").alias("sum_base_price_c"),
+        F.sum(F.col("p") * (100 - F.col("d"))).alias("sum_disc_price_e4"),
+        F.sum(
+            F.col("p") * (100 - F.col("d")) * (100 + F.col("t"))
+        ).alias("sum_charge_e6"),
+        F.sum("d").alias("_sum_d"),
         F.count(F.lit(1)).cast("long").alias("count_order"),
+    )
+    n = F.col("count_order")
+    return g.select(
+        "l_returnflag",
+        "l_linestatus",
+        "sum_qty",
+        "sum_base_price_c",
+        "sum_disc_price_e4",
+        "sum_charge_e6",
+        F.round(F.col("sum_qty").cast("double") / n, 6).alias("avg_qty"),
+        F.round(
+            (F.col("sum_base_price_c").cast("double") / n) / F.lit(100.0), 6
+        ).alias("avg_price"),
+        F.round(
+            (F.col("_sum_d").cast("double") / n) / F.lit(100.0), 6
+        ).alias("avg_disc"),
+        "count_order",
     )
 
 
@@ -2750,19 +2776,33 @@ def oracle_sql() -> dict[str, str]:
             ) WHERE rn <= 3
         """,
         "tpch_q1": """
-            SELECT l_returnflag, l_linestatus,
-                   round(sum(l_quantity), 2) AS sum_qty,
-                   round(sum(l_extendedprice), 2) AS sum_base_price,
-                   round(sum(l_extendedprice*(1-l_discount)), 2) AS sum_disc_price,
-                   round(sum(l_extendedprice*(1-l_discount)*(1+l_tax)), 2)
-                     AS sum_charge,
-                   round(avg(l_quantity), 6) AS avg_qty,
-                   round(avg(l_extendedprice), 6) AS avg_price,
-                   round(avg(l_discount), 6) AS avg_disc,
-                   count(*) AS count_order
-            FROM lineitem
-            WHERE l_shipdate <= TIMESTAMP '1998-12-01 00:00:00'
-            GROUP BY 1, 2
+            WITH b AS (
+              SELECT l_returnflag, l_linestatus,
+                     CAST(round(l_quantity, 0) AS BIGINT) AS q,
+                     CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS p,
+                     CAST(round(l_discount * 100, 0) AS BIGINT) AS d,
+                     CAST(round(l_tax * 100, 0) AS BIGINT) AS t
+              FROM lineitem
+              WHERE l_shipdate <= TIMESTAMP '1998-12-01 00:00:00'
+            ), g AS (
+              SELECT l_returnflag, l_linestatus,
+                     CAST(sum(q) AS BIGINT) AS sum_qty,
+                     CAST(sum(p) AS BIGINT) AS sum_base_price_c,
+                     CAST(sum(p*(100-d)) AS BIGINT) AS sum_disc_price_e4,
+                     CAST(sum(p*(100-d)*(100+t)) AS BIGINT) AS sum_charge_e6,
+                     CAST(sum(d) AS BIGINT) AS sum_d,
+                     count(*) AS count_order
+              FROM b GROUP BY 1, 2
+            )
+            SELECT l_returnflag, l_linestatus, sum_qty, sum_base_price_c,
+                   sum_disc_price_e4, sum_charge_e6,
+                   round(CAST(sum_qty AS DOUBLE)/count_order, 6) AS avg_qty,
+                   round((CAST(sum_base_price_c AS DOUBLE)/count_order)/100.0,
+                         6) AS avg_price,
+                   round((CAST(sum_d AS DOUBLE)/count_order)/100.0,
+                         6) AS avg_disc,
+                   count_order
+            FROM g
         """,
         "tpch_q3": """
             SELECT l_orderkey, o_orderdate,
