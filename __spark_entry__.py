@@ -966,6 +966,39 @@ _DRIFT_LO, _DRIFT_HI, _DRIFT_NBINS = 0.0, 500.0, 10
 _ALLOWED_LANGS = ("en", "fr", "de", "es")
 
 
+def q_kll_quantiles(spark: SparkSession, sf: str) -> DataFrame:
+    """North-rule quantiles, sketch flavor: the mergeable KLL sketch
+    (operators/kll.py) exercised end-to-end through its real distributed
+    path — mapInPandas partials per (partition × group), sketch-rows-only
+    shuffle, applyInPandas merge, pandas-UDF quantile query. The input is
+    capped at 4000 rows per group (row_number over a unique key) so the
+    sketch stays in its exact, zero-compaction regime at EVERY scale factor
+    and the nearest-rank answers are hash-comparable against DuckDB's
+    quantile_disc; the compacting-regime error bound is pinned by
+    tests/test_kll.py instead (a sketch estimate is approximate at scale by
+    definition, so that contract is a bound, not a hash)."""
+    from pyanomalydetector2_spark.operators.kll import kll_build, kll_quantiles
+
+    ev = load_table(spark, sf, "events").filter(
+        F.col("value").isNotNull() & ~F.isnan("value")
+    )
+    w = Window.partitionBy("event_type").orderBy("event_id")
+    capped = (
+        ev.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= 4000)
+        .select("event_type", "value")
+    )
+    sk = kll_build(capped, "value", ["event_type"], k=8192)
+    q = kll_quantiles(sk, [0.25, 0.5, 0.75], ["event_type"])
+    return q.select(
+        "event_type",
+        F.col("n").cast("long").alias("n"),
+        _r(F.element_at("q_values", 1)).alias("p25_d"),
+        _r(F.element_at("q_values", 2)).alias("p50_d"),
+        _r(F.element_at("q_values", 3)).alias("p75_d"),
+    )
+
+
 def q_drift_psi(spark: SparkSession, sf: str) -> DataFrame:
     """North-rule drift check, fully distributed: PSI + binned KS of the
     recent window vs the trend baseline per event_type
@@ -1957,6 +1990,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q3": q_tpch_q3,
         "column_profile": q_column_profile,
         "column_quantiles": q_column_quantiles,
+        "kll_quantiles": q_kll_quantiles,
         "drift_psi": q_drift_psi,
         "uniqueness_violations": q_uniqueness_violations,
         "ri_violations": q_ri_violations,
@@ -2843,6 +2877,23 @@ def oracle_sql() -> dict[str, str]:
                    round(quantile_cont(value::DOUBLE, 0.50), 6) AS p50,
                    round(quantile_cont(value::DOUBLE, 0.75), 6) AS p75
             FROM events GROUP BY 1
+        """,
+        "kll_quantiles": """
+            WITH capped AS (
+              SELECT event_type, value FROM (
+                SELECT event_type, value,
+                       row_number() OVER (PARTITION BY event_type
+                                          ORDER BY event_id) AS rn
+                FROM events
+                WHERE value IS NOT NULL AND NOT isnan(value)
+              ) WHERE rn <= 4000
+            )
+            SELECT event_type,
+                   count(*) AS n,
+                   round(quantile_disc(value, 0.25), 6) AS p25_d,
+                   round(quantile_disc(value, 0.50), 6) AS p50_d,
+                   round(quantile_disc(value, 0.75), 6) AS p75_d
+            FROM capped GROUP BY 1
         """,
         "drift_psi": f"""
             WITH cur AS (

@@ -1,0 +1,185 @@
+"""Mergeable KLL quantile sketch: exact regime vs nearest-rank oracle,
+compacting-regime error bounds, merge/incremental-maintenance equivalence."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from pyanomalydetector2_spark.operators.kll import (
+    _error_bound,
+    _Sketch,
+    kll_build,
+    kll_merge,
+    kll_quantiles,
+)
+
+QS = [0.01, 0.1, 0.25, 0.5, 0.75, 0.9, 0.99]
+
+
+def _disc_quantile(sorted_vals: np.ndarray, q: float) -> float:
+    """DuckDB quantile_disc nearest-rank rule: sorted[ceil(q*n)-1]."""
+    n = len(sorted_vals)
+    idx = max(math.ceil(q * n), 1) - 1
+    return float(sorted_vals[min(idx, n - 1)])
+
+
+def _rank_error(sorted_vals: np.ndarray, q: float, est: float) -> float:
+    """|rank(est) - q*n| / n with rank as the nearest-rank position range."""
+    n = len(sorted_vals)
+    lo = np.searchsorted(sorted_vals, est, side="left")
+    hi = np.searchsorted(sorted_vals, est, side="right")
+    target = q * n
+    if lo <= target <= hi:
+        return 0.0
+    return min(abs(lo - target), abs(hi - target)) / n
+
+
+# ---------------------------------------------------------------------------
+# numpy core
+# ---------------------------------------------------------------------------
+
+
+def test_core_exact_regime_matches_nearest_rank():
+    rng = np.random.default_rng(7)
+    vals = rng.normal(size=500)
+    sk = _Sketch(1024)
+    sk.add(vals)
+    s = np.sort(vals)
+    assert sk.quantiles(QS) == [_disc_quantile(s, q) for q in QS]
+    assert sk.total_weight() == sk.n == 500
+
+
+def test_core_weight_conserved_under_compaction():
+    rng = np.random.default_rng(11)
+    sk = _Sketch(64)
+    for _ in range(40):
+        sk.add(rng.exponential(size=1237))  # odd batch sizes force survivors
+    assert sk.total_weight() == sk.n == 40 * 1237
+
+
+@pytest.mark.parametrize("k,n", [(64, 20000), (256, 200000)])
+def test_core_compacting_regime_error_bound(k, n):
+    rng = np.random.default_rng(k + n)
+    vals = rng.lognormal(size=n)
+    sk = _Sketch(k)
+    for chunk in np.array_split(vals, 37):
+        sk.add(chunk)
+    s = np.sort(vals)
+    bound = _error_bound(n, k)
+    for q in QS:
+        err = _rank_error(s, q, sk.quantiles([q])[0])
+        assert err <= bound, (q, err, bound)
+
+
+def test_core_merge_within_bound_and_weight_exact():
+    rng = np.random.default_rng(3)
+    a_vals, b_vals = rng.normal(size=30000), rng.normal(2.0, size=50000)
+    a, b = _Sketch(128), _Sketch(128)
+    a.add(a_vals)
+    b.add(b_vals)
+    a.merge(b)
+    allv = np.sort(np.concatenate([a_vals, b_vals]))
+    assert a.total_weight() == a.n == 80000
+    bound = _error_bound(80000, 128)
+    for q in QS:
+        assert _rank_error(allv, q, a.quantiles([q])[0]) <= bound
+
+
+def test_core_merge_k_mismatch_raises():
+    with pytest.raises(ValueError, match="k=64"):
+        _Sketch(64).merge(_Sketch(128))
+
+
+def test_core_nan_inf_ignored():
+    sk = _Sketch(64)
+    sk.add(np.array([1.0, np.nan, np.inf, -np.inf, 2.0, 3.0]))
+    assert sk.n == 3
+    assert sk.quantiles([0.5]) == [2.0]
+
+
+# ---------------------------------------------------------------------------
+# Spark operators
+# ---------------------------------------------------------------------------
+
+
+def _events_df(spark, n=6000, groups=("a", "b", "c"), seed=5):
+    rng = np.random.default_rng(seed)
+    pdf = pd.DataFrame(
+        {
+            "g": rng.choice(list(groups), size=n),
+            "v": rng.normal(10.0, 3.0, size=n),
+        }
+    )
+    # plant nulls + NaN to pin the screen
+    pdf.loc[:10, "v"] = np.nan
+    return spark.createDataFrame(pdf), pdf
+
+
+def test_spark_exact_regime_grouped_matches_oracle(spark):
+    df, pdf = _events_df(spark)
+    got = {}
+    for parts in (1, 7):
+        sk = kll_build(df.repartition(parts), "v", ["g"], k=8192)
+        out = kll_quantiles(sk, [0.25, 0.5, 0.75], ["g"]).collect()
+        got[parts] = {r["g"]: (r["n"], tuple(r["q_values"])) for r in out}
+    clean = pdf.dropna()
+    expect = {}
+    for g, grp in clean.groupby("g"):
+        s = np.sort(grp["v"].to_numpy())
+        expect[g] = (len(s), tuple(_disc_quantile(s, q) for q in (0.25, 0.5, 0.75)))
+    # exact regime: identical across partitionings AND equal to the oracle
+    assert got[1] == got[7] == expect
+
+
+def test_spark_global_sketch_no_groups(spark):
+    df, pdf = _events_df(spark, n=2000)
+    sk = kll_build(df, "v", (), k=4096)
+    rows = kll_quantiles(sk, [0.5]).collect()
+    s = np.sort(pdf.dropna()["v"].to_numpy())
+    assert len(rows) == 1
+    assert rows[0]["n"] == len(s)
+    assert rows[0]["q_values"][0] == _disc_quantile(s, 0.5)
+
+
+def test_spark_compacting_regime_bounded(spark):
+    rng = np.random.default_rng(17)
+    vals = rng.gamma(2.0, size=120000)
+    df = spark.createDataFrame(pd.DataFrame({"v": vals})).repartition(16)
+    sk = kll_build(df, "v", (), k=256)
+    row = kll_quantiles(sk, QS).collect()[0]
+    assert row["n"] == len(vals)
+    s = np.sort(vals)
+    bound = _error_bound(len(vals), 256)
+    for q, est in zip(QS, row["q_values"]):
+        assert _rank_error(s, q, est) <= bound, (q, est)
+
+
+def test_spark_incremental_merge_equals_full_build_exact_regime(spark):
+    """The snapshot-maintenance story: sketch(base) ⊕ sketch(delta) must equal
+    sketch(base ∪ delta) bit-exactly while un-compacted (and stay within the
+    error bound always — covered by the core merge test)."""
+    df, pdf = _events_df(spark, n=4000)
+    base = df.filter(F.col("v") < 10.0)
+    delta = df.filter((F.col("v") >= 10.0) | F.isnan("v") | F.col("v").isNull())
+    merged = kll_merge(
+        kll_build(base, "v", ["g"], k=8192),
+        kll_build(delta, "v", ["g"], k=8192),
+        ["g"],
+    )
+    full = kll_build(df, "v", ["g"], k=8192)
+    q_m = kll_quantiles(merged, QS, ["g"]).collect()
+    q_f = kll_quantiles(full, QS, ["g"]).collect()
+    as_map = lambda rows: {r["g"]: (r["n"], tuple(r["q_values"])) for r in rows}
+    assert as_map(q_m) == as_map(q_f)
+
+
+def test_spark_empty_input_yields_no_rows(spark):
+    df, _ = _events_df(spark, n=50)
+    empty = df.filter(F.lit(False))
+    assert kll_build(empty, "v", ["g"], k=64).count() == 0
+    assert kll_build(empty, "v", (), k=64).count() == 0
