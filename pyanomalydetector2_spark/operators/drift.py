@@ -185,6 +185,66 @@ def quantile_edges(
     return edges
 
 
+def quantile_edges_from_sketch(sketches: DataFrame, nbins: int = 20) -> list[float]:
+    """Equi-depth bin edges from a PERSISTED mergeable KLL sketch row
+    (operators/kll.py) instead of a baseline rescan. At 10^12 rows the
+    difference is a full-table percentile_approx pass per drift run vs
+    reading KBs of sketch state that ``kll_merge`` folds forward as new
+    snapshots land — the quantile analog of the moments-table incremental
+    maintenance. Expects the global (ungrouped) sketch: exactly one row."""
+    from pyanomalydetector2_spark.operators.kll import SKETCH_FIELDS, _Sketch
+
+    rows = sketches.select(*SKETCH_FIELDS).collect()
+    if not rows:
+        return []
+    if len(rows) > 1:
+        raise ValueError(
+            f"quantile_edges_from_sketch expects ONE global sketch row, got "
+            f"{len(rows)} — merge grouped sketches first (kll_merge) or build "
+            "with group_cols=()"
+        )
+    sk = _Sketch.from_row(*rows[0])
+    if sk.n == 0:
+        return []
+    qs = [i / nbins for i in range(1, nbins)]
+    edges: list[float] = []
+    for v in sk.quantiles(qs):
+        if v is not None and (not edges or v > edges[-1]):
+            edges.append(float(v))
+    return edges
+
+
+def _validated_edges(
+    baseline: DataFrame,
+    column: str,
+    nbins: int,
+    accuracy: int,
+    edges: list[float] | None,
+) -> list[float]:
+    """Shared edge derivation + guards for both equi-depth drift paths:
+    precomputed ``edges`` (e.g. from a persisted KLL sketch) skip the
+    baseline pass entirely; otherwise one percentile_approx pass."""
+    if edges is None:
+        edges = quantile_edges(baseline, column, nbins, accuracy)
+    if not edges:
+        raise ValueError(
+            f"drift baseline for column {column!r} is empty or all-null — "
+            "cannot derive equi-depth bin edges (fix the baseline snapshot "
+            "or use uniform bins with explicit lo/hi)"
+        )
+    if len(edges) < MIN_EQUI_DEPTH_EDGES:
+        import warnings
+
+        warnings.warn(
+            f"equi-depth drift on {column!r}: baseline quantiles deduped to "
+            f"{len(edges)} edge(s) (< {MIN_EQUI_DEPTH_EDGES}) — the column is "
+            "near-constant and PSI/KS resolution is degraded to a near-"
+            "trivial pass; prefer a StatCheck on this column",
+            stacklevel=3,
+        )
+    return edges
+
+
 def _finite(column: str):
     """Rows whose value participates in a histogram: non-null AND non-NaN —
     the width_bucket path drops NaN implicitly (width_bucket(NaN)=NULL),
@@ -230,28 +290,15 @@ def drift_scores_quantile(
     column: str,
     nbins: int = 20,
     group_col: str | None = None,
+    edges: list[float] | None = None,
 ) -> list[dict]:
     """PSI/KS over EQUI-DEPTH bins derived from the baseline's quantile
     sketch — robust to heavy tails/outliers where uniform bins waste
     resolution. Three passes total (edges, baseline counts, current counts),
-    all map-side-combined aggregates."""
-    edges = quantile_edges(baseline, column, nbins)
-    if not edges:
-        raise ValueError(
-            f"drift baseline for column {column!r} is empty or all-null — "
-            "cannot derive equi-depth bin edges (fix the baseline snapshot "
-            "or use uniform bins with explicit lo/hi)"
-        )
-    if len(edges) < MIN_EQUI_DEPTH_EDGES:
-        import warnings
-
-        warnings.warn(
-            f"equi-depth drift on {column!r}: baseline quantiles deduped to "
-            f"{len(edges)} edge(s) (< {MIN_EQUI_DEPTH_EDGES}) — the column is "
-            "near-constant and PSI/KS resolution is degraded to a near-"
-            "trivial pass; prefer a StatCheck on this column",
-            stacklevel=2,
-        )
+    all map-side-combined aggregates; pass precomputed ``edges`` (e.g.
+    quantile_edges_from_sketch over persisted KLL state) to skip the
+    baseline edge pass."""
+    edges = _validated_edges(baseline, column, nbins, 10000, edges)
     nb = len(edges) + 1
 
     def counts(df: DataFrame, g: str | None) -> dict[tuple, np.ndarray]:
@@ -331,30 +378,15 @@ def drift_scores_quantile_df(
     nbins: int = 20,
     group_col: str | None = None,
     accuracy: int = 10000,
+    edges: list[float] | None = None,
 ) -> DataFrame:
     """Distributed equi-depth drift: bin edges come from the baseline's
     percentile_approx sketch (one tiny driver round-trip — the edges
     parametrize the plan, exactly like drift_scores_quantile), then PSI/KS
     run with NO histogram collect — the scale path when the group column is
     high-cardinality. Same empty-baseline / degenerate-edge guards as the
-    funnel variant."""
-    edges = quantile_edges(baseline, column, nbins, accuracy)
-    if not edges:
-        raise ValueError(
-            f"drift baseline for column {column!r} is empty or all-null — "
-            "cannot derive equi-depth bin edges (fix the baseline snapshot "
-            "or use uniform bins with explicit lo/hi)"
-        )
-    if len(edges) < MIN_EQUI_DEPTH_EDGES:
-        import warnings
-
-        warnings.warn(
-            f"equi-depth drift on {column!r}: baseline quantiles deduped to "
-            f"{len(edges)} edge(s) (< {MIN_EQUI_DEPTH_EDGES}) — PSI/KS "
-            "resolution is degraded to a near-trivial pass; prefer a "
-            "StatCheck on this column",
-            stacklevel=2,
-        )
+    funnel variant; precomputed ``edges`` skip the baseline pass."""
+    edges = _validated_edges(baseline, column, nbins, accuracy, edges)
     return _drift_df_from_bins(
         current,
         baseline,

@@ -178,6 +178,63 @@ def test_spark_incremental_merge_equals_full_build_exact_regime(spark):
     assert as_map(q_m) == as_map(q_f)
 
 
+def test_drift_edges_from_persisted_sketch_incremental(spark, tmp_path):
+    """The at-scale drift-baseline story end-to-end: persist the baseline's
+    global KLL sketch in the catalog, derive equi-depth edges from sketch
+    state (no baseline rescan), fold a new snapshot in with kll_merge, and
+    verify (exact regime) the updated edges equal a from-scratch rebuild —
+    and that both equi-depth drift paths agree on those edges."""
+    from pyanomalydetector2_spark.operators.drift import (
+        drift_scores_quantile,
+        drift_scores_quantile_df,
+        quantile_edges_from_sketch,
+    )
+    from pyanomalydetector2_spark.sources.catalog import SnapshotTable
+
+    rng = np.random.default_rng(23)
+    base_vals = rng.normal(50.0, 10.0, size=3000)
+    delta_vals = rng.normal(80.0, 5.0, size=1000)
+    base = spark.createDataFrame(pd.DataFrame({"v": base_vals}))
+    delta = spark.createDataFrame(pd.DataFrame({"v": delta_vals}))
+
+    tbl = SnapshotTable(str(tmp_path / "kll_state"))
+    tbl.write_snapshot(kll_build(base, "v", (), k=8192))
+
+    nbins = 10
+    edges1 = quantile_edges_from_sketch(tbl.read(spark), nbins)
+    s = np.sort(base_vals)
+    expect1 = sorted({_disc_quantile(s, i / nbins) for i in range(1, nbins)})
+    assert edges1 == expect1
+
+    # fold the delta snapshot forward — KBs of sketch state, no rescan
+    merged = kll_merge(tbl.read(spark), kll_build(delta, "v", (), k=8192))
+    tbl.write_snapshot(merged)
+    edges2 = quantile_edges_from_sketch(tbl.read(spark), nbins)
+    full = np.sort(np.concatenate([base_vals, delta_vals]))
+    expect2 = sorted({_disc_quantile(full, i / nbins) for i in range(1, nbins)})
+    assert edges2 == expect2
+
+    # both equi-depth drift paths accept the precomputed edges and agree
+    cur = spark.createDataFrame(pd.DataFrame({"v": rng.normal(55.0, 12.0, 2000)}))
+    allb = base.unionByName(delta)
+    funnel = drift_scores_quantile(cur, allb, "v", nbins, edges=edges2)
+    dist = drift_scores_quantile_df(cur, allb, "v", nbins, edges=edges2).collect()
+    assert len(funnel) == len(dist) == 1
+    assert funnel[0]["psi"] == pytest.approx(dist[0]["psi"], abs=1e-9)
+    assert funnel[0]["ks"] == pytest.approx(dist[0]["ks"], abs=1e-9)
+
+
+def test_edges_from_grouped_sketch_rejected(spark):
+    df, _ = _events_df(spark, n=300)
+    from pyanomalydetector2_spark.operators.drift import quantile_edges_from_sketch
+
+    grouped = kll_build(df, "v", ["g"], k=256)
+    with pytest.raises(ValueError, match="ONE global sketch row"):
+        quantile_edges_from_sketch(grouped, 10)
+    empty = kll_build(df.filter(F.lit(False)), "v", (), k=64)
+    assert quantile_edges_from_sketch(empty, 10) == []
+
+
 def test_spark_empty_input_yields_no_rows(spark):
     df, _ = _events_df(spark, n=50)
     empty = df.filter(F.lit(False))
