@@ -405,6 +405,7 @@ def run_suite(
     commit: bool = True,
     embeddings: DataFrame | None = None,
     eager_verdicts: bool = True,
+    sketch_store=None,
 ) -> SuiteResult:
     """Run the full suite over ``current`` (minus already-committed buckets
     when resuming), emit verdicts + violations, commit the ledger.
@@ -424,7 +425,14 @@ def run_suite(
     False leaves the union lazy: one job, families' scans overlap — on a
     real cluster concurrent family scans are an executor-memory question
     and the lazy union recovers the overlapped wall-clock. Both paths
-    emit bit-identical verdicts (pytest-pinned)."""
+    emit bit-identical verdicts (pytest-pinned).
+
+    ``sketch_store`` (optional catalog table, SnapshotTable/IcebergTable
+    shape): persisted per-column global KLL sketches backing the equi-depth
+    drift checks' bin edges. First run bootstraps (one baseline pass per
+    equi-depth column, merge-upserted under the ``column`` key); later runs
+    read KBs of sketch state instead of rescanning the baseline, and
+    ``kll_merge`` can fold new baseline snapshots forward out-of-band."""
     t0 = time.time()
     _last = [t0]
 
@@ -690,9 +698,40 @@ def run_suite(
                     "or in every current bucket (fix the snapshot or drop "
                     "the check)"
                 )
+    def _equi_edges(column: str, nbins: int) -> list[float] | None:
+        """Equi-depth edges from the persisted KLL store when one is wired
+        (``sketch_store``): hit → KBs of sketch state replace the baseline
+        percentile_approx rescan; miss → bootstrap (ONE baseline pass, k=4096
+        global sketch, merge-upserted under the column key) so every later
+        run is a hit. No store → None (inline edge derivation, unchanged)."""
+        if sketch_store is None:
+            return None
+        from pyanomalydetector2_spark.operators.drift import (
+            quantile_edges_from_sketch,
+        )
+        from pyanomalydetector2_spark.operators.kll import SKETCH_FIELDS, kll_build
+
+        spark = baseline.sparkSession
+        if sketch_store.current_snapshot() is not None:
+            state = sketch_store.read(spark).filter(F.col("column") == column)
+            edges = quantile_edges_from_sketch(state.select(*SKETCH_FIELDS), nbins)
+            if edges:
+                return edges
+        sk = kll_build(baseline, column, (), k=4096).withColumn(
+            "column", F.lit(column)
+        )
+        sketch_store.merge_upsert(sk, keys=["column"])
+        return quantile_edges_from_sketch(
+            sketch_store.read(spark)
+            .filter(F.col("column") == column)
+            .select(*SKETCH_FIELDS),
+            nbins,
+        )
+
     for c in equi:
         for s in drift_scores_quantile(
-            base, baseline, c.column, c.nbins, group_col=bucket_col
+            base, baseline, c.column, c.nbins, group_col=bucket_col,
+            edges=_equi_edges(c.column, c.nbins),
         ):
             scored.append((c, s))
     def _drift_verdicts(frame: DataFrame, c, ks_col: str) -> None:
@@ -710,7 +749,8 @@ def run_suite(
 
         frame = (
             drift_scores_quantile_df(
-                base, baseline, c.column, c.nbins, group_col=bucket_col
+                base, baseline, c.column, c.nbins, group_col=bucket_col,
+                edges=_equi_edges(c.column, c.nbins),
             )
             if c.equi_depth
             else drift_scores_df(

@@ -100,6 +100,14 @@ def main(argv: list[str] | None = None) -> dict:
         default=3.0,
         help="z-score lambda for --metrics-history anomaly reporting",
     )
+    ap.add_argument(
+        "--drift-sketch-store",
+        default=None,
+        help="catalog table dir for persisted per-column KLL sketches "
+        "backing equi-depth drift bin edges: first run bootstraps from the "
+        "baseline, later runs read KBs of sketch state instead of "
+        "rescanning the baseline (operators/kll.py)",
+    )
     ap.add_argument("--json-out", default=None, help="also append summary JSON to this file")
     args = ap.parse_args(argv)
 
@@ -180,10 +188,15 @@ def main(argv: list[str] | None = None) -> dict:
     # commit=False: the ledger must be marked AFTER results are durably
     # persisted below — write-ahead ordering, or a crash between validation
     # and persist makes --resume skip buckets whose violations were lost
+    sketch_store = (
+        open_table(spark, args.drift_sketch_store)
+        if args.drift_sketch_store
+        else None
+    )
     res = run_suite(
         cur, base, dims, suite, args.run_id, checkpoint=ledger,
         salt_buckets=args.salt_buckets, commit=False,
-        eager_verdicts=args.eager_verdicts,
+        eager_verdicts=args.eager_verdicts, sketch_store=sketch_store,
     )
     # persist results (FIXTURES.md §B3/§B4 output contract)
     results_t = open_table(spark, os.path.join(args.warehouse, "results"))

@@ -233,6 +233,18 @@ class SnapshotTable:
         if partition_by:
             w = w.partitionBy(*partition_by)
         w.parquet(self._snap_dir(sid))
+        # An all-empty frame (e.g. a clean run's violations) can plan to ZERO
+        # output partitions under AQE — the dir then holds only _SUCCESS and
+        # the NEXT read fails UNABLE_TO_INFER_SCHEMA. Re-write one empty,
+        # schema-carrying part file so every committed snapshot is readable.
+        if not any(
+            f.startswith("part-")
+            for _, _, files in os.walk(self._snap_dir(sid))
+            for f in files
+        ):
+            df.limit(0).repartition(1).write.mode("overwrite").parquet(
+                self._snap_dir(sid)
+            )
         meta["snapshots"].append(
             {"id": sid, "ts": time.time(), "partition_by": partition_by or []}
         )

@@ -221,6 +221,56 @@ def test_equi_depth_drift_check_in_suite(spark, clips):
     assert res2.passed()
 
 
+def test_equi_depth_drift_sketch_store(spark, clips, tmp_path):
+    """sketch_store-backed equi-depth drift: the first run bootstraps
+    per-column KLL sketch state into the catalog, the second run reuses it
+    (no new snapshot written) with bit-identical verdicts, the planted
+    dur_ms shift still fails, and the distributed path sharing the same
+    store agrees with the funnel path exactly (identical stored edges)."""
+    from pyanomalydetector2_spark.constraints.dsl import DriftCheck, Suite
+    from pyanomalydetector2_spark.sources.catalog import SnapshotTable
+
+    cur, base, dims = clips
+    suite = Suite(
+        drift_checks=(
+            DriftCheck("dur_eq_drift", "dur_ms", 0, 0, nbins=15, equi_depth=True),
+        )
+    )
+    store = SnapshotTable(str(tmp_path / "kll_store"))
+    res1 = run_suite(cur, base, dims, suite, "run_sk1", sketch_store=store)
+    snaps_after_first = store.snapshots()
+    assert store.read(spark).filter("column = 'dur_ms'").count() == 1
+
+    res2 = run_suite(cur, base, dims, suite, "run_sk2", sketch_store=store)
+    assert store.snapshots() == snaps_after_first  # reused, not rebuilt
+
+    def vmap(res):
+        return {
+            (r["bucket"], r["metric"]): (r["observed"], r["passed"])
+            for r in res.verdicts.collect()
+        }
+
+    v1, v2 = vmap(res1), vmap(res2)
+    assert v1 == v2
+    assert not any(p for _, p in v1.values())  # planted shift still fails
+
+    dist_suite = Suite(
+        drift_checks=(
+            DriftCheck(
+                "dur_eq_drift", "dur_ms", 0, 0, nbins=15,
+                equi_depth=True, distributed=True,
+            ),
+        )
+    )
+    v3 = vmap(run_suite(cur, base, dims, dist_suite, "run_sk3", sketch_store=store))
+    assert store.snapshots() == snaps_after_first
+    # same stored edges; scores agree to float-summation-order precision
+    assert v1.keys() == v3.keys()
+    for key, (obs, passed) in v1.items():
+        assert v3[key][1] == passed
+        assert v3[key][0] == pytest.approx(obs, rel=1e-12)
+
+
 def test_distributed_drift_check_matches_funnel_in_suite(spark, clips):
     """DriftCheck(distributed=True) — the no-histogram-collect path — must
     produce the same per-bucket verdicts and scores as the funnel path, for

@@ -170,6 +170,36 @@ def test_open_table_probe_reports_backend(spark, tmp_path):
     assert t.read(spark).count() == 1
 
 
+def test_empty_snapshot_stays_readable(spark, tmp_path):
+    """A zero-row snapshot (a clean run's violations table) must remain
+    readable and merge-able: AQE can plan an empty write to ZERO part files,
+    leaving a dir whose next read fails UNABLE_TO_INFER_SCHEMA — caught live
+    by the drift-only suite CLI (no violations on run 1, crash on run 2's
+    results merge_upsert). write_snapshot now guarantees one schema-carrying
+    part file; partitioned non-empty writes are untouched."""
+    t = SnapshotTable(str(tmp_path / "t"))
+    t.write_snapshot(spark.createDataFrame([], "a int, b string"))
+    assert t.read(spark).count() == 0
+    t.merge_upsert(spark.createDataFrame([(1, "x")], "a int, b string"), ["a"])
+    assert t.read(spark).collect() == [(1, "x")]
+
+    # empty PARTITIONED write: same guarantee
+    t2 = SnapshotTable(str(tmp_path / "t2"))
+    t2.write_snapshot(
+        spark.createDataFrame([], "a int, bucket int"), partition_by=["bucket"]
+    )
+    assert t2.read(spark).count() == 0
+
+    # non-empty partitioned write unaffected (the recursive part-file check
+    # must find files under bucket=N/ subdirs and NOT rewrite)
+    t3 = SnapshotTable(str(tmp_path / "t3"))
+    t3.write_snapshot(
+        spark.createDataFrame([(1, 0), (2, 1)], "a int, bucket int"),
+        partition_by=["bucket"],
+    )
+    assert t3.read(spark).count() == 2
+
+
 def test_snapshot_catalog_roundtrip(spark, tmp_path):
     """The full snapshot lifecycle against whatever backend open_table
     offers (parquet here; same assertions hold for Iceberg)."""

@@ -190,3 +190,41 @@ def test_mp3_shell_roundtrip_any_payload(data):
     payload = encode_mp3_shell(data)
     assert frame_payload_bytes(payload)[: len(data)] == data
     assert mp3_info(payload)["cbr"]
+
+
+@given(
+    st.lists(
+        st.floats(-1e12, 1e12, allow_nan=False, allow_infinity=False, width=64),
+        min_size=1,
+        max_size=4000,
+    ),
+    st.integers(8, 64),
+    st.integers(1, 9),
+)
+@settings(max_examples=60, deadline=None)
+def test_kll_weight_conserved_and_rank_bounded_any_input(vals, k, nsplit):
+    """For ANY input, ANY capacity, ANY merge split: the sketch's total
+    weight equals the true count exactly (weight-conserving compaction) and
+    every quantile answer is a real input value within the worst-case rank
+    bound — including adversarial orders, duplicates, and tiny k."""
+    from pyanomalydetector2_spark.operators.kll import _error_bound, _Sketch
+
+    arr = np.asarray(vals, dtype=np.float64)
+    parts = np.array_split(arr, nsplit)
+    acc = _Sketch(k)
+    for p in parts:
+        sk = _Sketch(k)
+        sk.add(p)
+        acc.merge(sk)
+    assert acc.total_weight() == acc.n == len(arr)
+    s = np.sort(arr)
+    bound = _error_bound(len(arr), k)
+    for q in (0.0, 0.25, 0.5, 0.75, 1.0):
+        est = acc.quantiles([q])[0]
+        # the estimate is always a genuine stream element
+        assert est in s
+        lo = np.searchsorted(s, est, side="left")
+        hi = np.searchsorted(s, est, side="right")
+        target = q * len(arr)
+        err = 0.0 if lo <= target <= hi else min(abs(lo - target), abs(hi - target))
+        assert err / len(arr) <= bound
