@@ -41,10 +41,18 @@ time without touching a single already-processed row:
   treats -0.0 == 0.0 and array/struct compare columns have no injective
   string form; use the batch suite for those.
 
+- equi-depth drift streams too, via the persisted KLL sketch store
+  (operators/kll.py): bin edges are resolved ONCE from the baseline's
+  sketch state and PINNED in the state dir (``equi_edges.json``) so every
+  batch's edge-binned counts — and the drain's baseline binning — share
+  one meaning across restarts; from there it is the same exactly-additive
+  integer-count state as uniform drift.
+
 Checks that are NOT mergeable from scalars are rejected up front
-(``ensure_streamable``): ANN recall audits, equi-depth / distributed
-drift, StatChecks on sketch-backed stats (quantiles, approx_distinct) —
-a silently-wrong streaming verdict would be worse than an error.
+(``ensure_streamable``): ANN recall audits, distributed-mode drift (drain
+scoring is the driver funnel over merged counts), StatChecks on
+sketch-backed stats (quantiles, approx_distinct) — a silently-wrong
+streaming verdict would be worse than an error.
 
 State layout (streaming/state.py delta-dir pattern, shared with the
 audio-ingest index): each component writes ``<comp>/batch=N`` parquet
@@ -87,6 +95,7 @@ from pyanomalydetector2_spark.constraints.suite import (
 )
 from pyanomalydetector2_spark.operators.drift import (
     HistSpec,
+    binned_counts_edges,
     drift_scores_categorical_from_counts,
     hist_rows_to_arrays,
     histogram_counts,
@@ -113,6 +122,7 @@ _PROFILE_SCHEMA = (
     "min double, max double, sum double, sqr_sum double"
 )
 _HIST_SCHEMA = "g int, c string, b int, n long"
+_EHIST_SCHEMA = "cid string, g int, b int, n long"
 _CATS_SCHEMA = "column string, bucket int, cat string, cur_cat_n long"
 _IDS_SCHEMA = "column string, bucket int, key string, cnt long"
 _FDPAIRS_SCHEMA = "cid string, det string, dep string, cnt long, k string, b int"
@@ -129,11 +139,12 @@ def ensure_streamable(suite: Suite) -> None:
             "batch suite"
         )
     for c in suite.drift_checks:
-        if c.equi_depth or c.distributed:
+        if c.distributed:
             raise ValueError(
                 f"streaming suite: drift check {c.constraint_id!r} uses "
-                "equi_depth/distributed mode — streaming supports uniform-"
-                "bin and categorical drift (additive counts)"
+                "distributed mode — streaming drain scoring is the driver "
+                "funnel over merged counts; use uniform/equi-depth/"
+                "categorical drift"
             )
     for c in suite.stat_checks:
         if c.stat not in _MERGEABLE_STATS:
@@ -188,8 +199,80 @@ def _uniform_specs(suite: Suite) -> list[HistSpec]:
     return [
         HistSpec(c.column, c.lo, c.hi, c.nbins)
         for c in suite.drift_checks
-        if not c.categorical
+        if not c.categorical and not c.equi_depth
     ]
+
+
+def _equi_checks(suite: Suite):
+    return [c for c in suite.drift_checks if c.equi_depth and not c.categorical]
+
+
+def resolve_equi_edges(
+    spark: SparkSession,
+    state_dir: str,
+    suite: Suite,
+    sketch_store=None,
+) -> dict[str, dict]:
+    """Resolve the equi-depth drift checks' bin edges ONCE per stream and
+    pin them in the state dir (``equi_edges.json``, atomic write): every
+    batch's edge-binned counts and the drain's baseline binning MUST use the
+    same edges, across process restarts and sketch-store compactions, or
+    merged bins would mix meanings. Edges come from the persisted KLL sketch
+    store (operators/kll.py — bootstrap it with a batch run_suite(
+    sketch_store=...) or an offline kll_build over the baseline); a stream
+    has no baseline frame to rescan, which is exactly the point."""
+    eq = _equi_checks(suite)
+    if not eq:
+        return {}
+    path = f"{state_dir}/equi_edges.json"
+    if os.path.exists(path):
+        with open(path) as f:
+            stored = json.load(f)
+        missing = [c.constraint_id for c in eq if c.constraint_id not in stored]
+        if missing:
+            raise ValueError(
+                f"streaming state at {state_dir} has pinned equi-depth edges "
+                f"but not for check(s) {missing} — new equi-depth checks "
+                "cannot join a stream mid-flight (their earlier batches were "
+                "never binned); start a fresh state dir"
+            )
+        return stored
+    if sketch_store is None:
+        raise ValueError(
+            "equi-depth drift in the streaming suite needs a sketch_store "
+            "(persisted per-column KLL baseline state, operators/kll.py) — "
+            "bootstrap it via the batch suite's run_suite(sketch_store=...) "
+            "or an offline kll_build over the baseline snapshot"
+        )
+    if sketch_store.current_snapshot() is None:
+        raise ValueError(
+            "equi-depth drift: the sketch_store is empty — bootstrap it "
+            "from the baseline snapshot first"
+        )
+    from pyanomalydetector2_spark.operators.drift import (
+        quantile_edges_from_sketch,
+    )
+    from pyanomalydetector2_spark.operators.kll import SKETCH_FIELDS
+
+    state = sketch_store.read(spark)
+    out: dict[str, dict] = {}
+    for c in eq:
+        edges = quantile_edges_from_sketch(
+            state.filter(F.col("column") == c.column).select(*SKETCH_FIELDS),
+            c.nbins,
+        )
+        if not edges:
+            raise ValueError(
+                f"equi-depth drift check {c.constraint_id!r}: the sketch "
+                f"store has no state for column {c.column!r}"
+            )
+        out[c.constraint_id] = {"column": c.column, "edges": edges}
+    os.makedirs(state_dir, exist_ok=True)
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(out, f)
+    os.replace(tmp, path)
+    return out
 
 
 def process_suite_batch(
@@ -201,6 +284,7 @@ def process_suite_batch(
     run_id: str,
     key_col: str = "clip_id",
     bucket_col: str = "bucket",
+    equi_edges: dict[str, dict] | None = None,
 ) -> None:
     """Validate one micro-batch and append its partial state. Idempotent
     per batch id: a redelivered batch overwrites its own deltas; the
@@ -271,6 +355,27 @@ def process_suite_batch(
                 histogram_counts_df(batch, specs, group_col=bucket_col),
             )
         )
+    # equi-depth drift: edge-binned counts with the stream's PINNED edges
+    # (resolve_equi_edges) — integer counts, exactly additive like the
+    # uniform histograms
+    if equi_edges:
+        frames = [
+            binned_counts_edges(
+                batch, meta["column"], [float(e) for e in meta["edges"]],
+                bucket_col,
+            ).select(
+                F.lit(cid).alias("cid"),
+                F.col(bucket_col).cast("int").alias("g"),
+                F.col("bin").cast("int").alias("b"),
+                F.col("n").cast("long").alias("n"),
+            )
+            for cid, meta in sorted(equi_edges.items())
+        ]
+        eh = frames[0]
+        for f2 in frames[1:]:
+            eh = eh.unionByName(f2)
+        writes.append((f"{state_dir}/ehist/batch={batch_id}", eh))
+
     cat_checks = [c for c in suite.drift_checks if c.categorical]
     if cat_checks:
         frames = [
@@ -409,6 +514,7 @@ def run_suite_stream(
     bucket_col: str = "bucket",
     max_files_per_trigger: int = 1,
     shuffle_partitions: int | None = None,
+    sketch_store=None,
 ) -> None:
     """Drain everything currently in ``source_dir`` through the validator
     (Trigger.AvailableNow), micro-batch by micro-batch. Re-invoking after
@@ -416,6 +522,7 @@ def run_suite_stream(
     validated files are never re-read, and ``streaming_suite_result``
     reflects all committed batches at any point."""
     ensure_streamable(suite)
+    equi_edges = resolve_equi_edges(spark, state_dir, suite, sketch_store)
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     if shuffle_partitions is not None:
         spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
@@ -423,7 +530,7 @@ def run_suite_stream(
     def process(b: DataFrame, i: int) -> None:
         process_suite_batch(
             b, i, state_dir, suite, dims, run_id,
-            key_col=key_col, bucket_col=bucket_col,
+            key_col=key_col, bucket_col=bucket_col, equi_edges=equi_edges,
         )
 
     try:
@@ -675,7 +782,9 @@ def streaming_suite_result(
         base_h = histogram_counts(baseline, specs, None)
         by_col = {s.column: s for s in specs}
         checks = {
-            c.column: c for c in suite.drift_checks if not c.categorical
+            c.column: c
+            for c in suite.drift_checks
+            if not c.categorical and not c.equi_depth
         }
         for s in specs:
             if (None, s.column) not in base_h:
@@ -706,6 +815,63 @@ def streaming_suite_result(
                     f"column {c.column!r} is empty/all-null in the baseline "
                     "or in every current bucket (fix the snapshot or drop "
                     "the check)"
+                )
+
+    # ---- equi-depth drift: merged edge-binned counts vs the baseline ------
+    # binned with the SAME pinned edges — integer counts, so scores are
+    # bit-identical to a one-shot pass using those edges
+    eq_checks = _equi_checks(suite)
+    if eq_checks:
+        import numpy as np
+
+        if baseline is None:
+            raise ValueError(
+                "streaming suite has drift checks but no baseline frame "
+                "was provided"
+            )
+        stored = resolve_equi_edges(spark, state_dir, suite, None)
+        merged_eq = (
+            _read_component(spark, state_dir, "ehist", _EHIST_SCHEMA)
+            .groupBy("cid", "g", "b")
+            .agg(F.sum("n").alias("n"))
+            .collect()
+        )
+        by_cid: dict[str, dict[int, dict[int, int]]] = {}
+        for r in merged_eq:
+            by_cid.setdefault(r["cid"], {}).setdefault(int(r["g"]), {})[
+                int(r["b"])
+            ] = int(r["n"])
+        for c in eq_checks:
+            edges = [float(e) for e in stored[c.constraint_id]["edges"]]
+            nb = len(edges) + 1
+            base_arr = np.zeros(nb)
+            for r in binned_counts_edges(baseline, c.column, edges, None).collect():
+                base_arr[int(r["bin"])] = int(r["n"])
+            if base_arr.sum() == 0:
+                raise ValueError(
+                    f"drift baseline for column {c.column!r} is empty or "
+                    "all-null — no histogram to compare against (fix the "
+                    "baseline snapshot)"
+                )
+            groups = by_cid.get(c.constraint_id, {})
+            if not groups:
+                raise ValueError(
+                    f"drift check {c.constraint_id!r} produced no score — "
+                    f"column {c.column!r} is empty/all-null in every "
+                    "processed batch (fix the stream or drop the check)"
+                )
+            for g in sorted(groups):
+                arr = np.zeros(nb)
+                for b, n in groups[g].items():
+                    arr[b] = n
+                psi, ks = psi_ks(arr, base_arr)
+                verdict_rows.append(
+                    (run_id, int(g), c.constraint_id, "psi", psi, c.psi_max,
+                     psi <= c.psi_max, 0)
+                )
+                verdict_rows.append(
+                    (run_id, int(g), c.constraint_id, "ks", ks, c.ks_max,
+                     ks <= c.ks_max, 0)
                 )
 
     # ---- categorical drift from merged category counts -------------------
@@ -764,6 +930,7 @@ _ADDITIVE: dict[str, tuple[str, list[str], dict[str, str]]] = {
         },
     ),
     "hist": (_HIST_SCHEMA, ["g", "c", "b"], {"n": "sum"}),
+    "ehist": (_EHIST_SCHEMA, ["cid", "g", "b"], {"n": "sum"}),
     "cats": (_CATS_SCHEMA, ["column", "bucket", "cat"], {"cur_cat_n": "sum"}),
     "ids": (_IDS_SCHEMA, ["column", "bucket", "key"], {"cnt": "sum"}),
     "fdpairs": (

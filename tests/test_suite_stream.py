@@ -173,6 +173,53 @@ def test_incremental_arrival_resumes(spark, tmp_path):
     _assert_results_equal(final, batch_res)
 
 
+def test_equi_depth_stream_equals_batch(spark, tmp_path):
+    """Equi-depth drift over the stream: edges pinned once from the KLL
+    sketch store (bootstrapped by a batch run over the same baseline),
+    edge-binned counts merged across micro-batches — verdicts identical to
+    the one-shot batch runner using the same stored edges. Without a store
+    (and with no pinned edges in the state dir) the stream refuses."""
+    import json as _json
+
+    from pyanomalydetector2_spark.sources.catalog import SnapshotTable
+
+    src, state = str(tmp_path / "src"), str(tmp_path / "state")
+    cur = clips_table(spark, 800, planted=True, n_buckets=4)
+    cur.repartition(2).write.mode("overwrite").parquet(src)
+    base = clips_table(spark, 800, planted=False, n_buckets=4).cache()
+    suite = Suite(
+        drift_checks=(
+            DriftCheck("dur_eq", "dur_ms", 0, 0, nbins=12, equi_depth=True),
+        )
+    )
+
+    with pytest.raises(ValueError, match="sketch_store"):
+        run_suite_stream(
+            spark, src, str(tmp_path / "state2"), suite, None, "eq_run",
+            CLIPS_SCHEMA,
+        )
+
+    store = SnapshotTable(str(tmp_path / "kll"))
+    batch_res = run_suite(
+        spark.read.parquet(src), base, {}, suite, "eq_run",
+        sketch_store=store,
+    )
+    run_suite_stream(
+        spark, src, state, suite, None, "eq_run", CLIPS_SCHEMA,
+        sketch_store=store,
+    )
+    with open(f"{state}/equi_edges.json") as f:
+        pinned = _json.load(f)
+    assert pinned["dur_eq"]["column"] == "dur_ms"
+    assert len(pinned["dur_eq"]["edges"]) >= 2
+
+    stream_res = streaming_suite_result(spark, state, suite, base, "eq_run")
+    _assert_results_equal(stream_res, batch_res)
+    # the planted dur_ms shift fails in both engines
+    assert not stream_res.passed() and not batch_res.passed()
+    base.unpersist()
+
+
 def test_ensure_streamable_rejects_non_mergeable():
     ok = default_clips_suite()
     ensure_streamable(ok)  # the default suite is fully streamable
@@ -180,11 +227,16 @@ def test_ensure_streamable_rejects_non_mergeable():
         ensure_streamable(
             Suite(ann_checks=(AnnCheck("ann", dims=8),))
         )
-    with pytest.raises(ValueError, match="equi_depth"):
+    # equi-depth IS streamable (edges pinned from the KLL sketch store);
+    # distributed-mode scoring is not
+    ensure_streamable(
+        Suite(drift_checks=(DriftCheck("d", "dur_ms", 0, 1, equi_depth=True),))
+    )
+    with pytest.raises(ValueError, match="distributed"):
         ensure_streamable(
             Suite(
                 drift_checks=(
-                    DriftCheck("d", "dur_ms", 0, 1, equi_depth=True),
+                    DriftCheck("d", "dur_ms", 0, 1, distributed=True),
                 )
             )
         )
