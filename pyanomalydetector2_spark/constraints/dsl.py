@@ -49,12 +49,26 @@ class RowCheck:
 class StatCheck:
     constraint_id: str
     column: str
-    stat: str  # a column_profile output: null_rate, mean, std, min, max, cnt…
+    # a column_profile output (null_rate, mean, std, min, max, cnt, …) or a
+    # percentile "p0".."p100" (nearest-rank, computed via the mergeable KLL
+    # sketch — operators/kll.py — in both the batch and streaming suites)
+    stat: str
     op: str  # < <= > >= ==
     threshold: float
 
     def passes(self, value: float) -> bool:
         return bool(_OPS[self.op](value, self.threshold))
+
+
+def parse_percentile_stat(stat: str) -> float | None:
+    """``p95`` → 0.95; None if the stat is not a percentile. Integer
+    percentiles only — the stat doubles as a DataFrame column name, so no
+    dots."""
+    if len(stat) >= 2 and stat[0] == "p" and stat[1:].isdigit():
+        pct = int(stat[1:])
+        if 0 <= pct <= 100:
+            return pct / 100.0
+    return None
 
 
 @dataclass(frozen=True)

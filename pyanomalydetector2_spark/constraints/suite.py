@@ -235,6 +235,61 @@ def stat_verdict_frames(
     return out
 
 
+def percentile_sketches(
+    df: DataFrame, columns: list[str], bucket_col: str
+) -> DataFrame:
+    """Per-(column, bucket) KLL sketch rows for percentile StatChecks — one
+    column-pruned pass per column (columns are few; each pass reduces every
+    partition to KBs of sketch before its single tiny shuffle). The SAME
+    frame shape the streaming suite persists per micro-batch ("ksketch"
+    component), so batch and stream share one definition of pXX."""
+    from pyanomalydetector2_spark.operators.kll import STAT_SKETCH_K, kll_build
+
+    frames = [
+        kll_build(df, c, [bucket_col], k=STAT_SKETCH_K).select(
+            F.lit(c).alias("column"),
+            F.col(bucket_col).cast("int").alias("bucket"),
+            "kll_k", "kll_n", "kll_levels", "kll_compactions",
+        )
+        for c in columns
+    ]
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f)
+    return out
+
+
+def percentile_stat_frame(
+    sketches: DataFrame, pct_checks, bucket_df: DataFrame
+) -> DataFrame:
+    """Long (bucket, column, p<NN>…) frame from merged sketch rows, shaped
+    for ``stat_verdict_frames``. Every (bucket, column) pair of the run is
+    present: a bucket whose column was all-null/NaN has no sketch row and
+    surfaces as NULL → NaN observed → FAILED verdict, matching the moment
+    profile's all-null semantics."""
+    from pyanomalydetector2_spark.constraints.dsl import parse_percentile_stat
+    from pyanomalydetector2_spark.operators.kll import kll_quantiles
+
+    stats = sorted({c.stat for c in pct_checks})
+    qs = [parse_percentile_stat(s) for s in stats]
+    q = kll_quantiles(sketches, qs, ["column", "bucket"])
+    vals = q.select(
+        "column",
+        "bucket",
+        *[
+            F.element_at("q_values", i + 1).alias(s)
+            for i, s in enumerate(stats)
+        ],
+    )
+    cols_df = vals.sparkSession.createDataFrame(
+        [(c,) for c in sorted({c.column for c in pct_checks})], "column string"
+    )
+    grid = bucket_df.select(F.col("bucket").cast("int").alias("bucket")).crossJoin(
+        F.broadcast(cols_df)
+    )
+    return grid.join(vals, ["bucket", "column"], "left")
+
+
 def drift_verdict_frames(
     frame: DataFrame, c, run_id: str, bucket_col: str, ks_col: str
 ) -> list[DataFrame]:
@@ -659,8 +714,16 @@ def run_suite(
         _tick("reconcile verdicts (lazy)")
 
     # ---- stat checks: single-pass per-bucket column profile ---------------
-    if suite.stat_checks:
-        stat_cols = sorted({c.column for c in suite.stat_checks})
+    from pyanomalydetector2_spark.constraints.dsl import parse_percentile_stat
+
+    pct_checks = [
+        c for c in suite.stat_checks if parse_percentile_stat(c.stat) is not None
+    ]
+    moment_checks = [
+        c for c in suite.stat_checks if parse_percentile_stat(c.stat) is None
+    ]
+    if moment_checks:
+        stat_cols = sorted({c.column for c in moment_checks})
         # profile rows are O(buckets × columns); persisted so the per-check
         # verdict selects below don't recompute the scan — and they stay
         # DataFrame-side (no driver pmap)
@@ -668,8 +731,20 @@ def run_suite(
         stat_prof = prof  # unpersisted after the verdict legs materialize
         _tick("stat profile (lazy)")
         verdict_frames.extend(
-            stat_verdict_frames(prof, suite.stat_checks, run_id, bucket_col)
+            stat_verdict_frames(prof, moment_checks, run_id, bucket_col)
         )
+    if pct_checks:
+        # percentile stats ride the mergeable KLL sketch — the SAME sketch
+        # the streaming suite merges per micro-batch, so exact-regime
+        # verdicts agree bit-for-bit between the two engines
+        sk = percentile_sketches(
+            base, sorted({c.column for c in pct_checks}), bucket_col
+        )
+        pframe = percentile_stat_frame(sk, pct_checks, bucket_df)
+        verdict_frames.extend(
+            stat_verdict_frames(pframe, pct_checks, run_id, "bucket")
+        )
+        _tick("percentile stat verdicts (lazy)")
 
     # ---- drift checks: ONE histogram pass per side for ALL uniform-bin ----
     # columns; equi-depth checks run per column (edges from the baseline's

@@ -65,6 +65,11 @@ from pyspark.sql.types import (
 
 SKETCH_FIELDS = ("kll_k", "kll_n", "kll_levels", "kll_compactions")
 
+# one k for every percentile StatCheck sketch, batch AND streaming: in the
+# exact regime (n per group <= k) the two engines agree bit-for-bit
+# regardless of merge order; past it both stay within the same rank bound
+STAT_SKETCH_K = 4096
+
 _STATE_FIELDS = [
     StructField("kll_k", IntegerType(), False),
     StructField("kll_n", LongType(), False),
@@ -274,27 +279,37 @@ def _merge_rows(
     return merged.select(*[f.name for f in out_schema.fields])
 
 
-def kll_merge(a: DataFrame, b: DataFrame, group_cols: Sequence[str] = ()) -> DataFrame:
-    """Union-merge two persisted sketch tables (the quantile analog of
-    ``merge_moments``): full-outer semantics, one shuffle of sketch rows."""
+def kll_merge_rows(df: DataFrame, group_cols: Sequence[str] = ()) -> DataFrame:
+    """Merge a table of sketch rows down to ONE sketch per group — the fold
+    used by both ``kll_merge`` and streaming-state compaction. One shuffle
+    of sketch rows."""
     gcols = list(group_cols)
     cols = gcols + list(SKETCH_FIELDS)
-    both = a.select(*cols).unionByName(b.select(*cols))
     # k is per-row state; the merge validates compatibility row-by-row
-    schema = StructType([a.schema[c] for c in gcols] + _STATE_FIELDS)
+    schema = StructType([df.schema[c] for c in gcols] + _STATE_FIELDS)
 
     def merge_group(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
         acc = _rows_to_sketch(pdf, int(pdf["kll_k"].iloc[0]))
         row = dict(zip(gcols, key)) | dict(zip(SKETCH_FIELDS, acc.to_row()))
         return pd.DataFrame([row], columns=cols)
 
+    src = df.select(*cols)
     if gcols:
-        return both.groupBy(*gcols).applyInPandas(merge_group, schema=schema)
+        return src.groupBy(*gcols).applyInPandas(merge_group, schema=schema)
     return (
-        both.withColumn("_g", F.lit(0))
+        src.withColumn("_g", F.lit(0))
         .groupBy("_g")
         .applyInPandas(lambda key, pdf: merge_group((), pdf), schema=schema)
         .select(*cols)
+    )
+
+
+def kll_merge(a: DataFrame, b: DataFrame, group_cols: Sequence[str] = ()) -> DataFrame:
+    """Union-merge two persisted sketch tables (the quantile analog of
+    ``merge_moments``): full-outer semantics, one shuffle of sketch rows."""
+    cols = list(group_cols) + list(SKETCH_FIELDS)
+    return kll_merge_rows(
+        a.select(*cols).unionByName(b.select(*cols)), group_cols
     )
 
 

@@ -13,6 +13,11 @@ time without touching a single already-processed row:
   (bucket, column) — counts/sums add, min/max combine
   (stats.column_profile_partial; same closed-form mean/std finalize as
   the one-shot profile);
+- percentile StatChecks ("p95" etc.) keep one KLL sketch row per
+  (column, bucket) per batch (operators/kll.py — weight-conserving merge
+  is exact state algebra); sketches merge at drain/compaction and the
+  nearest-rank quantile is finalized once, sharing the batch runner's
+  percentile_stat_frame so pXX has ONE definition;
 - numeric drift keeps integer histogram-bin counts, categorical drift
   keeps category counts — exactly additive, so merged counts score
   bit-identically to the one-shot pass (drift.histogram_counts_df /
@@ -48,11 +53,12 @@ time without touching a single already-processed row:
   one meaning across restarts; from there it is the same exactly-additive
   integer-count state as uniform drift.
 
-Checks that are NOT mergeable from scalars are rejected up front
+Checks that are NOT mergeable are rejected up front
 (``ensure_streamable``): ANN recall audits, distributed-mode drift (drain
-scoring is the driver funnel over merged counts), StatChecks on
-sketch-backed stats (quantiles, approx_distinct) — a silently-wrong
-streaming verdict would be worse than an error.
+scoring is the driver funnel over merged counts), StatChecks on the raw
+``quantiles``/``approx_distinct`` profile outputs (use pXX percentile
+stats, which stream exactly) — a silently-wrong streaming verdict would
+be worse than an error.
 
 State layout (streaming/state.py delta-dir pattern, shared with the
 audio-ingest index): each component writes ``<comp>/batch=N`` parquet
@@ -80,7 +86,7 @@ import time
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from pyanomalydetector2_spark.constraints.dsl import Suite
+from pyanomalydetector2_spark.constraints.dsl import Suite, parse_percentile_stat
 from pyanomalydetector2_spark.constraints.suite import (
     VIOLATION_SCHEMA,
     VERDICT_SCHEMA,
@@ -123,6 +129,10 @@ _PROFILE_SCHEMA = (
 )
 _HIST_SCHEMA = "g int, c string, b int, n long"
 _EHIST_SCHEMA = "cid string, g int, b int, n long"
+_KSKETCH_SCHEMA = (
+    "column string, bucket int, kll_k int, kll_n long, "
+    "kll_levels array<array<double>>, kll_compactions array<int>"
+)
 _CATS_SCHEMA = "column string, bucket int, cat string, cur_cat_n long"
 _IDS_SCHEMA = "column string, bucket int, key string, cnt long"
 _FDPAIRS_SCHEMA = "cid string, det string, dep string, cnt long, k string, b int"
@@ -147,11 +157,12 @@ def ensure_streamable(suite: Suite) -> None:
                 "categorical drift"
             )
     for c in suite.stat_checks:
-        if c.stat not in _MERGEABLE_STATS:
+        if c.stat not in _MERGEABLE_STATS and parse_percentile_stat(c.stat) is None:
             raise ValueError(
                 f"streaming suite: stat check {c.constraint_id!r} uses "
                 f"sketch-backed stat {c.stat!r} which is not mergeable "
-                "from per-batch scalars"
+                "from per-batch scalars (percentiles ARE streamable as "
+                "'p<NN>' — per-batch KLL sketch partials merge exactly)"
             )
 
 
@@ -332,17 +343,47 @@ def process_suite_batch(
         writes.append((f"{state_dir}/violations/batch={batch_id}", vio))
 
     # mergeable stat partials
-    if suite.stat_checks:
-        stat_cols = sorted({c.column for c in suite.stat_checks})
+    mom_stat_cols = sorted(
+        {
+            c.column
+            for c in suite.stat_checks
+            if parse_percentile_stat(c.stat) is None
+        }
+    )
+    if mom_stat_cols:
         writes.append(
             (
                 f"{state_dir}/profile/batch={batch_id}",
-                column_profile_partial(batch, stat_cols, group_cols=[bucket_col])
+                column_profile_partial(
+                    batch, mom_stat_cols, group_cols=[bucket_col]
+                )
                 .withColumn("bucket", F.col(bucket_col).cast("int"))
                 .select(
                     "bucket", "column", "row_cnt", "cnt", "null_cnt",
                     "min", "max", "sum", "sqr_sum",
                 ),
+            )
+        )
+
+    # percentile stat partials: per-(column, bucket) KLL sketch rows — the
+    # sketch merge is exact state algebra (operators/kll.py), the quantile
+    # itself is finalized once at drain time
+    pct_cols = sorted(
+        {
+            c.column
+            for c in suite.stat_checks
+            if parse_percentile_stat(c.stat) is not None
+        }
+    )
+    if pct_cols:
+        from pyanomalydetector2_spark.constraints.suite import (
+            percentile_sketches,
+        )
+
+        writes.append(
+            (
+                f"{state_dir}/ksketch/batch={batch_id}",
+                percentile_sketches(batch, pct_cols, bucket_col),
             )
         )
 
@@ -753,7 +794,13 @@ def streaming_suite_result(
         )
 
     # ---- stat verdicts from merged partials ------------------------------
-    if suite.stat_checks:
+    mom_checks = [
+        c for c in suite.stat_checks if parse_percentile_stat(c.stat) is None
+    ]
+    pct_checks = [
+        c for c in suite.stat_checks if parse_percentile_stat(c.stat) is not None
+    ]
+    if mom_checks:
         prof = finalize_profile_partial(
             merge_profile_partials(
                 _read_component(spark, state_dir, "profile", _PROFILE_SCHEMA),
@@ -761,7 +808,23 @@ def streaming_suite_result(
             )
         )
         verdict_frames.extend(
-            stat_verdict_frames(prof, suite.stat_checks, run_id, "bucket")
+            stat_verdict_frames(prof, mom_checks, run_id, "bucket")
+        )
+    if pct_checks:
+        from pyanomalydetector2_spark.constraints.suite import (
+            percentile_stat_frame,
+        )
+        from pyanomalydetector2_spark.operators.kll import kll_merge_rows
+
+        merged_sk = kll_merge_rows(
+            _read_component(spark, state_dir, "ksketch", _KSKETCH_SCHEMA),
+            ["column", "bucket"],
+        )
+        verdict_frames.extend(
+            stat_verdict_frames(
+                percentile_stat_frame(merged_sk, pct_checks, bucket_df),
+                pct_checks, run_id, "bucket",
+            )
         )
 
     # ---- uniform drift: merged integer bins → identical psi/ks -----------
@@ -957,7 +1020,7 @@ def compact_suite_state(spark: SparkSession, state_dir: str) -> int:
     if not committed:
         return -1
     gen_id = committed[-1]
-    comps = list(_ADDITIVE) + ["violations"]
+    comps = list(_ADDITIVE) + ["violations", "ksketch"]
     for comp in comps:
         base = latest_gen(f"{state_dir}/{comp}_base")
         folded_thru = base[0] if base else -1
@@ -975,6 +1038,11 @@ def compact_suite_state(spark: SparkSession, state_dir: str) -> int:
             df = df.groupBy(*keys).agg(
                 *[getattr(F, fn)(c).alias(c) for c, fn in aggs.items()]
             )
+        elif comp == "ksketch":
+            # sketch state folds via the KLL merge, not a scalar agg
+            from pyanomalydetector2_spark.operators.kll import kll_merge_rows
+
+            df = kll_merge_rows(df, ["column", "bucket"])
         out = f"{state_dir}/{comp}_base/gen={gen_id}"
         df.write.mode("overwrite").parquet(out)
         # parquet write emits _SUCCESS; latest_gen only trusts dirs that
@@ -989,7 +1057,7 @@ def vacuum_suite_state(state_dir: str) -> list[str]:
     import shutil
 
     removed = []
-    for comp in list(_ADDITIVE) + ["violations"]:
+    for comp in list(_ADDITIVE) + ["violations", "ksketch"]:
         base = latest_gen(f"{state_dir}/{comp}_base")
         if base is None:
             continue

@@ -240,3 +240,13 @@ def test_spark_empty_input_yields_no_rows(spark):
     empty = df.filter(F.lit(False))
     assert kll_build(empty, "v", ["g"], k=64).count() == 0
     assert kll_build(empty, "v", (), k=64).count() == 0
+
+
+def test_parse_percentile_stat():
+    from pyanomalydetector2_spark.constraints.dsl import parse_percentile_stat
+
+    assert parse_percentile_stat("p95") == 0.95
+    assert parse_percentile_stat("p0") == 0.0
+    assert parse_percentile_stat("p100") == 1.0
+    for bad in ("p101", "p-1", "p9.5", "pp5", "mean", "p", "95"):
+        assert parse_percentile_stat(bad) is None

@@ -220,6 +220,67 @@ def test_equi_depth_stream_equals_batch(spark, tmp_path):
     base.unpersist()
 
 
+def test_percentile_stat_stream_equals_batch(spark, tmp_path):
+    """pXX StatChecks stream via per-batch KLL sketch partials and agree
+    bit-for-bit with the batch runner in the exact regime; the observed
+    p-values match a numpy nearest-rank oracle."""
+    import math
+
+    import numpy as np
+
+    src, state = str(tmp_path / "src"), str(tmp_path / "state")
+    cur = clips_table(spark, 900, planted=True, n_buckets=4)
+    cur.repartition(3).write.mode("overwrite").parquet(src)
+    base = clips_table(spark, 900, planted=False, n_buckets=4).cache()
+    suite = Suite(
+        stat_checks=(
+            StatCheck("dur_p95", "dur_ms", "p95", "<=", 20000.0),
+            StatCheck("dur_p50", "dur_ms", "p50", ">", 0.0),
+            StatCheck("dur_mean", "dur_ms", "mean", ">", 0.0),
+        )
+    )
+    batch_res = run_suite(spark.read.parquet(src), base, {}, suite, "pq")
+    run_suite_stream(spark, src, state, suite, None, "pq", CLIPS_SCHEMA)
+    stream_res = streaming_suite_result(spark, state, suite, base, "pq")
+    _assert_results_equal(stream_res, batch_res)
+
+    # numpy nearest-rank oracle per bucket (the suite validates CURRENT)
+    pdf = spark.read.parquet(src).select("bucket", "dur_ms").toPandas()
+    got = {
+        (r["bucket"], r["metric"]): r["observed"]
+        for r in batch_res.verdicts.collect()
+    }
+    for b, grp in pdf.dropna().groupby("bucket"):
+        s = np.sort(grp["dur_ms"].to_numpy(dtype=float))
+        for stat, q in (("p95", 0.95), ("p50", 0.50)):
+            idx = max(math.ceil(q * len(s)), 1) - 1
+            assert got[(int(b), f"dur_ms.{stat}")] == s[idx], (b, stat)
+    base.unpersist()
+
+
+def test_percentile_stat_survives_compaction(spark, tmp_path):
+    """ksketch state folds through compact_suite_state via the KLL merge
+    (not a scalar agg) and vacuum drops folded deltas; verdicts identical
+    before and after."""
+    src, state = str(tmp_path / "src"), str(tmp_path / "state")
+    cur = clips_table(spark, 600, planted=False, n_buckets=4)
+    cur.repartition(3).write.mode("overwrite").parquet(src)
+    base = cur.cache()
+    suite = Suite(stat_checks=(StatCheck("p9", "dur_ms", "p90", ">", 0.0),))
+    run_suite_stream(spark, src, state, suite, None, "cp", CLIPS_SCHEMA)
+    before = _sorted_verdicts(
+        streaming_suite_result(spark, state, suite, base, "cp")
+    )
+    assert compact_suite_state(spark, state) >= 0
+    removed = vacuum_suite_state(state)
+    assert any("/ksketch/" in d for d in removed)
+    after = _sorted_verdicts(
+        streaming_suite_result(spark, state, suite, base, "cp")
+    )
+    assert after == before
+    base.unpersist()
+
+
 def test_ensure_streamable_rejects_non_mergeable():
     ok = default_clips_suite()
     ensure_streamable(ok)  # the default suite is fully streamable
@@ -248,3 +309,7 @@ def test_ensure_streamable_rejects_non_mergeable():
                 )
             )
         )
+    # percentile stats ARE streamable (per-batch KLL sketch partials)
+    ensure_streamable(
+        Suite(stat_checks=(StatCheck("p", "dur_ms", "p95", "<=", 1.0),))
+    )
