@@ -132,3 +132,13 @@ def test_incremental_probe_core_shape(spark):
     assert b["sorts_global"] == 0 and b["cartesian"] == 0
     assert b["broadcasts"] >= 1, "key prune lost its broadcast"
     assert b["shuffles"] <= 6, f"pruned probe shuffle blowup: {b['shuffles']}"
+
+
+def test_kll_quantiles_shuffle_budget(spark):
+    """The sketch build's scale claim in plan form: partials are built
+    map-side (mapInPandas, no exchange), so the whole kll_quantiles
+    pipeline carries at most the one sketch-rows merge exchange plus the
+    input cap's window shuffle — and never a global sort of the data."""
+    a = _audit(spark, "kll_quantiles")
+    assert a["shuffles"] <= 3, f"kll shuffle blowup: {a['shuffles']}"
+    assert a["cartesian"] == 0
