@@ -187,6 +187,51 @@ def batch_metrics(state_dir: str) -> list[dict]:
     return out
 
 
+def _require_component_coverage(state_dir: str, comp: str) -> None:
+    """A component the suite needs must have a delta (or be inside the
+    folded base) for EVERY committed batch. A committed batch with no delta
+    means checks of this family were ADDED after that batch was processed —
+    merged state would silently exclude its rows, and a silently-partial
+    verdict is the engine's stated nightmare. Erroring sends the operator
+    to a fresh state dir (or a batch backfill)."""
+    committed = set(_committed(state_dir))
+    base = latest_gen(f"{state_dir}/{comp}_base")
+    folded_thru = base[0] if base else -1
+    have = {n for n, _ in batch_dirs(f"{state_dir}/{comp}")}
+    missing = sorted(n for n in committed if n > folded_thru and n not in have)
+    if missing:
+        raise ValueError(
+            f"streaming state at {state_dir}: component {comp!r} has no "
+            f"delta for committed batch(es) {missing} — checks of this "
+            "family were added after those batches were processed; use a "
+            "fresh state dir (merged state would silently exclude them)"
+        )
+
+
+def _needed_components(suite: Suite) -> list[str]:
+    """Which state components this suite's drain will read."""
+    needed = ["buckets"]
+    if suite.row_checks or suite.ref_checks:
+        needed.append("violations")
+    if suite.unique_checks:
+        needed.append("ids")
+    if suite.fd_checks:
+        needed.append("fdpairs")
+    if suite.reconcile_checks:
+        needed.append("recon")
+    if any(parse_percentile_stat(c.stat) is None for c in suite.stat_checks):
+        needed.append("profile")
+    if any(parse_percentile_stat(c.stat) is not None for c in suite.stat_checks):
+        needed.append("ksketch")
+    if _uniform_specs(suite):
+        needed.append("hist")
+    if _equi_checks(suite):
+        needed.append("ehist")
+    if any(c.categorical for c in suite.drift_checks):
+        needed.append("cats")
+    return needed
+
+
 def _read_component(
     spark: SparkSession, state_dir: str, comp: str, schema: str
 ) -> DataFrame:
@@ -604,6 +649,10 @@ def streaming_suite_result(
     of all processed batches, computed purely from merged state (no source
     re-scan). Equality with the batch runner is pytest-pinned."""
     ensure_streamable(suite)
+    # fail closed on a suite that grew a check family mid-stream: every
+    # component this drain reads must cover every committed batch
+    for comp in _needed_components(suite):
+        _require_component_coverage(state_dir, comp)
     t0 = time.time()
 
     bcounts = _read_component(spark, state_dir, "buckets", _BUCKETS_SCHEMA)

@@ -281,6 +281,29 @@ def test_percentile_stat_survives_compaction(spark, tmp_path):
     base.unpersist()
 
 
+def test_mid_stream_check_family_addition_fails_closed(spark, tmp_path):
+    """A suite that gains a check family AFTER batches were committed must
+    refuse to assemble (the new family's merged state would silently
+    exclude those batches); the unchanged suite still drains fine."""
+    src, state = str(tmp_path / "src"), str(tmp_path / "state")
+    cur = clips_table(spark, 400, planted=False, n_buckets=4)
+    cur.repartition(2).write.mode("overwrite").parquet(src)
+    lean = Suite(
+        stat_checks=(StatCheck("m", "dur_ms", "mean", ">", 0.0),)
+    )
+    run_suite_stream(spark, src, state, lean, None, "mid", CLIPS_SCHEMA)
+    assert streaming_suite_result(spark, state, lean, cur, "mid").passed()
+
+    grown = Suite(
+        stat_checks=(
+            StatCheck("m", "dur_ms", "mean", ">", 0.0),
+            StatCheck("p", "dur_ms", "p95", ">", 0.0),  # added mid-stream
+        )
+    )
+    with pytest.raises(ValueError, match="ksketch.*added after|no delta"):
+        streaming_suite_result(spark, state, grown, cur, "mid")
+
+
 def test_ensure_streamable_rejects_non_mergeable():
     ok = default_clips_suite()
     ensure_streamable(ok)  # the default suite is fully streamable
