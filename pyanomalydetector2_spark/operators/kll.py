@@ -246,6 +246,13 @@ def kll_build(
             for key, grp in grouped:
                 if gcols and not isinstance(key, tuple):
                     key = (key,)
+                # pandas surfaces a NULL group key as NaN; normalize back to
+                # None so Arrow writes a null (not a failed int cast) and the
+                # null group survives like Spark's own groupBy semantics
+                key = tuple(
+                    None if (isinstance(k, float) and math.isnan(k)) else k
+                    for k in key
+                )
                 sk = sketches.get(key)
                 if sk is None:
                     sk = sketches[key] = _Sketch(k)

@@ -250,3 +250,16 @@ def test_parse_percentile_stat():
     assert parse_percentile_stat("p100") == 1.0
     for bad in ("p101", "p-1", "p9.5", "pp5", "mean", "p", "95"):
         assert parse_percentile_stat(bad) is None
+
+
+def test_spark_null_group_key_survives(spark):
+    """A NULL group key must form its own sketch group (Spark groupBy
+    semantics), not crash the Arrow int cast with pandas' NaN key."""
+    pdf = pd.DataFrame(
+        {"g": pd.array([1, 1, None, None, 2], dtype="Int64"),
+         "v": [1.0, 3.0, 5.0, 7.0, 9.0]}
+    )
+    df = spark.createDataFrame(pdf)
+    out = kll_quantiles(kll_build(df, "v", ["g"], k=64), [0.5], ["g"]).collect()
+    got = {r["g"]: (r["n"], r["q_values"][0]) for r in out}
+    assert got == {1: (2, 1.0), None: (2, 5.0), 2: (1, 9.0)}
