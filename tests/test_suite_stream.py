@@ -8,6 +8,7 @@ import os
 import shutil
 
 import pytest
+from pyspark.sql import functions as F
 
 from pyanomalydetector2_spark.constraints import default_clips_suite, run_suite
 from pyanomalydetector2_spark.constraints.dsl import (
@@ -217,6 +218,72 @@ def test_equi_depth_stream_equals_batch(spark, tmp_path):
     _assert_results_equal(stream_res, batch_res)
     # the planted dur_ms shift fails in both engines
     assert not stream_res.passed() and not batch_res.passed()
+    base.unpersist()
+
+
+def test_equi_depth_resume_keeps_pinned_edges(spark, tmp_path):
+    """A resumed stream must keep the edges PINNED at first drain even if
+    the sketch store moved on meanwhile — otherwise bins from different
+    edge sets would merge. The final scores must equal a one-shot funnel
+    run using the pinned edges."""
+    import json as _json
+
+    from pyanomalydetector2_spark.operators.drift import drift_scores_quantile
+    from pyanomalydetector2_spark.operators.kll import kll_build, kll_merge
+    from pyanomalydetector2_spark.sources.catalog import SnapshotTable
+
+    src, state = str(tmp_path / "src"), str(tmp_path / "state")
+    cur = clips_table(spark, 800, planted=True, n_buckets=4)
+    part1 = cur.filter("pmod(hash(clip_id), 3) != 0")
+    part2 = cur.filter("pmod(hash(clip_id), 3) = 0")  # complement, multiset-safe
+    part1.coalesce(1).write.mode("overwrite").parquet(src)
+    base = clips_table(spark, 800, planted=False, n_buckets=4).cache()
+    suite = Suite(
+        drift_checks=(
+            DriftCheck("dur_eq", "dur_ms", 0, 0, nbins=10, equi_depth=True),
+        )
+    )
+    store = SnapshotTable(str(tmp_path / "kll"))
+    store.write_snapshot(
+        kll_build(base, "dur_ms", (), k=8192).withColumn(
+            "column", F.lit("dur_ms")
+        )
+    )
+    run_suite_stream(spark, src, state, suite, None, "rs", CLIPS_SCHEMA,
+                     sketch_store=store)
+    with open(f"{state}/equi_edges.json") as f:
+        pinned = _json.load(f)
+
+    # the store moves on: fold a shifted delta in (edges would now differ)
+    delta = clips_table(spark, 500, planted=True, n_buckets=4).withColumn(
+        "dur_ms", F.col("dur_ms") + F.lit(5000)
+    )
+    store.write_snapshot(
+        kll_merge(
+            store.read(spark),
+            kll_build(delta, "dur_ms", (), k=8192).withColumn(
+                "column", F.lit("dur_ms")
+            ),
+        )
+    )
+
+    part2.coalesce(1).write.mode("append").parquet(src)
+    run_suite_stream(spark, src, state, suite, None, "rs", CLIPS_SCHEMA,
+                     sketch_store=store)
+    with open(f"{state}/equi_edges.json") as f:
+        assert _json.load(f) == pinned  # edges survived the store change
+
+    res = streaming_suite_result(spark, state, suite, base, "rs")
+    got = {
+        (r["bucket"], r["metric"]): r["observed"] for r in res.verdicts.collect()
+    }
+    expect = drift_scores_quantile(
+        cur, base, "dur_ms", 10, group_col="bucket",
+        edges=[float(e) for e in pinned["dur_eq"]["edges"]],
+    )
+    for s in expect:
+        assert got[(int(s["group"]), "psi")] == pytest.approx(s["psi"], rel=1e-9)
+        assert got[(int(s["group"]), "ks")] == pytest.approx(s["ks"], rel=1e-9)
     base.unpersist()
 
 
