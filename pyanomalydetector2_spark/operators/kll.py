@@ -41,8 +41,16 @@ Rank rule: the returned quantile is the smallest stored item whose cumulative
 weight reaches ``ceil(q*n)`` — DuckDB's ``quantile_disc`` nearest-rank rule,
 so the exact regime (n ≤ k per group: zero compactions, all weights 1) is
 hash-comparable against a SQL oracle. Worst-case rank error in the compacting
-regime is bounded by ``sum over compactions of w/2 ≤ n * ceil(log2(n/k)) /
-(2k)``; the alternation halves it in practice.
+regime is bounded by ``sum over compactions of w/2 ≤ n * ceil(log2(n/k) + 1)
+/ (2k)`` (``_error_bound``, pinned by unit + hypothesis tests); the
+alternation halves it in practice.
+
+Consumers inside the engine: equi-depth drift baselines
+(drift.quantile_edges_from_sketch + the suite/CLI sketch store) and
+percentile StatChecks in the batch AND streaming suites
+(constraints/suite.percentile_sketches shares ``STAT_SKETCH_K`` so the two
+engines agree bit-for-bit in the exact regime; streaming state folds via
+``kll_merge_rows``).
 """
 
 from __future__ import annotations
