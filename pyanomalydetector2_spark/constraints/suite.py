@@ -238,25 +238,22 @@ def stat_verdict_frames(
 def percentile_sketches(
     df: DataFrame, columns: list[str], bucket_col: str
 ) -> DataFrame:
-    """Per-(column, bucket) KLL sketch rows for percentile StatChecks — one
-    column-pruned pass per column (columns are few; each pass reduces every
-    partition to KBs of sketch before its single tiny shuffle). The SAME
-    frame shape the streaming suite persists per micro-batch ("ksketch"
-    component), so batch and stream share one definition of pXX."""
-    from pyanomalydetector2_spark.operators.kll import STAT_SKETCH_K, kll_build
+    """Per-(column, bucket) KLL sketch rows for percentile StatChecks — ALL
+    columns in ONE column-pruned Arrow pass (the transfer is the build's
+    dominant cost, BENCH §24; every partition reduces to KBs of sketch
+    before the single tiny shuffle). The SAME frame shape the streaming
+    suite persists per micro-batch ("ksketch" component), so batch and
+    stream share one definition of pXX."""
+    from pyanomalydetector2_spark.operators.kll import (
+        STAT_SKETCH_K,
+        kll_build_multi,
+    )
 
-    frames = [
-        kll_build(df, c, [bucket_col], k=STAT_SKETCH_K).select(
-            F.lit(c).alias("column"),
-            F.col(bucket_col).cast("int").alias("bucket"),
-            "kll_k", "kll_n", "kll_levels", "kll_compactions",
-        )
-        for c in columns
-    ]
-    out = frames[0]
-    for f in frames[1:]:
-        out = out.unionByName(f)
-    return out
+    return kll_build_multi(df, columns, [bucket_col], k=STAT_SKETCH_K).select(
+        "column",
+        F.col(bucket_col).cast("int").alias("bucket"),
+        "kll_k", "kll_n", "kll_levels", "kll_compactions",
+    )
 
 
 def percentile_stat_frame(

@@ -67,6 +67,7 @@ from pyspark.sql.types import (
     DoubleType,
     IntegerType,
     LongType,
+    StringType,
     StructField,
     StructType,
 )
@@ -228,21 +229,37 @@ def _rows_to_sketch(pdf: pd.DataFrame, k: int) -> _Sketch:
     return acc
 
 
-def kll_build(
+def kll_build_multi(
     df: DataFrame,
-    value_col: str,
+    value_cols: Sequence[str],
     group_cols: Sequence[str] = (),
     k: int = 4096,
 ) -> DataFrame:
-    """Build one sketch row per group: mapInPandas partials (no shuffle) then
-    a sketch-rows-only shuffle + applyInPandas merge. Null/NaN/±inf values are
-    ignored (they are screened by the null-rate / finiteness checks, not the
-    quantile profile)."""
+    """Sketches for MANY columns in ONE Arrow pass — one row per
+    (group, column), tagged by a ``column`` field. The Arrow JVM→Python
+    transfer is the dominant cost of a sketch build (BENCH/BASELINE.md §24),
+    so multi-column percentile checks must not pay it per column.
+    Null/NaN/±inf values are ignored per column (they are screened by the
+    null-rate / finiteness checks, not the quantile profile); a
+    (group, column) whose values are ALL non-finite emits no row, matching
+    the single-column build."""
     gcols = list(group_cols)
-    src = df.select(
-        *gcols, F.col(value_col).cast("double").alias("_kll_v")
-    ).filter(F.col("_kll_v").isNotNull() & ~F.isnan("_kll_v"))
-    out_schema = _sketch_schema(src, gcols)
+    vcols = list(value_cols)
+    casts = [F.col(c).cast("double").alias(c) for c in vcols]
+    # rows where every value column is non-finite carry nothing: drop them
+    # JVM-side so they never cross the Arrow boundary
+    keep = None
+    for c in vcols:
+        fin = F.col(c).cast("double")
+        cond = fin.isNotNull() & ~F.isnan(fin)
+        keep = cond if keep is None else (keep | cond)
+    src = df.filter(keep).select(*gcols, *casts)
+    out_schema = StructType(
+        [src.schema[c] for c in gcols]
+        + [StructField("column", StringType(), False)]
+        + _STATE_FIELDS
+    )
+    out_cols = gcols + ["column"] + list(SKETCH_FIELDS)
 
     def partial(batches):
         sketches: dict[tuple, _Sketch] = {}
@@ -261,19 +278,36 @@ def kll_build(
                     None if (isinstance(k, float) and math.isnan(k)) else k
                     for k in key
                 )
-                sk = sketches.get(key)
-                if sk is None:
-                    sk = sketches[key] = _Sketch(k)
-                sk.add(grp["_kll_v"].to_numpy(dtype=np.float64))
+                for c in vcols:
+                    sk = sketches.get((key, c))
+                    if sk is None:
+                        sk = sketches[(key, c)] = _Sketch(k)
+                    sk.add(grp[c].to_numpy(dtype=np.float64))
         rows = [
-            dict(zip(gcols, key)) | dict(zip(SKETCH_FIELDS, sk.to_row()))
-            for key, sk in sketches.items()
+            dict(zip(gcols, key))
+            | {"column": c}
+            | dict(zip(SKETCH_FIELDS, sk.to_row()))
+            for (key, c), sk in sketches.items()
+            if sk.n > 0
         ]
         if rows:
-            yield pd.DataFrame(rows, columns=gcols + list(SKETCH_FIELDS))
+            yield pd.DataFrame(rows, columns=out_cols)
 
     partials = src.mapInPandas(partial, schema=out_schema)
-    return _merge_rows(partials, gcols, out_schema, k)
+    return _merge_rows(partials, gcols + ["column"], out_schema, k)
+
+
+def kll_build(
+    df: DataFrame,
+    value_col: str,
+    group_cols: Sequence[str] = (),
+    k: int = 4096,
+) -> DataFrame:
+    """Build one sketch row per group: mapInPandas partials (no shuffle) then
+    a sketch-rows-only shuffle + applyInPandas merge. Null/NaN/±inf values are
+    ignored (they are screened by the null-rate / finiteness checks, not the
+    quantile profile). Thin single-column wrapper over ``kll_build_multi``."""
+    return kll_build_multi(df, [value_col], group_cols, k).drop("column")
 
 
 def _merge_rows(

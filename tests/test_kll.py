@@ -263,3 +263,33 @@ def test_spark_null_group_key_survives(spark):
     out = kll_quantiles(kll_build(df, "v", ["g"], k=64), [0.5], ["g"]).collect()
     got = {r["g"]: (r["n"], r["q_values"][0]) for r in out}
     assert got == {1: (2, 1.0), None: (2, 5.0), 2: (1, 9.0)}
+
+
+def test_multi_column_build_equals_per_column(spark):
+    """kll_build_multi: one Arrow pass for all columns must produce, per
+    column, exactly the single-column build's sketches (exact regime) —
+    including a column that is all-null in one group (no row emitted)."""
+    rng = np.random.default_rng(31)
+    pdf = pd.DataFrame(
+        {
+            "g": rng.choice(["a", "b"], size=400),
+            "x": rng.normal(size=400),
+            "y": rng.exponential(size=400),
+        }
+    )
+    pdf.loc[pdf["g"] == "a", "y"] = np.nan  # y all-null in group a
+    df = spark.createDataFrame(pdf).repartition(5)
+    from pyanomalydetector2_spark.operators.kll import kll_build_multi
+
+    multi = kll_build_multi(df, ["x", "y"], ["g"], k=2048)
+    got = {
+        (r["g"], r["column"]): (r["kll_n"], tuple(r["kll_levels"][0]))
+        for r in multi.collect()
+    }
+    assert ("a", "y") not in got  # all-null (group, column) emits no row
+    for c in ("x", "y"):
+        single = kll_build(df, c, ["g"], k=2048).collect()
+        for r in single:
+            n, lvl0 = got[(r["g"], c)]
+            assert n == r["kll_n"]
+            assert sorted(lvl0) == sorted(r["kll_levels"][0])
