@@ -190,18 +190,39 @@ class Suite:
         ]
 
 
-# transcript token count as a pure SQL expression (space-delimited runs;
-# trim + empty-filter so ''/NULL count 0 — same contract as text.ws_tokens).
-# Deliberately backslash-free so the YAML mirror is byte-identical. The
+def drop_checks(suite: Suite, drop: set[str]) -> Suite:
+    """Suite minus the named constraint ids — rebuilt over EVERY check
+    group by field name (dataclasses.fields), so a group added to Suite
+    later can never be silently zeroed by a positional rebuild."""
+    import dataclasses
+
+    unknown = set(drop) - set(suite.all_ids())
+    if unknown:
+        raise ValueError(f"drop_checks: unknown ids {sorted(unknown)}")
+    return dataclasses.replace(
+        suite,
+        **{
+            f.name: tuple(
+                c for c in getattr(suite, f.name) if c.constraint_id not in drop
+            )
+            for f in dataclasses.fields(suite)
+        },
+    )
+
+
+# transcript token count as a pure SQL expression (whitespace-delimited
+# runs; trim + empty-filter so ''/NULL count 0 — the SAME tokenizer as
+# text.ws_tokens and the crossmodal operator/oracles, down to tab/newline
+# separators ('\\s+' in the SQL literal parses to the \s+ regex). The
 # suite runner materializes this ONCE as the ``transcript_tokens`` column
 # on the audio-invariant projection and the cross-modal predicates
 # reference the column by name — a single definition for the DSL and the
-# YAML mirror. Perf-neutral by measurement: codegen subexpression
-# elimination already evaluated the previously-inlined duplicates once
-# per row (A/B in BENCH/BASELINE.md §13).
+# YAML mirror (the YAML references the column, never this string).
+# Perf-neutral by measurement: codegen subexpression elimination already
+# evaluated the previously-inlined duplicates once per row (BENCH §13).
 TOKEN_COUNT_SQL = (
-    "size(filter(split(lower(trim(coalesce(transcript, ''))), ' +'), "
-    "x -> x != ''))"
+    r"size(filter(split(lower(trim(coalesce(transcript, ''))), '\\s+'), "
+    r"x -> x != ''))"
 )
 # declared tokens/second; NULL when dur_ms is NULL/0 (missing evidence —
 # SQL null semantics make the outlier comparison vacuous-false)

@@ -513,8 +513,16 @@ def run_suite(
     # hash(key) % B ⇒ key duplicates co-locate ⇒ global distinct = Σ
     # per-bucket distinct for key_col ONLY — other columns get a global
     # sketch below) — and materializes the cache as a side effect.
+    # HLL over the STRING-CAST key (injective for atomic types, so the
+    # distinct count is unchanged) — the streaming suite stores keys
+    # string-cast in its ids state and recomputes this screen from them,
+    # and feeding HLL++ the same hash inputs keeps the two engines'
+    # estimates bit-identical at EVERY cardinality, not just inside the
+    # sparse-exact regime.
     hll_aggs = [
-        F.approx_count_distinct(c.column, 0.02).alias(f"_hll_{i}")
+        F.approx_count_distinct(F.col(c.column).cast("string"), 0.02).alias(
+            f"_hll_{i}"
+        )
         for i, c in enumerate(suite.unique_checks)
     ]
     brows = base.groupBy(bucket_col).agg(
@@ -533,7 +541,7 @@ def run_suite(
         base.agg(
             *[
                 F.approx_count_distinct(
-                    suite.unique_checks[i].column, 0.02
+                    F.col(suite.unique_checks[i].column).cast("string"), 0.02
                 ).alias(f"_g_{i}")
                 for i in non_key
             ]

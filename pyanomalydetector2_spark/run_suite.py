@@ -165,24 +165,12 @@ def main(argv: list[str] | None = None) -> dict:
     suite = load_suite(args.suite) if args.suite else default_clips_suite()
     drop = {s for s in args.drop_checks.split(",") if s}
     if drop:
-        unknown = drop - set(suite.all_ids())
-        if unknown:
-            raise SystemExit(f"--drop-checks: unknown ids {sorted(unknown)}")
-        from pyanomalydetector2_spark.constraints.dsl import Suite
+        from pyanomalydetector2_spark.constraints.dsl import drop_checks
 
-        suite = Suite(
-            *(
-                tuple(c for c in grp if c.constraint_id not in drop)
-                for grp in (
-                    suite.row_checks,
-                    suite.stat_checks,
-                    suite.unique_checks,
-                    suite.ref_checks,
-                    suite.drift_checks,
-                    suite.ann_checks,
-                )
-            )
-        )
+        try:
+            suite = drop_checks(suite, drop)
+        except ValueError as e:
+            raise SystemExit(f"--drop-checks: {e}")
 
     t0 = time.time()
     # commit=False: the ledger must be marked AFTER results are durably

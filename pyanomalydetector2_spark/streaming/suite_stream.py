@@ -23,8 +23,9 @@ time without touching a single already-processed row:
   bit-identically to the one-shot pass (drift.histogram_counts_df /
   categorical_counts share the scoring arithmetic);
 - uniqueness keeps per-(bucket, key) counts — additive; the HLL screen
-  estimate recomputed over the stored key set equals the batch estimate
-  because HyperLogLog depends only on the distinct value set;
+  estimate recomputed over the stored (string-cast) key set equals the
+  batch estimate bit-for-bit because the batch runner hashes the SAME
+  string cast — identical HLL++ inputs at every cardinality;
 - functional dependencies keep per-(check, determinant, dependent) pair
   counts with min key/bucket exemplars — additive; the n_values > 1
   group decision over merged pairs is exact. Values cross the shared
@@ -187,24 +188,156 @@ def batch_metrics(state_dir: str) -> list[dict]:
     return out
 
 
+def _component_state(
+    state_dir: str, comp: str, committed: set[int]
+) -> tuple[int, list[str], list[int]]:
+    """Resolve one component's readable state: ``(folded_thru, paths,
+    missing)``. ``paths`` is the compacted base (if any) plus every
+    COMMITTED delta strictly after it; ``missing`` lists committed batch
+    ids after the base with NO delta — i.e. checks of this family were
+    added after those batches were processed. ONE resolver shared by the
+    drain read, the coverage guard, and compaction, so the base/delta
+    interaction (which once let compaction defeat the coverage guard) is
+    decided in exactly one place."""
+    base = latest_gen(f"{state_dir}/{comp}_base")
+    folded_thru = base[0] if base else -1
+    deltas = [
+        (n, d)
+        for n, d in batch_dirs(f"{state_dir}/{comp}")
+        if n > folded_thru and n in committed
+    ]
+    have = {n for n, _ in deltas}
+    missing = sorted(n for n in committed if n > folded_thru and n not in have)
+    paths = ([base[1]] if base else []) + [d for _, d in deltas]
+    return folded_thru, paths, missing
+
+
 def _require_component_coverage(state_dir: str, comp: str) -> None:
     """A component the suite needs must have a delta (or be inside the
     folded base) for EVERY committed batch. A committed batch with no delta
     means checks of this family were ADDED after that batch was processed —
     merged state would silently exclude its rows, and a silently-partial
     verdict is the engine's stated nightmare. Erroring sends the operator
-    to a fresh state dir (or a batch backfill)."""
-    committed = set(_committed(state_dir))
-    base = latest_gen(f"{state_dir}/{comp}_base")
-    folded_thru = base[0] if base else -1
-    have = {n for n, _ in batch_dirs(f"{state_dir}/{comp}")}
-    missing = sorted(n for n in committed if n > folded_thru and n not in have)
+    to a fresh state dir (or a batch backfill). ``compact_suite_state``
+    refuses to fold an uncovered component, so compaction can never launder
+    the gap into the base."""
+    _, _, missing = _component_state(state_dir, comp, set(_committed(state_dir)))
     if missing:
         raise ValueError(
             f"streaming state at {state_dir}: component {comp!r} has no "
             f"delta for committed batch(es) {missing} — checks of this "
             "family were added after those batches were processed; use a "
             "fresh state dir (merged state would silently exclude them)"
+        )
+
+
+def _suite_state_signature(
+    suite: Suite, key_col: str, bucket_col: str
+) -> dict:
+    """The suite's STATE-AFFECTING shape, per component: which check ids /
+    columns / bin definitions each component's per-batch deltas were built
+    from. Thresholds (StatCheck.threshold, drift psi_max/ks_max, reconcile
+    rates) are drain-time arithmetic and deliberately NOT part of the
+    signature — they may change freely across a stream's life."""
+    sig: dict = {"key_col": key_col, "bucket_col": bucket_col}
+    vio = [
+        ["row", c.constraint_id, c.predicate] for c in suite.row_checks
+    ] + [
+        ["ref", c.constraint_id, c.column, c.dim_name]
+        for c in suite.ref_checks
+    ]
+    if vio:
+        sig["violations"] = sorted(vio)
+    mom = sorted(
+        {
+            c.column
+            for c in suite.stat_checks
+            if parse_percentile_stat(c.stat) is None
+        }
+    )
+    if mom:
+        sig["profile"] = mom
+    pct = sorted(
+        {
+            c.column
+            for c in suite.stat_checks
+            if parse_percentile_stat(c.stat) is not None
+        }
+    )
+    if pct:
+        sig["ksketch"] = pct
+    uni = sorted(
+        [s.column, float(s.lo), float(s.hi), int(s.nbins)]
+        for s in _uniform_specs(suite)
+    )
+    if uni:
+        sig["hist"] = uni
+    eq = sorted([c.constraint_id, c.column] for c in _equi_checks(suite))
+    if eq:
+        sig["ehist"] = eq
+    cats = sorted({c.column for c in suite.drift_checks if c.categorical})
+    if cats:
+        sig["cats"] = cats
+    ids = sorted({c.column for c in suite.unique_checks})
+    if ids:
+        sig["ids"] = ids
+    fd = sorted(
+        [c.constraint_id, list(c.determinant), c.dependent]
+        for c in suite.fd_checks
+    )
+    if fd:
+        sig["fdpairs"] = fd
+    rec = sorted(
+        [c.constraint_id, list(c.compare_cols)]
+        for c in suite.reconcile_checks
+    )
+    if rec:
+        sig["recon"] = rec
+    return sig
+
+
+def _pin_suite_manifest(
+    state_dir: str, suite: Suite, key_col: str, bucket_col: str
+) -> None:
+    """Pin the suite's state signature in the state dir and fail closed on
+    any later change. The component-level coverage guard only catches a
+    check family that is entirely NEW (its component has no deltas for old
+    batches); a check added to an EXISTING family — a second UniqueCheck
+    column, a new RowCheck id, another percentile column — leaves every
+    component covered while its merged state silently excludes all earlier
+    batches' rows. The manifest closes that hole: while any batch is
+    committed, the suite's state-shaping definitions must be EXACTLY the
+    pinned ones (thresholds excluded — see _suite_state_signature)."""
+    sig = _suite_state_signature(suite, key_col, bucket_col)
+    path = f"{state_dir}/suite_manifest.json"
+    if not _committed(state_dir):
+        # nothing processed yet — (re)pin freely
+        os.makedirs(state_dir, exist_ok=True)
+        tmp = f"{path}.tmp"
+        with open(tmp, "w") as f:
+            json.dump(sig, f, indent=1, sort_keys=True)
+        os.replace(tmp, path)
+        return
+    if not os.path.exists(path):
+        raise ValueError(
+            f"streaming state at {state_dir} has committed batches but no "
+            "suite manifest — the state predates per-check pinning or was "
+            "written outside this module; use a fresh state dir"
+        )
+    with open(path) as f:
+        pinned = json.load(f)
+    if pinned != sig:
+        changed = sorted(
+            set(pinned) ^ set(sig)
+            | {k for k in set(pinned) & set(sig) if pinned[k] != sig[k]}
+        )
+        raise ValueError(
+            f"streaming state at {state_dir}: suite state signature changed "
+            f"for component(s) {changed} — checks of this component were "
+            "added after batches were committed (or removed/redefined), so "
+            f"merged state would silently misreport them (pinned in {path}; "
+            "thresholds may change freely, state-shaping definitions may "
+            "not) — use a fresh state dir"
         )
 
 
@@ -237,15 +370,7 @@ def _read_component(
 ) -> DataFrame:
     """Read a component's compacted base (if any) plus every COMMITTED
     delta after it. Uncommitted (torn) deltas are invisible."""
-    committed = set(_committed(state_dir))
-    base = latest_gen(f"{state_dir}/{comp}_base")
-    folded_thru = base[0] if base else -1
-    paths = [base[1]] if base else []
-    paths += [
-        d
-        for n, d in batch_dirs(f"{state_dir}/{comp}")
-        if n > folded_thru and n in committed
-    ]
+    _, paths, _ = _component_state(state_dir, comp, set(_committed(state_dir)))
     if paths:
         return spark.read.parquet(*paths)
     return spark.createDataFrame([], schema)
@@ -349,6 +474,7 @@ def process_suite_batch(
     marker = f"{state_dir}/commit/batch={batch_id}.json"
     if os.path.exists(marker):
         return  # redelivery of a fully committed batch — no-op
+    _pin_suite_manifest(state_dir, suite, key_col, bucket_col)
     t0 = time.time()
     spark = batch.sparkSession
 
@@ -649,8 +775,12 @@ def streaming_suite_result(
     of all processed batches, computed purely from merged state (no source
     re-scan). Equality with the batch runner is pytest-pinned."""
     ensure_streamable(suite)
-    # fail closed on a suite that grew a check family mid-stream: every
-    # component this drain reads must cover every committed batch
+    # fail closed on a suite that changed shape mid-stream: the manifest
+    # pins per-check state signatures (catches additions WITHIN a family),
+    # and every component this drain reads must cover every committed
+    # batch (catches a family that is entirely new, or legacy state dirs
+    # without a manifest)
+    _pin_suite_manifest(state_dir, suite, key_col, bucket_col)
     for comp in _needed_components(suite):
         _require_component_coverage(state_dir, comp)
     t0 = time.time()
@@ -685,7 +815,10 @@ def streaming_suite_result(
     for c in suite.unique_checks:
         col_ids = merged_ids.filter(F.col("column") == c.column)
         # HLL screen recomputed over the stored key set — identical to the
-        # batch estimate (HLL depends only on the distinct values). The
+        # batch estimate: keys cross the state schema string-cast
+        # (injective for atomic types), and the batch runner hashes the
+        # SAME string cast (constraints/suite.py hll_aggs), so both sides
+        # feed HLL++ identical hash inputs at every cardinality. The
         # bucket-key column sums per-bucket estimates; others get a global
         # sketch — same split as the batch runner.
         if c.column == key_col:
@@ -711,8 +844,12 @@ def streaming_suite_result(
         totals = col_ids.groupBy("key").agg(
             F.sum("cnt").alias("dup_cnt")
         ).filter(F.col("dup_cnt") > 1)
+        # plain equi-join, NOT a forced broadcast: the duplicated-key set
+        # is data-proportional (a few % dup rate at 10^12 rows is billions
+        # of keys), so the driver must never be required to hold it; AQE
+        # still broadcasts when the actual total is small
         dup = (
-            col_ids.join(F.broadcast(totals), "key", "inner")
+            col_ids.join(totals, "key", "inner")
             .select(
                 F.lit(run_id).alias("run_id"),
                 F.col("bucket").cast("int").alias("bucket"),
@@ -1071,15 +1208,17 @@ def compact_suite_state(spark: SparkSession, state_dir: str) -> int:
     gen_id = committed[-1]
     comps = list(_ADDITIVE) + ["violations", "ksketch"]
     for comp in comps:
-        base = latest_gen(f"{state_dir}/{comp}_base")
-        folded_thru = base[0] if base else -1
-        paths = [base[1]] if base else []
-        paths += [
-            d
-            for n, d in batch_dirs(f"{state_dir}/{comp}")
-            if n > folded_thru and n in set(committed)
-        ]
-        if not paths or (base and folded_thru == gen_id):
+        folded_thru, paths, missing = _component_state(
+            state_dir, comp, set(committed)
+        )
+        if missing:
+            # this component does NOT cover every committed batch (its
+            # check family was added mid-stream). Folding it would stamp
+            # the base with gen_id and LAUNDER the gap past the drain's
+            # coverage guard — leave its deltas untouched so
+            # _require_component_coverage still fails closed.
+            continue
+        if not paths or folded_thru == gen_id:
             continue
         df = spark.read.parquet(*paths)
         if comp in _ADDITIVE:

@@ -105,3 +105,35 @@ def test_master_resolution_env_override(monkeypatch):
     monkeypatch.setenv("PYAD2_MASTER", "local-cluster[4,1,3072]")
     assert _resolve_master(4) == "local-cluster[4,1,3072]"
     assert _resolve_master(0) == "local-cluster[4,1,3072]"
+
+
+def test_drop_checks_preserves_every_group():
+    """drop_checks must rebuild over ALL eight Suite groups — a positional
+    rebuild once silently zeroed fd_checks/reconcile_checks (r05 review)."""
+    from pyanomalydetector2_spark.constraints.dsl import (
+        FdCheck,
+        ReconcileCheck,
+        Suite,
+        drop_checks,
+    )
+
+    base = default_clips_suite()
+    suite = Suite(
+        row_checks=base.row_checks,
+        stat_checks=base.stat_checks,
+        unique_checks=base.unique_checks,
+        ref_checks=base.ref_checks,
+        drift_checks=base.drift_checks,
+        ann_checks=base.ann_checks,
+        fd_checks=(FdCheck("fd1", ("codec",), "container"),),
+        reconcile_checks=(ReconcileCheck("rc1", ("codec",)),),
+    )
+    victim = suite.row_checks[0].constraint_id
+    out = drop_checks(suite, {victim})
+    assert victim not in out.all_ids()
+    # every OTHER id — including the fd/reconcile groups — survives
+    assert set(out.all_ids()) == set(suite.all_ids()) - {victim}
+    assert out.fd_checks == suite.fd_checks
+    assert out.reconcile_checks == suite.reconcile_checks
+    with pytest.raises(ValueError, match="unknown ids"):
+        drop_checks(suite, {"no_such_check"})

@@ -9,6 +9,8 @@ replay.
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
 from pyanomalydetector2_spark.operators.crossmodal import (
     transcript_audio_consistency,
 )
@@ -90,3 +92,40 @@ def test_inner_join_drops_undecodable(spark):
                               "id long, transcript string")))
     assert [r.id for r in out.collect()] == [0]
     assert set(got) == {0}
+
+
+def test_token_count_sql_matches_ws_tokens(spark):
+    """The suite DSL's TOKEN_COUNT_SQL and the crossmodal operator's
+    ws_tokens must be the SAME tokenizer — including tab/newline
+    separators, which the former's old space-only split miscounted."""
+    from pyanomalydetector2_spark.constraints.dsl import TOKEN_COUNT_SQL
+    from pyanomalydetector2_spark.operators.text import ws_tokens
+
+    rows = [
+        ("a", "hello world"),
+        ("b", "hello\tworld"),
+        ("c", "a\nb c"),
+        ("d", "  padded  "),
+        ("e", ""),
+        ("f", None),
+        ("g", "\t"),
+        ("h", "one"),
+        ("i", "x\r\ny  z"),
+    ]
+    df = spark.createDataFrame(rows, "id string, transcript string")
+    t = F.col("transcript")
+    got = {
+        r["id"]: (r["sql_n"], r["op_n"])
+        for r in df.select(
+            "id",
+            F.expr(TOKEN_COUNT_SQL).alias("sql_n"),
+            F.when(t.isNull(), F.lit(0))
+            .otherwise(F.size(ws_tokens(t)))
+            .alias("op_n"),
+        ).collect()
+    }
+    for rid, (sql_n, op_n) in got.items():
+        assert sql_n == op_n, (rid, sql_n, op_n)
+    assert got["b"] == (2, 2)   # tab separates
+    assert got["g"] == (0, 0)   # whitespace-only counts zero
+    assert got["i"] == (3, 3)   # CRLF + double space

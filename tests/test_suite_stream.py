@@ -403,3 +403,78 @@ def test_ensure_streamable_rejects_non_mergeable():
     ensure_streamable(
         Suite(stat_checks=(StatCheck("p", "dur_ms", "p95", "<=", 1.0),))
     )
+
+
+def test_mid_stream_check_added_to_existing_family_fails_closed(
+    spark, tmp_path
+):
+    """A check added to a family that ALREADY has state (second unique
+    column, new row-check id) leaves every component covered, so the
+    component guard alone cannot see it — the suite manifest must. A
+    threshold-only change is NOT state-affecting and stays allowed."""
+    from pyanomalydetector2_spark.constraints.dsl import RowCheck, UniqueCheck
+
+    src, state = str(tmp_path / "src"), str(tmp_path / "state")
+    cur = clips_table(spark, 400, planted=False, n_buckets=4)
+    cur.repartition(2).write.mode("overwrite").parquet(src)
+    suite = Suite(
+        unique_checks=(UniqueCheck("u_clip", "clip_id"),),
+        stat_checks=(StatCheck("m", "dur_ms", "mean", ">", 0.0),),
+    )
+    run_suite_stream(spark, src, state, suite, None, "mf", CLIPS_SCHEMA)
+    assert streaming_suite_result(spark, state, suite, cur, "mf").passed()
+
+    # second unique column: the ids component has deltas for every batch
+    # (written for clip_id), yet codec keys from the early batches are gone
+    grown = Suite(
+        unique_checks=(
+            UniqueCheck("u_clip", "clip_id"),
+            UniqueCheck("u_codec", "codec"),
+        ),
+        stat_checks=suite.stat_checks,
+    )
+    with pytest.raises(ValueError, match="ids.*added after"):
+        streaming_suite_result(spark, state, grown, cur, "mf")
+    # new row-check id: same hole via the violations component
+    with_rc = Suite(
+        unique_checks=suite.unique_checks,
+        stat_checks=suite.stat_checks,
+        row_checks=(RowCheck("r_new", "dur_ms > 0", "dur_ms", "positive"),),
+    )
+    with pytest.raises(ValueError, match="violations.*added after"):
+        streaming_suite_result(spark, state, with_rc, cur, "mf")
+    # removing a check mid-stream is equally a state mismatch
+    shrunk = Suite(stat_checks=suite.stat_checks)
+    with pytest.raises(ValueError, match="ids"):
+        streaming_suite_result(spark, state, shrunk, cur, "mf")
+    # a THRESHOLD change shapes no state: still drains fine
+    relaxed = Suite(
+        unique_checks=suite.unique_checks,
+        stat_checks=(StatCheck("m", "dur_ms", "mean", ">", -1.0),),
+    )
+    assert streaming_suite_result(spark, state, relaxed, cur, "mf").passed()
+
+
+def test_compaction_refuses_uncovered_component(spark, tmp_path):
+    """compact_suite_state must NOT fold a component that lacks deltas for
+    some committed batch (manually damaged or legacy state): folding would
+    stamp the base past the gap and launder it through the drain's
+    coverage guard. The gap must still be detected after compaction."""
+    src, state = str(tmp_path / "src"), str(tmp_path / "state")
+    cur = clips_table(spark, 400, planted=False, n_buckets=4)
+    cur.repartition(2).write.mode("overwrite").parquet(src)
+    suite = Suite(stat_checks=(StatCheck("m", "dur_ms", "mean", ">", 0.0),))
+    run_suite_stream(spark, src, state, suite, None, "cv", CLIPS_SCHEMA)
+    batches = sorted(
+        int(d.split("=")[1]) for d in os.listdir(f"{state}/profile")
+        if d.startswith("batch=")
+    )
+    assert len(batches) >= 2
+    # simulate the family-added-mid-stream gap: first batch's delta gone
+    shutil.rmtree(f"{state}/profile/batch={batches[0]}")
+    gen = compact_suite_state(spark, state)
+    # profile was NOT folded (no base dir), other components were
+    assert not os.path.isdir(f"{state}/profile_base/gen={gen}")
+    assert os.path.isdir(f"{state}/buckets_base/gen={gen}")
+    with pytest.raises(ValueError, match="profile.*no delta"):
+        streaming_suite_result(spark, state, suite, cur, "cv")
