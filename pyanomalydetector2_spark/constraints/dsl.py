@@ -224,8 +224,11 @@ TOKEN_COUNT_SQL = (
     r"size(filter(split(lower(trim(coalesce(transcript, ''))), '\\s+'), "
     r"x -> x != ''))"
 )
-# declared tokens/second; NULL when dur_ms is NULL/0 (missing evidence —
-# SQL null semantics make the outlier comparison vacuous-false)
+# declared tokens/second; NULL when dur_ms is NULL/0 — missing evidence,
+# so the speaking-rate predicate coalesces the NULL outlier comparison to
+# false (vacuous pass). Without the coalesce the NULL would propagate
+# through the outer NOT and the runner's fail-closed NULL-predicate policy
+# would double-flag the row the duration check already reports.
 _RATE = "transcript_tokens * 1000.0 / nullif(dur_ms, 0)"
 
 
@@ -293,7 +296,7 @@ def default_clips_suite() -> Suite:
                 "speaking_rate_sane",
                 f"NOT (decode_ok AND silence_ratio <= 0.5 "
                 f"AND transcript_tokens >= 1 "
-                f"AND ({_RATE} < 0.02 OR {_RATE} > 100.0))",
+                f"AND coalesce({_RATE} < 0.02 OR {_RATE} > 100.0, false))",
                 f"concat('tokens_per_s=', cast(round({_RATE}, 3) as string))",
                 "0.02 <= declared tokens/second <= 100 on speech rows",
                 requires_audio=True,

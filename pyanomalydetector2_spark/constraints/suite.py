@@ -81,9 +81,22 @@ class SuiteResult:
     skipped_buckets: list[int]
     row_count: int
     wall_sec: float
+    # frames persisted on behalf of this result's lazy legs (the verdicts
+    # cache; under eager_verdicts=False also the stat profile) — a long-
+    # lived session running many suites should release them once the
+    # result is materialized, or executor storage memory accrues one
+    # cached frame per run
+    cached: tuple = ()
 
     def passed(self) -> bool:
         return self.verdicts.filter(~F.col("passed")).isEmpty()
+
+    def unpersist(self) -> None:
+        """Release the caches backing this result (safe after the caller
+        has collected/persisted verdicts and violations; lazy legs stay
+        valid and simply recompute if re-materialized)."""
+        for df in self.cached:
+            df.unpersist()
 
 
 def _row_check_violations(
@@ -778,40 +791,63 @@ def run_suite(
                     "or in every current bucket (fix the snapshot or drop "
                     "the check)"
                 )
-    def _equi_edges(column: str, nbins: int) -> list[float] | None:
+    def _equi_edges_map() -> dict[tuple[str, int], list[float] | None]:
         """Equi-depth edges from the persisted KLL store when one is wired
         (``sketch_store``): hit → KBs of sketch state replace the baseline
-        percentile_approx rescan; miss → bootstrap (ONE baseline pass, k=4096
-        global sketch, merge-upserted under the column key) so every later
-        run is a hit. No store → None (inline edge derivation, unchanged)."""
-        if sketch_store is None:
-            return None
+        percentile_approx rescan; miss → bootstrap so every later run is a
+        hit. ALL missing columns bootstrap in ONE kll_build_multi pass —
+        the Arrow transfer dominates a sketch build (BENCH §24), so E
+        equi-depth columns must not pay E baseline scans. No store → all
+        None (inline edge derivation, unchanged)."""
+        wanted = [
+            (c.column, c.nbins)
+            for c in equi + [c for c in dist if c.equi_depth]
+        ]
+        edges_map: dict[tuple[str, int], list[float] | None] = {
+            w: None for w in wanted
+        }
+        if sketch_store is None or not wanted:
+            return edges_map
         from pyanomalydetector2_spark.operators.drift import (
             quantile_edges_from_sketch,
         )
-        from pyanomalydetector2_spark.operators.kll import SKETCH_FIELDS, kll_build
+        from pyanomalydetector2_spark.operators.kll import (
+            SKETCH_FIELDS,
+            kll_build_multi,
+        )
 
         spark = baseline.sparkSession
-        if sketch_store.current_snapshot() is not None:
-            state = sketch_store.read(spark).filter(F.col("column") == column)
-            edges = quantile_edges_from_sketch(state.select(*SKETCH_FIELDS), nbins)
-            if edges:
-                return edges
-        sk = kll_build(baseline, column, (), k=4096).withColumn(
-            "column", F.lit(column)
-        )
-        sketch_store.merge_upsert(sk, keys=["column"])
-        return quantile_edges_from_sketch(
-            sketch_store.read(spark)
-            .filter(F.col("column") == column)
-            .select(*SKETCH_FIELDS),
-            nbins,
-        )
 
+        def _resolve() -> None:
+            state = sketch_store.read(spark)
+            for col, nbins in wanted:
+                if edges_map[(col, nbins)]:
+                    continue
+                e = quantile_edges_from_sketch(
+                    state.filter(F.col("column") == col).select(*SKETCH_FIELDS),
+                    nbins,
+                )
+                if e:
+                    edges_map[(col, nbins)] = e
+
+        if sketch_store.current_snapshot() is not None:
+            _resolve()
+        missing = sorted({col for (col, _), e in edges_map.items() if not e})
+        if missing:
+            sk = kll_build_multi(baseline, missing, (), k=4096)
+            sketch_store.merge_upsert(sk, keys=["column"])
+            _resolve()
+        return edges_map
+
+    equi_edges_map = (
+        _equi_edges_map()
+        if (equi or any(c.equi_depth for c in dist))
+        else {}
+    )
     for c in equi:
         for s in drift_scores_quantile(
             base, baseline, c.column, c.nbins, group_col=bucket_col,
-            edges=_equi_edges(c.column, c.nbins),
+            edges=equi_edges_map[(c.column, c.nbins)],
         ):
             scored.append((c, s))
     def _drift_verdicts(frame: DataFrame, c, ks_col: str) -> None:
@@ -830,7 +866,7 @@ def run_suite(
         frame = (
             drift_scores_quantile_df(
                 base, baseline, c.column, c.nbins, group_col=bucket_col,
-                edges=_equi_edges(c.column, c.nbins),
+                edges=equi_edges_map[(c.column, c.nbins)],
             )
             if c.equi_depth
             else drift_scores_df(
@@ -958,6 +994,11 @@ def run_suite(
         skipped,
         row_count,
         time.time() - t0,
+        cached=(
+            (verdicts,)
+            if stat_prof is None or eager_verdicts
+            else (verdicts, stat_prof)
+        ),
     )
 
 

@@ -242,9 +242,24 @@ def kll_build_multi(
     Null/NaN/±inf values are ignored per column (they are screened by the
     null-rate / finiteness checks, not the quantile profile); a
     (group, column) whose values are ALL non-finite emits no row, matching
-    the single-column build."""
+    the single-column build. NaN in a float GROUP column joins the NULL
+    group (normalized JVM-side — see the inline note)."""
     gcols = list(group_cols)
     vcols = list(value_cols)
+    # float/double GROUP keys: NaN is normalized to NULL JVM-side, BEFORE
+    # the Arrow transfer. Spark's own groupBy would keep NaN and NULL as
+    # two distinct groups, but pandas surfaces both as NaN so the Python
+    # side cannot tell them apart — declaring "NaN keys join the NULL
+    # group" up front makes the behavior deterministic and visible (cast
+    # float keys to string upstream if NaN must stay a distinct group).
+    from pyspark.sql.types import DoubleType, FloatType
+
+    gexprs = [
+        F.when(F.isnan(c), F.lit(None)).otherwise(F.col(c)).alias(c)
+        if isinstance(df.schema[c].dataType, (FloatType, DoubleType))
+        else F.col(c)
+        for c in gcols
+    ]
     casts = [F.col(c).cast("double").alias(c) for c in vcols]
     # rows where every value column is non-finite carry nothing: drop them
     # JVM-side so they never cross the Arrow boundary
@@ -253,7 +268,7 @@ def kll_build_multi(
         fin = F.col(c).cast("double")
         cond = fin.isNotNull() & ~F.isnan(fin)
         keep = cond if keep is None else (keep | cond)
-    src = df.filter(keep).select(*gcols, *casts)
+    src = df.filter(keep).select(*gexprs, *casts)
     out_schema = StructType(
         [src.schema[c] for c in gcols]
         + [StructField("column", StringType(), False)]

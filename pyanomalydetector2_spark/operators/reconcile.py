@@ -222,15 +222,26 @@ def append_suite_metrics(
 
 def next_run_seq(spark: SparkSession, path: str) -> int:
     """The next monotonic run ordinal for the repository at ``path``:
-    max(run_seq) + 1, or 1 for a fresh/absent repository."""
+    max(run_seq) + 1, or 1 for a fresh/absent repository. ONLY the
+    fresh-repository cases return 1 — a transient read failure of an
+    EXISTING repository must raise, because silently restarting at 1
+    would duplicate a run_seq and make 'latest run' nondeterministic in
+    metrics_zscores forever after."""
+    import os
+
+    if not os.path.isdir(path):
+        return 1
     try:
         mx = (
             spark.read.parquet(path)
             .agg(F.max("run_seq").alias("m"))
             .collect()[0]["m"]
         )
-    except Exception:
-        return 1
+    except Exception as e:
+        # a just-created dir with no part files yet is still "fresh"
+        if "UNABLE_TO_INFER_SCHEMA" in str(e) or "PATH_NOT_FOUND" in str(e):
+            return 1
+        raise
     return int(mx) + 1 if mx is not None else 1
 
 

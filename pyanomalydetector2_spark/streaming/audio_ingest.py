@@ -365,7 +365,10 @@ def ingested_pairs(spark: SparkSession, state_dir: str) -> DataFrame:
     dirs = [d for _, d in _batch_dirs(f"{state_dir}/pairs")]
     if not dirs:
         return spark.createDataFrame([], PAIRS_SCHEMA)
-    return spark.read.parquet(*dirs)
+    # schema pinned: a pair-free batch's delta can plan to zero part files
+    # under AQE (dir holds only _SUCCESS), which an inferring read cannot
+    # handle (UNABLE_TO_INFER_SCHEMA)
+    return spark.read.schema(PAIRS_SCHEMA).parquet(*dirs)
 
 
 def quarantined(spark: SparkSession, state_dir: str) -> DataFrame:
@@ -374,7 +377,7 @@ def quarantined(spark: SparkSession, state_dir: str) -> DataFrame:
     dirs = [d for _, d in _batch_dirs(f"{state_dir}/quarantine")]
     if not dirs:
         return spark.createDataFrame([], QUARANTINE_SCHEMA)
-    return spark.read.parquet(*dirs)
+    return spark.read.schema(QUARANTINE_SCHEMA).parquet(*dirs)
 
 
 SUMMARY_SCHEMA = (
@@ -402,13 +405,17 @@ def ingest_summary(spark: SparkSession, state_dir: str) -> DataFrame:
     if not batches:
         return spark.createDataFrame([], SUMMARY_SCHEMA)
     spine = spark.createDataFrame([(n,) for n, _ in batches], "batch int")
+    # schemas pinned (with the discovered batch partition column included)
+    # so all-empty batch dirs cannot break schema inference
     pairs = (
-        spark.read.parquet(f"{state_dir}/pairs")
+        spark.read.schema(f"{PAIRS_SCHEMA}, batch int")
+        .parquet(f"{state_dir}/pairs")
         .groupBy("batch")
         .agg(F.count("*").alias("n_pairs"))
     )
     quar = (
-        spark.read.parquet(f"{state_dir}/quarantine")
+        spark.read.schema(f"{QUARANTINE_SCHEMA}, batch int")
+        .parquet(f"{state_dir}/quarantine")
         .groupBy("batch")
         .agg(
             F.count("*").alias("n_quarantined"),

@@ -157,6 +157,20 @@ def ensure_streamable(suite: Suite) -> None:
                 "funnel over merged counts; use uniform/equi-depth/"
                 "categorical drift"
             )
+    uni_cols = [
+        c.column
+        for c in suite.drift_checks
+        if not c.categorical and not c.equi_depth
+    ]
+    dup_cols = sorted({c for c in uni_cols if uni_cols.count(c) > 1})
+    if dup_cols:
+        raise ValueError(
+            "streaming suite: multiple uniform drift checks share "
+            f"column(s) {dup_cols} — the hist state is keyed by column, so "
+            "their differently-binned counts would merge and one check "
+            "would silently lose its verdicts; use distinct columns or the "
+            "equi-depth/categorical variants (keyed by check id)"
+        )
     for c in suite.stat_checks:
         if c.stat not in _MERGEABLE_STATS and parse_percentile_stat(c.stat) is None:
             raise ValueError(
@@ -369,10 +383,14 @@ def _read_component(
     spark: SparkSession, state_dir: str, comp: str, schema: str
 ) -> DataFrame:
     """Read a component's compacted base (if any) plus every COMMITTED
-    delta after it. Uncommitted (torn) deltas are invisible."""
+    delta after it. Uncommitted (torn) deltas are invisible. The schema is
+    PINNED on the read: a delta whose frame was empty can plan to zero
+    part files under AQE (dir holds only _SUCCESS), and an inferring read
+    over such dirs dies with UNABLE_TO_INFER_SCHEMA instead of producing
+    the documented empty-state verdicts."""
     _, paths, _ = _component_state(state_dir, comp, set(_committed(state_dir)))
     if paths:
-        return spark.read.parquet(*paths)
+        return spark.read.schema(schema).parquet(*paths)
     return spark.createDataFrame([], schema)
 
 
@@ -675,6 +693,18 @@ def process_suite_batch(
     from concurrent.futures import ThreadPoolExecutor
 
     def _write(path: str, df: DataFrame) -> None:
+        # conform to the component's DECLARED schema before writing: the
+        # drain and compaction read with that schema pinned (empty deltas
+        # have no footer to infer from), and parquet's vectorized reader
+        # refuses width mismatches like an INT64 file column under an int
+        # pinned type — writes and reads must share one source of truth
+        comp = os.path.relpath(path, state_dir).split(os.sep)[0]
+        sch = _component_schema(comp)
+        if sch is not None:
+            target = spark.createDataFrame([], sch).schema
+            df = df.select(
+                *[F.col(f.name).cast(f.dataType) for f in target.fields]
+            )
         df.write.mode("overwrite").parquet(path)
 
     def _bucket_counts() -> list:
@@ -1195,6 +1225,18 @@ _ADDITIVE: dict[str, tuple[str, list[str], dict[str, str]]] = {
 }
 
 
+def _component_schema(comp: str):
+    """The declared (pinned) schema for a state component, or None for
+    components with their own explicit write schema (buckets)."""
+    if comp == "violations":
+        return VIOLATION_SCHEMA
+    if comp == "ksketch":
+        return _KSKETCH_SCHEMA
+    if comp in _ADDITIVE:
+        return _ADDITIVE[comp][0]
+    return None
+
+
 def compact_suite_state(spark: SparkSession, state_dir: str) -> int:
     """Fold all COMMITTED deltas of every component into a new compacted
     generation (additive merge for count state, plain concat for the
@@ -1220,7 +1262,9 @@ def compact_suite_state(spark: SparkSession, state_dir: str) -> int:
             continue
         if not paths or folded_thru == gen_id:
             continue
-        df = spark.read.parquet(*paths)
+        # schema pinned for the same reason as _read_component: an all-
+        # empty delta dir has no part files to infer from
+        df = spark.read.schema(_component_schema(comp)).parquet(*paths)
         if comp in _ADDITIVE:
             _, keys, aggs = _ADDITIVE[comp]
             df = df.groupBy(*keys).agg(

@@ -447,3 +447,40 @@ def test_lazy_and_eager_verdicts_bit_identical(spark, clips):
     ev = {tuple(r) for r in eager.violations.drop("run_id").collect()}
     lv = {tuple(r) for r in lazy.violations.drop("run_id").collect()}
     assert ev == lv and ev
+
+
+def test_speaking_rate_null_duration_is_missing_evidence(spark):
+    """NULL/zero dur_ms carries no rate evidence: the speaking-rate
+    predicate must pass (vacuous) instead of the NULL comparison
+    propagating through NOT into the runner's fail-closed policy — the
+    duration check owns that failure, not the rate check."""
+    from pyspark.sql import functions as F
+
+    from pyanomalydetector2_spark.constraints.dsl import default_clips_suite
+
+    pred = next(
+        c for c in default_clips_suite().row_checks
+        if c.constraint_id == "speaking_rate_sane"
+    ).predicate
+    df = spark.createDataFrame(
+        [
+            ("null_dur", True, 0.1, 5, None),
+            ("zero_dur", True, 0.1, 5, 0),
+            ("outlier", True, 0.1, 500, 1000),
+            ("sane", True, 0.1, 5, 1000),
+        ],
+        "case string, decode_ok boolean, silence_ratio double, "
+        "transcript_tokens int, dur_ms int",
+    )
+    got = {
+        r["case"]: r["ok"]
+        for r in df.select(
+            "case", F.coalesce(F.expr(pred), F.lit(False)).alias("ok")
+        ).collect()
+    }
+    assert got == {
+        "null_dur": True,   # missing evidence — not a rate violation
+        "zero_dur": True,
+        "outlier": False,   # 500 tokens/s: genuine violation
+        "sane": True,
+    }

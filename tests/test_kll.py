@@ -293,3 +293,17 @@ def test_multi_column_build_equals_per_column(spark):
             n, lvl0 = got[(r["g"], c)]
             assert n == r["kll_n"]
             assert sorted(lvl0) == sorted(r["kll_levels"][0])
+
+
+def test_nan_float_group_key_joins_null_group(spark):
+    """NaN in a FLOAT group column is normalized to NULL JVM-side (pandas
+    cannot distinguish the two after the Arrow transfer): both populations
+    merge into ONE NULL-keyed sketch, deterministically, instead of the
+    merge silently depending on partition layout."""
+    df = spark.createDataFrame(
+        [(1.0, 10.0), (1.0, 30.0), (None, 5.0), (float("nan"), 7.0)],
+        "g double, v double",
+    )
+    out = kll_quantiles(kll_build(df, "v", ["g"], k=64), [0.5], ["g"]).collect()
+    got = {r["g"]: (r["n"], r["q_values"][0]) for r in out}
+    assert got == {1.0: (2, 10.0), None: (2, 5.0)}

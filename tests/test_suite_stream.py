@@ -478,3 +478,50 @@ def test_compaction_refuses_uncovered_component(spark, tmp_path):
     assert os.path.isdir(f"{state}/buckets_base/gen={gen}")
     with pytest.raises(ValueError, match="profile.*no delta"):
         streaming_suite_result(spark, state, suite, cur, "cv")
+
+
+def test_duplicate_uniform_drift_columns_rejected():
+    """Two uniform DriftChecks on one column would merge their
+    differently-binned counts in the column-keyed hist state and silently
+    drop one check's verdicts — ensure_streamable must refuse."""
+    with pytest.raises(ValueError, match="share column"):
+        ensure_streamable(
+            Suite(
+                drift_checks=(
+                    DriftCheck("d1", "dur_ms", 0, 10000, nbins=10),
+                    DriftCheck("d2", "dur_ms", 0, 5000, nbins=20),
+                )
+            )
+        )
+    # same column is fine across MODES (state keyed by check id / category)
+    ensure_streamable(
+        Suite(
+            drift_checks=(
+                DriftCheck("d1", "dur_ms", 0, 10000, nbins=10),
+                DriftCheck("d3", "dur_ms", 0, 0, nbins=15, equi_depth=True),
+            )
+        )
+    )
+
+
+def test_all_null_percentile_column_drains_to_failed_verdict(
+    spark, tmp_path
+):
+    """A percentile-check column that is all-null in EVERY micro-batch
+    writes ksketch deltas with zero rows — under AQE those dirs can hold
+    no part files at all. The drain must read them against the pinned
+    component schema and emit the documented NaN-observed FAILED verdict,
+    not die in parquet schema inference."""
+    src, state = str(tmp_path / "src"), str(tmp_path / "state")
+    spark.createDataFrame(
+        [(f"c{i}", i % 2, None) for i in range(40)],
+        "clip_id string, bucket int, value double",
+    ).repartition(2).write.mode("overwrite").parquet(src)
+    suite = Suite(stat_checks=(StatCheck("p", "value", "p95", ">", 0.0),))
+    run_suite_stream(
+        spark, src, state, suite, None, "nul",
+        "clip_id string, bucket int, value double",
+    )
+    res = streaming_suite_result(spark, state, suite, None, "nul")
+    rows = res.verdicts.filter("constraint_id = 'p'").collect()
+    assert rows and all(not r["passed"] for r in rows)
