@@ -1937,6 +1937,70 @@ def q_edit_near_dup(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+_DECON_N = 8           # long n-grams: the GPT-3/Pile decontamination test
+_DECON_BENCH_FRAC = 0.2  # contract-query benchmark = 20% hash bucket
+_PACK_BUDGET = 512
+_PACK_SHARDS = 8
+
+
+def q_decontaminate(spark: SparkSession, sf: str) -> DataFrame:
+    """Benchmark decontamination: corpus docs sharing ≥1 distinct 8-gram
+    with a (hash-derived) benchmark subset. Benchmark side broadcast —
+    eval sets are tiny vs a 10^12-row corpus; the corpus is shingled in
+    one scan (operators/curation.py::decontaminate)."""
+    from pyanomalydetector2_spark.operators.curation import (
+        bench_bucket,
+        decontaminate,
+    )
+
+    docs = load_table(spark, sf, "documents")
+    is_bench = bench_bucket(F.col("doc_id"), _DECON_BENCH_FRAC)
+    out = decontaminate(
+        docs.filter(~is_bench), docs.filter(is_bench), "doc_id", "text",
+        n=_DECON_N, min_shared=1,
+    )
+    return out.select(
+        F.col("id").alias("doc_id"), "bench_id",
+        F.col("n_shared").cast("long").alias("n_shared"),
+    )
+
+
+def q_split_leakage(spark: SparkSession, sf: str) -> DataFrame:
+    """Train/val leakage audit: near-dup pairs (the ngram_jaccard_pairs
+    pipeline) whose two sides land in different splits of the stable
+    hash split (operators/curation.py::split_leakage)."""
+    from pyanomalydetector2_spark.operators.curation import split_leakage
+    from pyanomalydetector2_spark.operators.dedup import near_dup_jaccard
+    from pyanomalydetector2_spark.operators.sampling import train_split
+
+    docs = load_table(spark, sf, "documents")
+    pairs = near_dup_jaccard(
+        docs, "doc_id", "text", k=8, n=3, bands=4, rows_per_band=2,
+        threshold=0.1, max_bucket_size=None,  # oracle has no cap
+    )
+    splits = train_split(docs.select("doc_id"), "doc_id", 0.8)
+    return split_leakage(pairs, splits, "doc_id")
+
+
+def q_pack_shards(spark: SparkSession, sf: str) -> DataFrame:
+    """Concat-and-chunk token packing into 8 hash shards with a 512-token
+    budget: every doc gets (shard, start_off, pack_id) — deterministic
+    hash layout, per-shard windows so no global sort
+    (operators/curation.py::pack_shards)."""
+    from pyanomalydetector2_spark.operators.curation import pack_shards
+    from pyanomalydetector2_spark.operators.text import ws_tokens
+
+    docs = load_table(spark, sf, "documents")
+    out = pack_shards(
+        docs, "doc_id", F.size(ws_tokens(F.col("text"))),
+        budget=_PACK_BUDGET, n_shards=_PACK_SHARDS,
+    )
+    return out.select(
+        F.col("id").alias("doc_id"), "shard",
+        F.col("start_off").cast("long").alias("start_off"), "pack_id",
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the detect1-style z-score screen on sf0.001."""
     return q_zscore_screen(spark, "/root/testdata/sf0.001")
@@ -2015,6 +2079,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize": q_sessionize,
         "edit_near_dup": q_edit_near_dup,
         "interval_join": q_interval_join,
+        "decontaminate": q_decontaminate,
+        "split_leakage": q_split_leakage,
+        "pack_shards": q_pack_shards,
     }
 
 
@@ -3806,5 +3873,88 @@ def oracle_sql() -> dict[str, str]:
                count(DISTINCT us) AS n_purchases,
                CAST(coalesce(sum(us - start_us), 0) AS BIGINT) AS off_sum
         FROM m GROUP BY 1
+    """
+    # curation: benchmark decontamination — 8-gram shingle overlap between
+    # the non-bench corpus and the hash-derived bench bucket (curation.py)
+    out["decontaminate"] = f"""
+        WITH dtoks AS (
+          SELECT doc_id,
+                 list_filter(regexp_split_to_array(lower(trim(text)),
+                                                   '\\s+'),
+                             x -> x <> '') AS t,
+                 ({_H60.format(x="'bench:' || doc_id::VARCHAR")}) % 1000000
+                   < {int(_DECON_BENCH_FRAC * 1_000_000)} AS is_bench
+          FROM documents
+        ),
+        dsh AS (
+          SELECT DISTINCT doc_id, is_bench,
+                 array_to_string(t[i:i+{_DECON_N - 1}], ' ') AS shingle
+          FROM dtoks,
+               UNNEST(range(1, greatest(len(t) - {_DECON_N - 1}, 0) + 1))
+                 AS u(i)
+        )
+        SELECT c.doc_id AS doc_id, b.doc_id AS bench_id,
+               CAST(count(*) AS BIGINT) AS n_shared
+        FROM dsh c JOIN dsh b ON c.shingle = b.shingle
+        WHERE NOT c.is_bench AND b.is_bench
+        GROUP BY 1, 2
+        HAVING count(*) >= 1
+    """
+    # curation: near-dup pairs straddling the stable train/val split —
+    # the jp pipeline is ngram_jaccard_pairs', the split is train_split's
+    out["split_leakage"] = f"""
+        WITH {_MINHASH_CTES},
+        sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+        inter AS (
+          SELECT c.id_a, c.id_b, count(*) AS n
+          FROM cand c
+          JOIN sh a ON a.doc_id = c.id_a
+          JOIN sh b ON b.doc_id = c.id_b AND b.shingle = a.shingle
+          GROUP BY 1, 2
+        ),
+        jp AS (
+          SELECT i.id_a, i.id_b
+          FROM inter i
+          JOIN sizes sa ON sa.doc_id = i.id_a
+          JOIN sizes sb ON sb.doc_id = i.id_b
+          WHERE i.n / (sa.sz + sb.sz - i.n) >= 0.1
+        ),
+        sp AS (
+          SELECT doc_id,
+                 CASE WHEN ({_H60.format(x="'split:' || doc_id::VARCHAR")})
+                        % 1000000 < 800000
+                      THEN 'train' ELSE 'val' END AS split
+          FROM documents
+        )
+        SELECT p.id_a, p.id_b, a.split AS split_a, b.split AS split_b
+        FROM jp p
+        JOIN sp a ON a.doc_id = p.id_a
+        JOIN sp b ON b.doc_id = p.id_b
+        WHERE a.split <> b.split
+    """
+    # curation: concat-and-chunk packing — hash shard + hash order, running
+    # token offset, 512-token chunk id (curation.pack_shards)
+    out["pack_shards"] = f"""
+        WITH pt AS (
+          SELECT doc_id,
+                 CAST(len(list_filter(regexp_split_to_array(
+                          lower(trim(text)), '\\s+'),
+                        x -> x <> '')) AS BIGINT) AS n_tok,
+                 CAST(({_H60.format(x="'shard:' || doc_id::VARCHAR")})
+                      % {_PACK_SHARDS} AS INT) AS shard,
+                 ({_H60.format(x="'pack:' || doc_id::VARCHAR")}) AS ok
+          FROM documents
+        ),
+        ps AS (
+          SELECT doc_id, shard,
+                 coalesce(sum(n_tok) OVER (
+                   PARTITION BY shard ORDER BY ok, doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS start_off
+          FROM pt
+        )
+        SELECT doc_id, shard, CAST(start_off AS BIGINT) AS start_off,
+               CAST(floor(start_off / {_PACK_BUDGET}) AS BIGINT) AS pack_id
+        FROM ps
     """
     return out
