@@ -2001,6 +2001,61 @@ def q_pack_shards(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+_REP_LINE_TOKS = 5  # contract "lines" = 5-token chunks (corpus is single-line)
+
+
+def q_repetition(spark: SparkSession, sf: str) -> DataFrame:
+    """Gopher-style repetition filters (dup-line fractions, top-2-gram
+    coverage, dup-2-gram char fraction) — pure per-row array expressions,
+    zero shuffle (operators/text.py::repetition_metrics). Lines are derived
+    by chunking whitespace tokens in groups of five because the synthetic
+    corpus is single-line."""
+    from pyanomalydetector2_spark.operators.text import (
+        repetition_metrics,
+        ws_tokens,
+    )
+
+    docs = load_table(spark, sf, "documents")
+    toks = ws_tokens(F.coalesce(F.col("text"), F.lit("")))
+    k = _REP_LINE_TOKS
+    nl = F.floor((F.size(toks) + (k - 1)) / k).cast("int")
+    lines = F.when(
+        F.size(toks) >= 1,
+        F.transform(
+            F.sequence(F.lit(0), nl - 1),
+            lambda i: F.concat_ws(" ", F.slice(toks, i * k + 1, k)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return repetition_metrics(docs, "doc_id", "text", lines=lines, ngram_n=2)
+
+
+def q_pii_scrub(spark: SparkSession, sf: str) -> DataFrame:
+    """PII hit counts + redaction over a deterministically planted text
+    (email/IPv4/phone derived from doc_id — the raw corpus contains no
+    PII, so the plant makes the regex surface actually fire on every
+    row). Patterns are the Java-regex/RE2-identical subset
+    (operators/curation.py::PII_PATTERNS)."""
+    from pyanomalydetector2_spark.operators.curation import (
+        pii_metrics,
+        pii_redact,
+    )
+
+    docs = load_table(spark, sf, "documents")
+    d = F.col("doc_id")
+    planted = F.concat(
+        F.coalesce(F.col("text"), F.lit("")),
+        F.lit(" mail "), d.cast("string"), F.lit("@ex.com ip 10."),
+        (d % 200).cast("string"), F.lit(".0."),
+        (d % 250).cast("string"), F.lit(" tel +1 555 01"),
+        ((d % 90) + 10).cast("string"),
+    )
+    base = docs.select("doc_id", planted.alias("ptext"))
+    return pii_metrics(base, "ptext").select(
+        "doc_id", "n_email", "n_ipv4", "n_phone",
+        pii_redact(F.col("ptext")).alias("redacted"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the detect1-style z-score screen on sf0.001."""
     return q_zscore_screen(spark, "/root/testdata/sf0.001")
@@ -2082,6 +2137,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": q_decontaminate,
         "split_leakage": q_split_leakage,
         "pack_shards": q_pack_shards,
+        "repetition": q_repetition,
+        "pii_scrub": q_pii_scrub,
     }
 
 
@@ -3956,5 +4013,102 @@ def oracle_sql() -> dict[str, str]:
         SELECT doc_id, shard, CAST(start_off AS BIGINT) AS start_off,
                CAST(floor(start_off / {_PACK_BUDGET}) AS BIGINT) AS pack_id
         FROM ps
+    """
+    # Gopher repetition filters: lines = 5-token chunks, 2-grams keep
+    # every occurrence; fractions round(·,6), ties on the top gram break
+    # to the lexicographically smallest (Spark scans a sorted array)
+    k = _REP_LINE_TOKS
+    out["repetition"] = f"""
+        WITH rt AS (
+          SELECT doc_id, text,
+                 list_filter(regexp_split_to_array(lower(trim(coalesce(text,
+                               ''))), '\\s+'),
+                             x -> x <> '') AS t
+          FROM documents
+        ),
+        rl AS (
+          SELECT doc_id,
+                 array_to_string(t[(i-1)*{k}+1:(i-1)*{k}+{k}], ' ') AS line
+          FROM rt, UNNEST(range(1, (len(t)+{k - 1})//{k} + 1)) AS u(i)
+        ),
+        rg AS (
+          SELECT doc_id, array_to_string(t[i:i+1], ' ') AS g
+          FROM rt, UNNEST(range(1, greatest(len(t)-1, 0)+1)) AS u(i)
+        ),
+        lc AS (
+          SELECT doc_id, line, count(*) AS cnt, length(line) AS len
+          FROM rl GROUP BY 1, 2, length(line)
+        ),
+        lagg AS (
+          SELECT doc_id, sum(cnt) AS n_lines, count(*) AS n_distinct,
+                 sum(len*cnt) AS line_chars,
+                 coalesce(sum(CASE WHEN cnt > 1 THEN len*cnt END), 0)
+                   AS dup_line_chars
+          FROM lc GROUP BY 1
+        ),
+        gc AS (
+          SELECT doc_id, g, count(*) AS cnt, length(g) AS len
+          FROM rg GROUP BY 1, 2, length(g)
+        ),
+        gagg AS (
+          SELECT doc_id, sum(len*cnt) AS gram_chars,
+                 coalesce(sum(CASE WHEN cnt > 1 THEN len*cnt END), 0)
+                   AS dup_gram_chars
+          FROM gc GROUP BY 1
+        ),
+        gtop AS (
+          SELECT doc_id, g AS top_ngram, cnt AS top_cnt
+          FROM (SELECT doc_id, g, cnt,
+                       row_number() OVER (PARTITION BY doc_id
+                                          ORDER BY cnt DESC, g ASC) AS rn
+                FROM gc)
+          WHERE rn = 1
+        )
+        SELECT d.doc_id,
+               CAST(coalesce(l.n_lines, 0) AS BIGINT) AS n_lines,
+               round(coalesce((l.n_lines - l.n_distinct) / l.n_lines, 0), 6)
+                 AS dup_line_frac,
+               round(coalesce(l.dup_line_chars / l.line_chars, 0), 6)
+                 AS dup_line_char_frac,
+               coalesce(t.top_ngram, '') AS top_ngram,
+               round(coalesce(t.top_cnt * length(t.top_ngram)
+                       / greatest(length(coalesce(d.text, '')), 1), 0), 6)
+                 AS top_ngram_frac,
+               round(coalesce(g.dup_gram_chars / g.gram_chars, 0), 6)
+                 AS dup_ngram_char_frac
+        FROM documents d
+        LEFT JOIN lagg l USING (doc_id)
+        LEFT JOIN gagg g USING (doc_id)
+        LEFT JOIN gtop t USING (doc_id)
+    """
+    # PII scrub: same planted text, same Java/RE2-identical patterns,
+    # same EMAIL -> IPV4 -> PHONE redaction order ('g' = replace-all,
+    # matching Spark's regexp_replace)
+    from pyanomalydetector2_spark.operators.curation import PII_PATTERNS
+
+    em, em_tok = PII_PATTERNS["email"]
+    ip, ip_tok = PII_PATTERNS["ipv4"]
+    ph, ph_tok = PII_PATTERNS["phone"]
+    out["pii_scrub"] = f"""
+        WITH px AS (
+          SELECT doc_id,
+                 coalesce(text, '') || ' mail ' || doc_id::VARCHAR
+                 || '@ex.com ip 10.' || (doc_id % 200)::VARCHAR || '.0.'
+                 || (doc_id % 250)::VARCHAR || ' tel +1 555 01'
+                 || (doc_id % 90 + 10)::VARCHAR AS ptext
+          FROM documents
+        )
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(ptext, '{em}')) AS BIGINT)
+                 AS n_email,
+               CAST(len(regexp_extract_all(ptext, '{ip}')) AS BIGINT)
+                 AS n_ipv4,
+               CAST(len(regexp_extract_all(ptext, '{ph}')) AS BIGINT)
+                 AS n_phone,
+               regexp_replace(regexp_replace(regexp_replace(ptext,
+                 '{em}', '{em_tok}', 'g'),
+                 '{ip}', '{ip_tok}', 'g'),
+                 '{ph}', '{ph_tok}', 'g') AS redacted
+        FROM px
     """
     return out

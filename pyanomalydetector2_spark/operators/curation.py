@@ -155,3 +155,40 @@ def bench_bucket(key: Column, fraction: float, salt: str = "bench") -> Column:
     how the contract queries derive a 'benchmark' subset from the corpus
     when no external eval set exists. Same h60 contract as sampling."""
     return sample_bucket(key, salt) < int(fraction * _DENOM)
+
+
+# PII patterns deliberately restricted to syntax Java regex (Spark) and
+# RE2 (DuckDB) evaluate IDENTICALLY: character classes, bounded/greedy
+# repetition and \b only — no alternation (RE2 is leftmost-longest, Java
+# leftmost-first: alternation is where they diverge), no lookaround, no
+# backreferences (RE2 lacks both).
+PII_PATTERNS: dict[str, tuple[str, str]] = {
+    "email": (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    "ipv4": (r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IPV4>"),
+    "phone": (r"\+\d[\d ()\-]{6,}\d", "<PHONE>"),
+}
+
+
+def pii_metrics(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-row PII hit counts: n_email / n_ipv4 / n_phone columns appended.
+    Pure regexp_extract_all column expressions — JVM regex, no Python,
+    map-side only at any scale."""
+    out = df
+    for name, (pat, _) in PII_PATTERNS.items():
+        out = out.withColumn(
+            f"n_{name}",
+            F.size(F.regexp_extract_all(F.col(text_col), F.lit(pat), F.lit(0)))
+            .cast("long"),
+        )
+    return out
+
+
+def pii_redact(col: Column) -> Column:
+    """Redacted copy of a text column: EMAIL then IPV4 then PHONE, in that
+    fixed order (emails contain dots+digits an IP scan could clip; the
+    replacement tokens contain no digits, so later passes never touch
+    earlier redactions)."""
+    out = col
+    for pat, token in PII_PATTERNS.values():
+        out = F.regexp_replace(out, pat, token)
+    return out

@@ -201,3 +201,154 @@ def text_embed(
         )
     )
     return out
+
+
+def _neighbor_dup_chars(sorted_arr: Column) -> Column:
+    """Characters belonging to duplicated elements of a SORTED array:
+    an element occurs >1 time iff it equals a sorted neighbor, so every
+    occurrence of a duplicated element is counted (run of k equal
+    elements -> all k lengths summed). Pure per-row expression — the
+    whole computation stays inside codegen, no explode, no shuffle."""
+    n = F.size(sorted_arr)
+    def dup_len(i: Column) -> Column:
+        elem = F.element_at(sorted_arr, i)
+        prev_eq = (i > 1) & (F.element_at(sorted_arr, i - 1) == elem)
+        next_eq = (i < n) & (F.element_at(sorted_arr, i + 1) == elem)
+        return F.when(prev_eq | next_eq, F.length(elem)).otherwise(F.lit(0))
+    return F.when(
+        n >= 1,  # sequence(1, 0) would DESCEND — guard the empty array
+        F.aggregate(
+            F.sequence(F.lit(1), n),
+            F.lit(0).cast("long"),
+            lambda acc, i: acc + dup_len(i),
+        ),
+    ).otherwise(F.lit(0).cast("long"))
+
+
+def _top_run(sorted_arr: Column) -> Column:
+    """(best, best_run) of the most frequent element of a SORTED array —
+    one linear scan with a struct accumulator. Ties keep the FIRST (i.e.
+    lexicographically smallest) element: only a strictly longer run
+    replaces the champion, the deterministic tie-break an ORDER BY
+    cnt DESC, elem ASC LIMIT 1 oracle replays exactly."""
+    init = F.struct(
+        F.lit("").alias("prev"),
+        F.lit(0).cast("long").alias("run"),
+        F.lit("").alias("best"),
+        F.lit(0).cast("long").alias("best_run"),
+    )
+    def step(acc: Column, x: Column) -> Column:
+        run = F.when(x == acc["prev"], acc["run"] + 1).otherwise(
+            F.lit(1).cast("long")
+        )
+        better = run > acc["best_run"]
+        return F.struct(
+            x.alias("prev"),
+            run.alias("run"),
+            F.when(better, x).otherwise(acc["best"]).alias("best"),
+            F.when(better, run).otherwise(acc["best_run"]).alias("best_run"),
+        )
+    return F.aggregate(sorted_arr, init, step)
+
+
+def ngram_array(toks: Column, n: int) -> Column:
+    """Space-joined n-grams of a token array as an array (keeps every
+    occurrence — NOT distinct, unlike dedup.shingle_frame). Short inputs
+    get an empty array (sequence(0, -1) would descend)."""
+    return F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - n),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def repetition_metrics(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    lines: Column | None = None,
+    ngram_n: int = 2,
+) -> DataFrame:
+    """Gopher-style repetition quality filters (Rae et al. 2021 §A1.1),
+    per document:
+
+    - n_lines, dup_line_frac (1 - distinct/total lines),
+      dup_line_char_frac (chars in lines occurring >1, ALL occurrences,
+      over total line chars);
+    - top_ngram (most frequent ``ngram_n``-gram, ties -> lexicographically
+      smallest), top_ngram_frac (chars covered by its occurrences over
+      the document's char length);
+    - dup_ngram_char_frac (gram-chars in grams occurring >1 over total
+      gram-chars).
+
+    ``lines`` defaults to newline-split (empty lines dropped); callers
+    whose corpus is single-line pass their own derivation (the contract
+    query chunks whitespace tokens in groups of five).
+
+    Scale: every metric is a per-row array expression over sorted copies
+    of the line/gram arrays — zero shuffle, zero Python, whole-stage
+    codegen end-to-end; at 10^12 rows this runs entirely map-side.
+    Reference analog: none (the reference has no text surface); the
+    per-item screen-then-threshold shape mirrors detector.py:150-215.
+    Fractions are round(·, 6) for oracle replay; divides are try_divide
+    (ANSI mode) coalesced to 0.
+    """
+    from pyanomalydetector2_spark.functions import rebalance_for_expansion
+
+    # the per-row array scans are ~50× the scan cost: spread a tiny/single-
+    # split input across the slots (no-op when file count ≥ slot count)
+    df = rebalance_for_expansion(df)
+    text = F.col(text_col)
+    lns = (
+        lines
+        if lines is not None
+        else F.filter(F.split(text, "\n"), lambda x: x != "")
+    )
+    toks = ws_tokens(text)
+    out = df.select(
+        F.col(id_col),
+        text.alias("_t"),
+        F.array_sort(lns).alias("_lns"),
+        F.array_sort(ngram_array(toks, ngram_n)).alias("_gs"),
+    )
+    n_lines = F.size("_lns")
+    line_chars = F.when(
+        n_lines >= 1,
+        F.aggregate(
+            F.col("_lns"),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + F.length(x),
+        ),
+    ).otherwise(F.lit(0).cast("long"))
+    gram_chars = F.when(
+        F.size("_gs") >= 1,
+        F.aggregate(
+            F.col("_gs"),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + F.length(x),
+        ),
+    ).otherwise(F.lit(0).cast("long"))
+    top = _top_run(F.col("_gs"))
+    frac = lambda num, den: F.round(  # noqa: E731
+        F.coalesce(F.try_divide(num, den), F.lit(0.0)), 6
+    )
+    return out.select(
+        F.col(id_col),
+        n_lines.cast("long").alias("n_lines"),
+        frac(n_lines - F.size(F.array_distinct("_lns")), n_lines).alias(
+            "dup_line_frac"
+        ),
+        frac(_neighbor_dup_chars(F.col("_lns")), line_chars).alias(
+            "dup_line_char_frac"
+        ),
+        top["best"].alias("top_ngram"),
+        frac(
+            top["best_run"] * F.length(top["best"]),
+            F.greatest(F.length(F.coalesce(F.col("_t"), F.lit(""))), F.lit(1)),
+        ).alias("top_ngram_frac"),
+        frac(_neighbor_dup_chars(F.col("_gs")), gram_chars).alias(
+            "dup_ngram_char_frac"
+        ),
+    )

@@ -116,3 +116,75 @@ def test_bench_bucket_partitions_and_contamination_rate(spark):
     r = contamination_rate(flagged, docs, "doc_id").collect()[0]
     assert (r.n_docs, r.n_contaminated) == (200, 2)
     assert abs(r.rate - 2 / 200) < 1e-12
+
+
+def test_pii_metrics_and_redact(spark):
+    from pyspark.sql import functions as F
+
+    from pyanomalydetector2_spark.operators.curation import (
+        pii_metrics,
+        pii_redact,
+    )
+
+    df = spark.createDataFrame(
+        [
+            ("a", "write to bob.smith+x@mail.example.org or call +44 20 7946 0958"),
+            ("b", "server at 192.168.0.1 and 10.0.0.255, no phone"),
+            ("c", "nothing sensitive here 3.14 is just pi"),
+            ("d", None),
+        ],
+        "id string, text string",
+    )
+    out = {
+        r.id: r
+        for r in pii_metrics(df, "text")
+        .withColumn("red", pii_redact(F.col("text")))
+        .collect()
+    }
+    assert (out["a"].n_email, out["a"].n_phone, out["a"].n_ipv4) == (1, 1, 0)
+    assert out["a"].red == "write to <EMAIL> or call <PHONE>"
+    assert (out["b"].n_email, out["b"].n_ipv4, out["b"].n_phone) == (0, 2, 0)
+    assert out["b"].red == "server at <IPV4> and <IPV4>, no phone"
+    # "3.14" must not be clipped by the ipv4 rule (needs four octets)
+    assert (out["c"].n_email, out["c"].n_ipv4, out["c"].n_phone) == (0, 0, 0)
+    assert out["c"].red == out["c"].text
+    assert out["d"].red is None
+
+
+def test_repetition_metrics_planted_duplicates(spark):
+    from pyanomalydetector2_spark.operators.text import repetition_metrics
+
+    df = spark.createDataFrame(
+        [
+            # 4 lines, "x y" twice: dup_line_frac=1-3/4, chars 2*3/12
+            ("a", "x y\nz w\nx y\nq r"),
+            ("b", "all distinct\nlines here"),
+            ("c", ""),
+        ],
+        "id string, text string",
+    )
+    out = {r.id: r for r in repetition_metrics(df, "id", "text").collect()}
+    a = out["a"]
+    assert a.n_lines == 4
+    assert abs(a.dup_line_frac - 0.25) < 1e-9
+    assert abs(a.dup_line_char_frac - 6 / 12) < 1e-9
+    # tokens: x y z w x y q r -> 7 2-grams, "x y" twice is the top;
+    # coverage denominator is the raw text length (15 chars)
+    assert a.top_ngram == "x y"
+    assert abs(a.top_ngram_frac - 2 * 3 / 15) < 1e-9
+    b = out["b"]
+    assert (b.n_lines, b.dup_line_frac, b.dup_line_char_frac) == (2, 0.0, 0.0)
+    c = out["c"]
+    assert (c.n_lines, c.dup_line_frac, c.top_ngram, c.top_ngram_frac) == (
+        0, 0.0, "", 0.0,
+    )
+
+
+def test_repetition_metrics_dup_ngram_char_frac(spark):
+    from pyanomalydetector2_spark.operators.text import repetition_metrics
+
+    # tokens a b a b a -> grams: "a b","b a","a b","b a" all duplicated
+    df = spark.createDataFrame([("d", "a b a b a")], "id string, text string")
+    r = repetition_metrics(df, "id", "text").collect()[0]
+    assert r.dup_ngram_char_frac == 1.0
+    assert r.top_ngram == "a b"
