@@ -172,13 +172,20 @@ PII_PATTERNS: dict[str, tuple[str, str]] = {
 def pii_metrics(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Per-row PII hit counts: n_email / n_ipv4 / n_phone columns appended.
     Pure regexp_extract_all column expressions — JVM regex, no Python,
-    map-side only at any scale."""
+    map-side only at any scale. NULL text counts as zero hits (missing
+    evidence, the same vacuous contract the consistency checks use)."""
     out = df
     for name, (pat, _) in PII_PATTERNS.items():
         out = out.withColumn(
             f"n_{name}",
-            F.size(F.regexp_extract_all(F.col(text_col), F.lit(pat), F.lit(0)))
-            .cast("long"),
+            F.coalesce(
+                F.size(
+                    F.regexp_extract_all(
+                        F.col(text_col), F.lit(pat), F.lit(0)
+                    )
+                ),
+                F.lit(0),
+            ).cast("long"),
         )
     return out
 

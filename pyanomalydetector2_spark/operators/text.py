@@ -300,7 +300,9 @@ def repetition_metrics(
     # the per-row array scans are ~50× the scan cost: spread a tiny/single-
     # split input across the slots (no-op when file count ≥ slot count)
     df = rebalance_for_expansion(df)
-    text = F.col(text_col)
+    # NULL text ≡ empty document (size(null) is null under ANSI — every
+    # downstream metric would go null instead of 0)
+    text = F.coalesce(F.col(text_col), F.lit(""))
     lns = (
         lines
         if lines is not None

@@ -148,6 +148,8 @@ def test_pii_metrics_and_redact(spark):
     # "3.14" must not be clipped by the ipv4 rule (needs four octets)
     assert (out["c"].n_email, out["c"].n_ipv4, out["c"].n_phone) == (0, 0, 0)
     assert out["c"].red == out["c"].text
+    # NULL text: zero hits (missing evidence), redaction stays NULL
+    assert (out["d"].n_email, out["d"].n_ipv4, out["d"].n_phone) == (0, 0, 0)
     assert out["d"].red is None
 
 
@@ -160,6 +162,7 @@ def test_repetition_metrics_planted_duplicates(spark):
             ("a", "x y\nz w\nx y\nq r"),
             ("b", "all distinct\nlines here"),
             ("c", ""),
+            ("e", None),
         ],
         "id string, text string",
     )
@@ -176,6 +179,11 @@ def test_repetition_metrics_planted_duplicates(spark):
     assert (b.n_lines, b.dup_line_frac, b.dup_line_char_frac) == (2, 0.0, 0.0)
     c = out["c"]
     assert (c.n_lines, c.dup_line_frac, c.top_ngram, c.top_ngram_frac) == (
+        0, 0.0, "", 0.0,
+    )
+    # NULL text ≡ empty document, not a row of NULL metrics
+    e = out["e"]
+    assert (e.n_lines, e.dup_line_frac, e.top_ngram, e.dup_ngram_char_frac) == (
         0, 0.0, "", 0.0,
     )
 
