@@ -232,6 +232,37 @@ TOKEN_COUNT_SQL = (
 _RATE = "transcript_tokens * 1000.0 / nullif(dur_ms, 0)"
 
 
+def _pii_sql_literal(pat: str) -> str:
+    """A PII regex as a Spark SQL string literal: backslashes double so the
+    parser emits the original pattern ('\\\\b' in SQL text → \\b regex)."""
+    return pat.replace("\\", "\\\\")
+
+
+def _pii_check_sql() -> tuple[str, str]:
+    """(predicate, observed) for the transcript PII row check, built from
+    operators.curation.PII_PATTERNS — ONE pattern source for the curation
+    operators (pii_metrics / pii_redact), this suite check, and the YAML
+    mirror (configs/clips_suite.yml carries the expanded text; equality is
+    pinned by tests/test_config.py). NULL transcript → no hits → pass
+    (missing evidence; transcript_not_null already owns that row)."""
+    from pyanomalydetector2_spark.operators.curation import PII_PATTERNS
+
+    hits = " OR ".join(
+        f"coalesce(transcript, '') rlike '{_pii_sql_literal(p)}'"
+        for p, _ in PII_PATTERNS.values()
+    )
+    observed = "concat(" + ", ".join(
+        f"'{'' if i == 0 else ' '}{name}=', "
+        f"cast(size(regexp_extract_all(coalesce(transcript, ''), "
+        f"'{_pii_sql_literal(pat)}', 0)) as string)"
+        for i, (name, (pat, _)) in enumerate(PII_PATTERNS.items())
+    ) + ")"
+    return f"NOT ({hits})", observed
+
+
+_PII_PREDICATE, _PII_OBSERVED = _pii_check_sql()
+
+
 def default_clips_suite() -> Suite:
     """The full constraint suite for the clips table (north_rule surface).
     SNR threshold per input_hint: decoded-PCM allclose ⇔ SNR ≥ 30 dB."""
@@ -300,6 +331,18 @@ def default_clips_suite() -> Suite:
                 f"concat('tokens_per_s=', cast(round({_RATE}, 3) as string))",
                 "0.02 <= declared tokens/second <= 100 on speech rows",
                 requires_audio=True,
+            ),
+            # transcript PII (curation surface wired into the validation
+            # suite): emails / IPv4s / phone numbers must never ship in a
+            # training transcript. Same patterns as operators.curation
+            # (pii_metrics / pii_redact) — JVM regex, map-side only; no
+            # audio evidence needed, so the check runs on the cheap
+            # non-decoded projection.
+            RowCheck(
+                "transcript_pii_free",
+                _PII_PREDICATE,
+                _PII_OBSERVED,
+                "transcript free of email/IPv4/phone PII",
             ),
         ),
         stat_checks=(

@@ -41,6 +41,12 @@ tests can count them in closed form:
                            → 200–560 tok/s; also trips transcript match)
 - speaking rate too slow   id % 139 == 10 (transcript 'ok', dur_ms=60000
                            → 0.017 tok/s; also trips transcript match)
+- PII in transcript        id % 149 == 11 (deterministic email/IPv4/phone
+                           appended, kind cycling on id % 3; lowest
+                           precedence — null/empty/mismatch/rate plants
+                           keep their transcripts, so PII lands only where
+                           no other transcript plant hit; also trips
+                           transcript match, the documented overlap norm)
 - dur_ms drift             current dur_ms *= 1.25 (distribution shift vs
                            baseline → PSI/KS target)
 
@@ -88,6 +94,7 @@ V_MISMATCH = (127, 7)
 V_SILENT = (131, 8)
 V_RATE_HI = (137, 9)
 V_RATE_LO = (139, 10)
+V_PII = (149, 11)
 
 
 def _splitmix64(x: np.ndarray) -> np.ndarray:
@@ -292,6 +299,7 @@ def _gen_batch(
     mism_m = _hits(eff, V_MISMATCH) if planted else np.zeros(n, dtype=bool)
     rhi_m = _hits(eff, V_RATE_HI) if planted else np.zeros(n, dtype=bool)
     rlo_m = _hits(eff, V_RATE_LO) if planted else np.zeros(n, dtype=bool)
+    pii_m = _hits(eff, V_PII) if planted else np.zeros(n, dtype=bool)
     ref_t = reference_transcripts_batch(eff)
     for i in range(n):
         if null_m[i]:
@@ -304,6 +312,19 @@ def _gen_batch(
             trans.append(" ".join([ref_t[i]] * 40))
         elif rlo_m[i]:
             trans.append("ok")
+        elif pii_m[i]:
+            # PII plant: 2–4 extra tokens keep the declared rate inside
+            # the sane band; kind cycles so every pattern fires in any
+            # fixture larger than ~450 rows
+            e = int(eff[i])
+            if e % 3 == 0:
+                trans.append(f"{ref_t[i]} contact clip{e}@example.com")
+            elif e % 3 == 1:
+                trans.append(
+                    f"{ref_t[i]} logged from 10.{e % 254}.{e % 199}.{e % 251}"
+                )
+            else:
+                trans.append(f"{ref_t[i]} call +1 415 {1000 + e % 9000}")
         else:
             trans.append(ref_t[i])
 

@@ -15,6 +15,7 @@ from pyanomalydetector2_spark.datagen.clips import (
     V_MISMATCH,
     V_NULL_T,
     V_PCM,
+    V_PII,
     V_RATE_HI,
     V_RATE_LO,
     V_SILENT,
@@ -82,6 +83,7 @@ def test_suite_violation_counts_match_oracle(spark, clips):
     silent_m = (eff % V_SILENT[0]) == V_SILENT[1]
     rhi_m = (eff % V_RATE_HI[0]) == V_RATE_HI[1]
     rlo_m = (eff % V_RATE_LO[0]) == V_RATE_LO[1]
+    pii_m = (eff % V_PII[0]) == V_PII[1]
     exp_null = int(null_m.sum())
     exp_empty = int(empty_m.sum())
     exp_codec = int(codec_hit.sum())
@@ -90,7 +92,9 @@ def test_suite_violation_counts_match_oracle(spark, clips):
     # and the silent plant (zero payload vs sine reference → 0 dB)
     exp_snr = int((pcm_hit | codec_hit | silent_m).sum())
     # transcript match fails on every transcript mutation (strides overlap)
-    exp_tmatch = int((mism_m | null_m | empty_m | rhi_m | rlo_m).sum())
+    exp_tmatch = int((mism_m | null_m | empty_m | rhi_m | rlo_m | pii_m).sum())
+    # PII lands only where no other transcript plant took precedence
+    exp_pii = int((pii_m & ~(null_m | empty_m | mism_m | rhi_m | rlo_m)).sum())
     # cross-modal checks: need decode evidence (unknown codec excluded);
     # silent rows flag when the transcript has ≥1 token (every transcript
     # variant except the null/empty plants); speech rows flag on 0 tokens
@@ -114,6 +118,7 @@ def test_suite_violation_counts_match_oracle(spark, clips):
     assert got.get("transcript_silence_consistent", 0) == exp_silent_t
     assert got.get("transcript_speech_labeled", 0) == exp_speech_e
     assert got.get("speaking_rate_sane", 0) == exp_rate
+    assert exp_pii > 0 and got.get("transcript_pii_free", 0) == exp_pii
     assert "dur_ms_positive" not in got
     assert "clip_id_format" not in got
 
@@ -141,6 +146,57 @@ def test_clean_baseline_passes_everything(spark, clips):
     res = run_suite(base, base, dims, default_clips_suite(), "run_clean")
     assert res.violations.isEmpty()
     assert res.passed()
+
+
+def test_transcript_pii_plant_kinds_and_redaction(spark, clips):
+    """Every planted PII kind (email / IPv4 / phone, cycling on eff % 3) is
+    detected by the curation operators over the clip transcripts, exactly
+    one hit of exactly the planted kind per row, and pii_redact scrubs it —
+    the operator surface the suite's transcript_pii_free check rides on."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    from pyanomalydetector2_spark.operators.curation import (
+        PII_PATTERNS,
+        pii_metrics,
+        pii_redact,
+    )
+
+    cur, _, _ = clips
+    got = (
+        pii_metrics(cur.select("clip_id", "transcript"), "transcript")
+        .withColumn("red", pii_redact(F.col("transcript")))
+        .filter("n_email + n_ipv4 + n_phone > 0")
+        .toPandas()
+        .set_index("clip_id")
+    )
+    # planted duplicates are FULL row copies — a duped PII row yields two
+    # identical flagged rows under one clip_id; keep one
+    got = got[~got.index.duplicated()]
+
+    ids = np.arange(N, dtype=np.int64)
+    eff = ids.copy()
+    dup = (ids % V_DUP[0] == V_DUP[1]) & (ids > 0)
+    eff[dup] = ids[dup] - 1
+    pii_fires = ((eff % V_PII[0]) == V_PII[1])
+    for p, off in (V_NULL_T, V_EMPTY_T, V_MISMATCH, V_RATE_HI, V_RATE_LO):
+        pii_fires &= (eff % p) != off
+    o = oracle_pdf(N, True)
+    exp = {
+        o["clip_id"].iloc[i]: ("email", "ipv4", "phone")[int(eff[i]) % 3]
+        for i in np.nonzero(pii_fires)[0]
+    }
+    assert len(got) == len(set(exp)) and set(got.index) == set(exp)
+    assert {v for v in exp.values()} == {"email", "ipv4", "phone"}
+    for cid, kind in exp.items():
+        row = got.loc[cid]
+        counts = {k: int(row[f"n_{k}"]) for k in ("email", "ipv4", "phone")}
+        assert counts == {k: int(k == kind) for k in counts}, (cid, counts)
+        # redaction: placeholder present, no pattern matches anything left
+        assert PII_PATTERNS[kind][1] in row["red"]
+        for pat, _tok in PII_PATTERNS.values():
+            assert not re.search(pat, row["red"]), (cid, row["red"])
 
 
 def test_snr_separation(spark, clips):
