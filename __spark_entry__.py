@@ -2056,6 +2056,28 @@ def q_pii_scrub(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+_ESD_K = 5  # exact-substring gram width (whitespace tokens)
+
+
+def q_exact_substring_dup(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact-substring duplication per document (Lee et al. 2022 at k-gram
+    granularity): fraction of each document's tokens covered by a 5-token
+    gram occurring ≥2 times corpus-wide. Grams are hashed to 60 bits
+    before the shuffle (dedup.h60); the oracle groups by the gram string —
+    agreement proves the hash never left the gram identity
+    (operators/dedup.py::exact_substring_dup)."""
+    from pyanomalydetector2_spark.operators.dedup import exact_substring_dup
+
+    docs = load_table(spark, sf, "documents")
+    return exact_substring_dup(docs, "doc_id", "text", k=_ESD_K).select(
+        F.col("id").alias("doc_id"),
+        "n_tokens",
+        "n_dup_grams",
+        "dup_tokens",
+        "dup_frac",
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the detect1-style z-score screen on sf0.001."""
     return q_zscore_screen(spark, "/root/testdata/sf0.001")
@@ -2139,6 +2161,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_shards": q_pack_shards,
         "repetition": q_repetition,
         "pii_scrub": q_pii_scrub,
+        "exact_substring_dup": q_exact_substring_dup,
     }
 
 
@@ -4110,5 +4133,45 @@ def oracle_sql() -> dict[str, str]:
                  '{ip}', '{ip_tok}', 'g'),
                  '{ph}', '{ph_tok}', 'g') AS redacted
         FROM px
+    """
+    # exact-substring dup: gram occurrences WITH positions (every
+    # occurrence, unlike the distinct-shingle minhash CTE); interval
+    # union of sorted fixed-width-k hits is k + sum(min(k, gap))
+    ek = _ESD_K
+    out["exact_substring_dup"] = f"""
+        WITH rt AS (
+          SELECT doc_id,
+                 list_filter(regexp_split_to_array(lower(trim(coalesce(text,
+                               ''))), '\\s+'),
+                             x -> x <> '') AS t
+          FROM documents
+        ),
+        occ AS (
+          SELECT doc_id, i - 1 AS pos,
+                 array_to_string(t[i:i+{ek - 1}], ' ') AS g
+          FROM rt, UNNEST(range(1, greatest(len(t) - {ek} + 1, 0) + 1))
+                   AS u(i)
+        ),
+        dupg AS (SELECT g FROM occ GROUP BY g HAVING count(*) >= 2),
+        seqd AS (
+          SELECT o.doc_id, o.pos,
+                 lag(o.pos) OVER (PARTITION BY o.doc_id ORDER BY o.pos)
+                   AS prev
+          FROM occ o JOIN dupg USING (g)
+        ),
+        per AS (
+          SELECT doc_id, count(*) AS n_dup_grams,
+                 {ek} + coalesce(sum(CASE WHEN prev IS NULL THEN 0
+                                     ELSE least({ek}, pos - prev) END), 0)
+                   AS dup_tokens
+          FROM seqd GROUP BY doc_id
+        )
+        SELECT r.doc_id,
+               CAST(len(r.t) AS BIGINT) AS n_tokens,
+               CAST(coalesce(p.n_dup_grams, 0) AS BIGINT) AS n_dup_grams,
+               CAST(coalesce(p.dup_tokens, 0) AS BIGINT) AS dup_tokens,
+               round(coalesce(coalesce(p.dup_tokens, 0)
+                       / nullif(len(r.t), 0), 0), 6) AS dup_frac
+        FROM rt r LEFT JOIN per p USING (doc_id)
     """
     return out

@@ -798,3 +798,99 @@ def edit_near_dup(
         .filter((F.col("dist") >= 0) & (F.col("dist") <= max_dist))
         .select("id_a", "id_b", "len_a", "len_b", "dist")
     )
+
+
+def exact_substring_dup(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    k: int = 5,
+    min_count: int = 2,
+) -> DataFrame:
+    """Exact-substring duplication metric per document (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better"): the
+    fraction of a document's tokens covered by at least one k-token gram
+    that occurs ``min_count``+ times in the whole corpus (all occurrences
+    count — within- and cross-document alike, as in the paper's suffix-
+    array formulation restricted to k-gram granularity).
+
+    Output: (id, n_tokens, n_dup_grams, dup_tokens, dup_frac) — one row
+    per input document, zeros for documents with no duplicated gram.
+    ``dup_tokens`` is the size of the UNION of the [pos, pos+k) intervals
+    of the duplicated gram occurrences; for sorted positions that union is
+    closed-form ``k + Σ min(k, pos_i − pos_{i−1})``, evaluated as a per-row
+    array expression (no second shuffle for the interval sweep).
+
+    Scale (the 100-TB shape):
+    - gram occurrences are (long id, int pos, long hash) rows — tokens are
+      hashed to 60 bits (`h60`, the corpus-wide md5 idiom) BEFORE the
+      shuffle, so the wide text never leaves the scan stage;
+    - global gram counts use groupBy (map-side partial aggregation absorbs
+      hot grams like boilerplate headers before the exchange), then an
+      inner join occurrences ⋈ duplicated-keys on the hash — the
+      AQE-skew-splittable shape, unlike a window count whose hot partition
+      cannot be split;
+    - per-doc reduce is one groupBy(id) with a sorted-positions array fold.
+    Three shuffles total, each on narrow fixed-width rows.
+
+    The paper uses k=50 BPE tokens; the default k=5 whitespace tokens
+    keeps the small test corpora non-degenerate. Reference analog: none
+    (the reference has no text surface); the screen-then-confirm funnel
+    mirrors detector.py:150-215.
+    """
+    from pyanomalydetector2_spark.functions import rebalance_for_expansion
+    from pyanomalydetector2_spark.operators.text import ngram_array, ws_tokens
+
+    # NULL text is zero evidence (no tokens), not a -1-sized array
+    base = rebalance_for_expansion(df.select(id_col, text_col)).select(
+        F.col(id_col).alias("id"),
+        ws_tokens(F.coalesce(F.col(text_col), F.lit(""))).alias("t"),
+    )
+    docs = base.select("id", F.size("t").alias("n_tokens"))
+    occ = base.select(
+        "id", F.posexplode(ngram_array(F.col("t"), k)).alias("pos", "g")
+    ).select("id", "pos", h60(F.col("g")).alias("gh"))
+    dup_keys = (
+        occ.groupBy("gh")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") >= min_count)
+        .select("gh")
+    )
+    hits = occ.join(dup_keys, "gh")
+    per = hits.groupBy("id").agg(
+        F.count(F.lit(1)).alias("n_dup_grams"),
+        F.sort_array(F.collect_list("pos")).alias("ps"),
+    )
+    # union length of sorted fixed-width-k intervals: k for the first,
+    # min(k, gap) for each successor
+    gaps = F.zip_with(
+        F.slice(F.col("ps"), 2, F.greatest(F.size("ps") - 1, F.lit(0))),
+        F.slice(F.col("ps"), 1, F.greatest(F.size("ps") - 1, F.lit(0))),
+        lambda a, b: F.least(F.lit(k), a - b),
+    )
+    per = per.select(
+        "id",
+        "n_dup_grams",
+        (
+            F.lit(k)
+            + F.aggregate(gaps, F.lit(0), lambda acc, x: acc + x)
+        ).alias("dup_tokens"),
+    )
+    return (
+        docs.join(per, "id", "left")
+        .select(
+            "id",
+            "n_tokens",
+            F.coalesce("n_dup_grams", F.lit(0)).alias("n_dup_grams"),
+            F.coalesce("dup_tokens", F.lit(0)).alias("dup_tokens"),
+            F.round(
+                F.coalesce(
+                    F.try_divide(
+                        F.coalesce("dup_tokens", F.lit(0)), F.col("n_tokens")
+                    ),
+                    F.lit(0.0),
+                ),
+                6,
+            ).alias("dup_frac"),
+        )
+    )

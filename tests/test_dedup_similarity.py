@@ -656,3 +656,53 @@ def test_text_embed_feature_hash_properties(spark):
     }
     assert set(pairs) == {(0, 1), (0, 2), (1, 2)}
     assert pairs[(0, 1)] == 1.0
+
+
+def test_exact_substring_dup_interval_union(spark):
+    """Planted corpus with known k-gram duplication: overlapping hits merge
+    into one covered interval (union, not sum), disjoint hits add, docs
+    with no duplicated gram report zeros, NULL text is zero evidence."""
+    from pyanomalydetector2_spark.operators.dedup import exact_substring_dup
+
+    shared = "alpha beta gamma delta"  # one shared 4-gram (k=4)
+    rows = [
+        # doc 0/1: the shared 4-gram at positions 0 and 2 → each doc has
+        # exactly one duplicated-gram occurrence covering 4 tokens
+        (0, shared + " x y z"),
+        (1, "p q " + shared),
+        # doc 2: internal repeat "a b c d ... a b c d" → two occurrences
+        # of the same gram inside ONE doc (within-doc duplication counts),
+        # positions 0 and 5, gap 5 ≥ k → union = 8 tokens of 9
+        (2, "a b c d e a b c d"),
+        # doc 3: overlapping coverage — "m n o p q" holds grams at pos 0
+        # and 1; plant both in doc 4 too so both grams are corpus-dups;
+        # union of [0,4) and [1,5) = 5 tokens, NOT 8
+        (3, "m n o p q"),
+        (4, "m n o p q tail1 tail2"),
+        # doc 5: unique text, zero duplication
+        (5, "unique words only here never repeated anywhere at all"),
+        # doc 6: NULL text
+        (6, None),
+        # doc 7: shorter than k → no grams at all
+        (7, "tiny doc"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["id"]: r.asDict()
+        for r in exact_substring_dup(df, "doc_id", "text", k=4).collect()
+    }
+    assert len(got) == 8
+    assert got[0]["n_dup_grams"] == 1 and got[0]["dup_tokens"] == 4
+    assert got[0]["dup_frac"] == round(4 / 7, 6)
+    assert got[1]["n_dup_grams"] == 1 and got[1]["dup_tokens"] == 4
+    assert got[2]["n_dup_grams"] == 2 and got[2]["dup_tokens"] == 8
+    assert got[2]["dup_frac"] == round(8 / 9, 6)
+    # overlap: 2 duplicated grams but only 5 covered tokens
+    assert got[3]["n_dup_grams"] == 2 and got[3]["dup_tokens"] == 5
+    assert got[3]["dup_frac"] == 1.0
+    assert got[4]["n_dup_grams"] == 2 and got[4]["dup_tokens"] == 5
+    assert got[4]["dup_frac"] == round(5 / 7, 6)
+    for d in (5, 6, 7):
+        assert got[d]["n_dup_grams"] == 0 and got[d]["dup_tokens"] == 0
+        assert got[d]["dup_frac"] == 0.0
+    assert got[6]["n_tokens"] == 0 and got[7]["n_tokens"] == 2
