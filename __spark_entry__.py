@@ -1453,6 +1453,34 @@ def q_audio_dup_clusters(spark: SparkSession, sf: str) -> DataFrame:
     return out.select(F.col("id").alias("clip_id"), "cluster_id")
 
 
+_SNIPPET_CORPUS_CAP = 2000  # leaves seeds [cap, ORACLE_FP_SEEDS) for
+#                             out-of-corpus negative snippets at every sf
+
+
+def q_audio_snippet_search(spark: SparkSession, sf: str) -> DataFrame:
+    """Query-by-audio snippet search (audio_fp.snippet_search): every even
+    qid's snippet is a HOP-aligned slice of a corpus clip and must be
+    found at its planted frame offset; every odd qid's snippet is real
+    audio from a seed OUTSIDE the corpus and must only ever appear via
+    chance key collisions (which the oracle replays identically). Spark
+    decodes the actual snippet WAV bytes and the corpus clips through the
+    real codecs; the DuckDB oracle rebuilds both sides' hashes from the
+    numpy-precomputed frames table and replays the broadcast-join +
+    offset-groupBy algebra in SQL."""
+    from pyanomalydetector2_spark.operators.audio_fp import (
+        snippet_search,
+        synth_snippets,
+    )
+
+    docs = load_table(spark, sf, "documents").select("doc_id")
+    n_corpus = min(
+        int(docs.agg(F.max("doc_id")).first()[0]) + 1, _SNIPPET_CORPUS_CAP
+    )
+    corpus = _audio_corpus(spark, sf, max_id=n_corpus)
+    snippets = synth_snippets(spark, docs, n_corpus)
+    return snippet_search(corpus, snippets)
+
+
 def q_audio_keep_best(spark: SparkSession, sf: str) -> DataFrame:
     """The end-to-end AUDIO dedup decision: spectral near-dup clusters →
     keep the loudest member per cluster (max rms_db, ties → smallest
@@ -2147,6 +2175,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_ingest_stream": q_audio_ingest_stream,
         "audio_dup_clusters": q_audio_dup_clusters,
         "audio_keep_best": q_audio_keep_best,
+        "audio_snippet_search": q_audio_snippet_search,
         "suite_stream": q_suite_stream,
         "suite_stream_verdicts": q_suite_stream_verdicts,
         "snapshot_diff": q_snapshot_diff,
@@ -3255,6 +3284,60 @@ def oracle_sql() -> dict[str, str]:
         SELECT f.seed AS clip_id, f.frame_idx, f.hash
         FROM read_parquet('{fp_path}') f
         JOIN documents d ON f.seed = d.doc_id
+    """
+    # snippet search: both sides' pair keys rebuilt from the frames table
+    # (snippet hashes ARE rows off..off+7 of their source seed — the
+    # slice-alignment property pytest-pinned in test_audio_fp.py), then
+    # the join + offset-groupBy replayed in SQL
+    from pyanomalydetector2_spark.operators.audio_fp import (
+        N_FRAMES,
+        ORACLE_FP_SEEDS,
+        SNIPPET_FRAMES,
+    )
+
+    sn_keys = SNIPPET_FRAMES - 2  # 8 hashes → 7 pair keys
+    sn_offsets = N_FRAMES - SNIPPET_FRAMES + 1
+    out["audio_snippet_search"] = f"""
+        WITH nn AS (
+          SELECT least(max(doc_id) + 1, {_SNIPPET_CORPUS_CAP}) AS n
+          FROM documents
+        ),
+        ck AS (
+          SELECT f.seed AS clip_id, f.frame_idx AS i,
+                 f.hash * 32768 + f2.hash AS key
+          FROM read_parquet('{fp_path}') f
+          JOIN read_parquet('{fp_path}') f2
+            ON f2.seed = f.seed AND f2.frame_idx = f.frame_idx + 1
+          JOIN documents d ON f.seed = d.doc_id
+          JOIN nn ON d.doc_id < nn.n
+        ),
+        sq AS (
+          SELECT d.doc_id AS qid,
+                 CASE WHEN d.doc_id % 2 = 0 THEN (d.doc_id * 7) % nn.n
+                      ELSE nn.n + (d.doc_id % ({ORACLE_FP_SEEDS} - nn.n))
+                 END AS src,
+                 (d.doc_id * 5) % {sn_offsets} AS off
+          FROM documents d, nn
+        ),
+        sk AS (
+          SELECT s.qid, f.frame_idx - s.off AS j,
+                 f.hash * 32768 + f2.hash AS key
+          FROM sq s
+          JOIN read_parquet('{fp_path}') f
+            ON f.seed = s.src
+           AND f.frame_idx BETWEEN s.off AND s.off + {sn_keys - 1}
+          JOIN read_parquet('{fp_path}') f2
+            ON f2.seed = s.src AND f2.frame_idx = f.frame_idx + 1
+        ),
+        m AS (
+          SELECT s.qid, c.clip_id, c.i - s.j AS "offset",
+                 count(*) AS n_matched
+          FROM sk s JOIN ck c USING (key)
+          GROUP BY 1, 2, 3
+        )
+        SELECT qid, clip_id, "offset", n_matched,
+               round(n_matched / {sn_keys}.0, 6) AS match_frac
+        FROM m WHERE n_matched >= 4
     """
     # AS MATERIALIZED: DuckDB inlines multiply-referenced CTEs by default
     # and re-evaluates them per reference — measured 12 s → 0.9 s at sf0.1.

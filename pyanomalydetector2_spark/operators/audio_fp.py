@@ -184,14 +184,25 @@ def fingerprint(pcm: np.ndarray) -> np.ndarray | None:
     or None if the clip is shorter than the frame grid."""
     if pcm is None or len(pcm) < N_SAMPLES:
         return None
-    frames = np.lib.stride_tricks.sliding_window_view(
-        pcm[:N_SAMPLES], WIN
-    )[::HOP] * _HANN
+    return fingerprint_any(pcm[:N_SAMPLES])
+
+
+def fingerprint_any(pcm: np.ndarray) -> np.ndarray | None:
+    """Variable-length fingerprint: the same frame grid and hash algebra
+    as `fingerprint` without the fixed N_SAMPLES gate — floor((len-WIN)/
+    HOP)+1 frames → one fewer transition hashes. Because the hashes are
+    LOCAL (each depends on two adjacent frames only), a snippet sliced at
+    a HOP-aligned sample offset o·HOP of a clip reproduces exactly that
+    clip's transition hashes o, o+1, … — the property snippet_search's
+    offset alignment rides on. None below two frames (no transition)."""
+    if pcm is None or len(pcm) < WIN + HOP:
+        return None
+    frames = np.lib.stride_tricks.sliding_window_view(pcm, WIN)[::HOP] * _HANN
     spec = np.abs(np.fft.rfft(frames, axis=1)) ** 2
     # inclusive band sums over log-spaced bin edges
-    e = np.add.reduceat(spec, _BAND_EDGES[:-1], axis=1)  # (N_FRAMES, N_BANDS)
-    d = np.diff(e, axis=1)  # band difference     (N_FRAMES, BITS)
-    dd = np.diff(d, axis=0)  # time difference     (N_HASHES, BITS)
+    e = np.add.reduceat(spec, _BAND_EDGES[:-1], axis=1)  # (n_frames, N_BANDS)
+    d = np.diff(e, axis=1)  # band difference     (n_frames, BITS)
+    dd = np.diff(d, axis=0)  # time difference     (n_hashes, BITS)
     bits = (dd > 0).astype(np.int64)
     return (bits << np.arange(BITS)[None, :]).sum(axis=1).astype(np.int32)
 
@@ -284,11 +295,14 @@ def audio_fingerprints(
     id_col: str = "clip_id",
     payload_col: str = "bytes",
     codec_col: str = "codec",
+    fp_fn=fingerprint,
 ) -> DataFrame:
     """(id, frames) fingerprints for every decodable clip — decode +
     fingerprint fused in ONE Arrow-batched pass so ``bytes`` never crosses
     a shuffle. Undecodable/short clips are dropped (they cannot be
-    near-dups; the validation suite's decode check owns flagging them)."""
+    near-dups; the validation suite's decode check owns flagging them).
+    ``fp_fn``: the per-clip kernel — `fingerprint` (fixed grid, the
+    near-dup corpus) or `fingerprint_any` (variable length, snippets)."""
     cols = df.select(
         F.col(id_col).alias("id"),
         F.col(payload_col).alias("payload"),
@@ -301,7 +315,7 @@ def audio_fingerprints(
             for i, payload, codec in zip(
                 pdf["id"], pdf["payload"], pdf["codec"]
             ):
-                fp = fingerprint(decode_full(payload, codec))
+                fp = fp_fn(decode_full(payload, codec))
                 if fp is not None:
                     ids.append(i)
                     frames.append(fp.tolist())
@@ -661,6 +675,149 @@ def synth_corpus(spark: SparkSession, ids_df: DataFrame) -> DataFrame:
                 )
 
     return ids.mapInPandas(gen, schema=CORPUS_SCHEMA)
+
+
+# -- snippet search (query-by-audio) ----------------------------------------
+
+SNIPPET_FRAMES = 9  # 5120 samples (0.64 s @ 8 kHz): 9 frames → 8 hashes
+SNIPPET_SAMPLES = WIN + (SNIPPET_FRAMES - 1) * HOP
+PAIR_KEY_BASE = 1 << BITS  # adjacent-hash pair key = h_i · 2^15 + h_{i+1}
+
+
+def _pair_keys(fp_df: DataFrame, id_name: str, pos_name: str) -> DataFrame:
+    """(id, pos, key) rows: key i pairs transition hashes (i, i+1) — the
+    SAME adjacency algebra as fp_banded's banding, reused as the alignment
+    anchor. 30 bits of key space vs 15 per single hash keeps the join off
+    the degenerate hot keys a 15-bit equi-join would hit at scale."""
+    f = F.col("frames")
+    n = F.greatest(F.size(f) - 1, F.lit(0))
+    keys = F.zip_with(
+        F.slice(f, 1, n),
+        F.slice(f, 2, n),
+        lambda a, b: a.cast("long") * PAIR_KEY_BASE + b,
+    )
+    return fp_df.select(
+        F.col("id").alias(id_name), F.posexplode(keys).alias(pos_name, "key")
+    )
+
+
+def snippet_search(
+    corpus: DataFrame,
+    snippets: DataFrame,
+    id_col: str = "clip_id",
+    qid_col: str = "qid",
+    min_matched: int = 4,
+) -> DataFrame:
+    """Query-by-audio: find every (snippet, clip, frame offset) where the
+    snippet's spectral fingerprint aligns inside the clip's — the
+    Wang-2003 (Shazam) constellation-alignment shape on this module's
+    frame-transition hashes.
+
+    Both sides run the fused decode→fingerprint Arrow pass; matching is
+    pure DataFrame algebra: adjacent-hash pair keys on each side, a
+    broadcast join on the key (queries are the small side by usage — the
+    corpus' exploded keys NEVER shuffle), then one groupBy on
+    (qid, clip_id, offset = corpus_pos − snippet_pos) counting aligned
+    key hits. A genuine content hit matches nearly all of the snippet's
+    keys at ONE offset; chance 30-bit collisions are scattered across
+    offsets and die at ``min_matched``.
+
+    Output: (qid, clip_id, offset, n_matched, match_frac) with
+    n_matched ≥ min_matched; offset is in frame hops (× HOP samples).
+
+    Scale: corpus cost is the one decode pass plus a map-side broadcast
+    join — rows that match no query key are dropped before the single
+    narrow shuffle (the groupBy). For a standing corpus, precompute
+    `_pair_keys(audio_fingerprints(corpus))` once and store it
+    (the audio analog of similarity.py's stored IVF index); probing is
+    then scan + broadcast join only.
+    """
+    cfp = audio_fingerprints(corpus, id_col)
+    sfp = audio_fingerprints(snippets, qid_col, fp_fn=fingerprint_any)
+    ck = _pair_keys(cfp, "clip_id", "i")
+    sk = _pair_keys(sfp, "qid", "j")
+    n_keys = sfp.select(
+        F.col("id").alias("qid"),
+        F.greatest(F.size("frames") - 1, F.lit(0)).alias("n_keys"),
+    )
+    hits = (
+        ck.join(F.broadcast(sk), "key")
+        .withColumn("offset", F.col("i") - F.col("j"))
+        .groupBy("qid", "clip_id", "offset")
+        .agg(F.count(F.lit(1)).alias("n_matched"))
+        .filter(F.col("n_matched") >= min_matched)
+    )
+    return hits.join(F.broadcast(n_keys), "qid").select(
+        "qid",
+        "clip_id",
+        "offset",
+        "n_matched",
+        F.round(F.try_divide("n_matched", "n_keys"), 6).alias("match_frac"),
+    )
+
+
+def synth_snippets(
+    spark: SparkSession, ids_df: DataFrame, n_corpus: int
+) -> DataFrame:
+    """Deterministic snippet corpus keyed by a query-id column: snippet q
+    is a HOP-aligned slice of the decoded PCM of clip seed
+
+        src(q) = (q·7) mod n_corpus                       (q even — planted hit)
+               = n_corpus + (q mod (ORACLE_FP_SEEDS − n_corpus))   (q odd —
+                 real audio that is NOT in the corpus: a seed past the
+                 corpus cap, so the search must return nothing for it
+                 beyond chance key collisions)
+
+    at frame offset off(q) = (q·5) mod (N_FRAMES − SNIPPET_FRAMES + 1),
+    re-encoded losslessly as WAV. Pure arithmetic of q on both sides: the
+    DuckDB oracle rebuilds each snippet's hashes as rows off(q)…off(q)+7
+    of the precomputed frames table for seed src(q), while Spark decodes
+    the actual snippet bytes — agreement proves the real decode→
+    fingerprint→align pipeline, not the plant."""
+    if not 0 < n_corpus < ORACLE_FP_SEEDS:
+        raise ValueError(
+            f"n_corpus must be in (0, {ORACLE_FP_SEEDS}) so negative "
+            f"snippets have out-of-corpus seeds; got {n_corpus}"
+        )
+    from pyanomalydetector2_spark.operators.audio import encode_wav
+
+    ids = ids_df.select(F.col(ids_df.columns[0]).cast("long").alias("qid"))
+    par = ids_df.sparkSession.sparkContext.defaultParallelism
+    n_offsets = N_FRAMES - SNIPPET_FRAMES + 1
+
+    def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            q = pdf["qid"].to_numpy(dtype=np.int64)
+            for start in range(0, len(q), 64):
+                qq = q[start : start + 64]
+                src = np.where(
+                    qq % 2 == 0,
+                    (qq * 7) % n_corpus,
+                    n_corpus + (qq % (ORACLE_FP_SEEDS - n_corpus)),
+                )
+                off = (qq * 5) % n_offsets
+                pcm = synth_near_dup_pcm(src // 3)
+                payloads = []
+                for i in range(len(qq)):
+                    payload, codec = encode_variant(pcm[i], int(src[i] % 3))
+                    dec = decode_full(payload, codec)
+                    s0 = int(off[i]) * HOP
+                    sl = dec[s0 : s0 + SNIPPET_SAMPLES]
+                    q16 = np.clip(np.round(sl), -32768, 32767).astype(
+                        np.int16
+                    )
+                    payloads.append(encode_wav(q16, SR_HZ))
+                yield pd.DataFrame(
+                    {
+                        "qid": qq,
+                        "bytes": payloads,
+                        "codec": ["wav"] * len(qq),
+                    }
+                )
+
+    return ids.repartition(par, "qid").mapInPandas(
+        gen, schema="qid long, bytes binary, codec string"
+    )
 
 
 # -- oracle precompute ------------------------------------------------------

@@ -321,3 +321,60 @@ def test_probe_strategy_invariance(spark):
                 ).collect()
             })
     assert results[0] and all(r == results[0] for r in results[1:])
+
+
+def test_fingerprint_any_slice_alignment():
+    """The property snippet_search rides on: a HOP-aligned slice of a
+    decoded clip, round-tripped through lossless WAV, reproduces exactly
+    the clip's transition hashes at the slice's frame offsets — for every
+    codec variant (FLAC / gained WAV / mu-law)."""
+    from pyanomalydetector2_spark.operators.audio import encode_wav
+
+    pcm = A.synth_near_dup_pcm(np.array([7]))[0]
+    for variant in (0, 1, 2):
+        payload, codec = A.encode_variant(pcm, variant)
+        dec = A.decode_full(payload, codec)
+        full = A.fingerprint(dec)
+        assert len(full) == A.N_HASHES
+        for off in (0, 5, A.N_FRAMES - A.SNIPPET_FRAMES):
+            s0 = off * A.HOP
+            sl = dec[s0 : s0 + A.SNIPPET_SAMPLES]
+            q16 = np.clip(np.round(sl), -32768, 32767).astype(np.int16)
+            sfp = A.fingerprint_any(
+                A.decode_full(encode_wav(q16, A.SR_HZ), "wav")
+            )
+            assert len(sfp) == A.SNIPPET_FRAMES - 1
+            assert np.array_equal(
+                sfp, full[off : off + A.SNIPPET_FRAMES - 1]
+            ), (variant, off)
+
+
+def test_snippet_search_planted_offsets(spark):
+    """Every even-qid snippet is found in its source clip at exactly the
+    planted frame offset with ALL pair keys matched; no odd-qid
+    (out-of-corpus) snippet produces any hit."""
+    n_corpus, n_q = 60, 40
+    ids = spark.range(n_corpus).toDF("clip_id")
+    qids = spark.range(n_q).toDF("qid")
+    corpus = A.synth_corpus(spark, ids)
+    snippets = A.synth_snippets(spark, qids, n_corpus)
+    rows = A.snippet_search(corpus, snippets).collect()
+    got = {(r.qid, r.clip_id, r.offset): (r.n_matched, r.match_frac)
+           for r in rows}
+    n_offsets = A.N_FRAMES - A.SNIPPET_FRAMES + 1
+    for q in range(0, n_q, 2):
+        src, off = (q * 7) % n_corpus, (q * 5) % n_offsets
+        n_matched, frac = got[(q, src, off)]
+        assert n_matched == A.SNIPPET_FRAMES - 2 and frac == 1.0
+    odd_hits = [k for k in got if k[0] % 2 == 1]
+    assert not odd_hits, odd_hits
+    # offsets of every reported hit lie on the clip's frame grid
+    assert all(0 <= k[2] < A.N_HASHES - 1 for k in got)
+
+
+def test_synth_snippets_rejects_full_seed_range():
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        # n_corpus equal to the oracle seed count leaves no negatives
+        A.synth_snippets(None, None, A.ORACLE_FP_SEEDS)
