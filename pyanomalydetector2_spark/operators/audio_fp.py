@@ -727,21 +727,41 @@ def snippet_search(
 
     Scale: corpus cost is the one decode pass plus a map-side broadcast
     join — rows that match no query key are dropped before the single
-    narrow shuffle (the groupBy). For a standing corpus, precompute
-    `_pair_keys(audio_fingerprints(corpus))` once and store it
-    (the audio analog of similarity.py's stored IVF index); probing is
-    then scan + broadcast join only.
+    narrow shuffle (the groupBy). For a standing corpus, store
+    `snippet_index(corpus)` once and probe it with
+    `snippet_search_index` — then the corpus is never re-decoded and a
+    probe is scan + broadcast join only (the audio analog of
+    similarity.py's stored IVF index).
     """
-    cfp = audio_fingerprints(corpus, id_col)
+    ck = snippet_index(corpus, id_col)
+    return snippet_search_index(ck, snippets, qid_col, min_matched)
+
+
+def snippet_index(corpus: DataFrame, id_col: str = "clip_id") -> DataFrame:
+    """(clip_id, i, key) pair-key index of a clip corpus — decode +
+    fingerprint + key expansion in one pass, N_HASHES−1 narrow rows per
+    clip. Write it to parquet once; every later snippet probe reads the
+    index instead of re-decoding the corpus."""
+    return _pair_keys(audio_fingerprints(corpus, id_col), "clip_id", "i")
+
+
+def snippet_search_index(
+    index: DataFrame,
+    snippets: DataFrame,
+    qid_col: str = "qid",
+    min_matched: int = 4,
+) -> DataFrame:
+    """`snippet_search` against a stored `snippet_index` frame: the
+    snippets decode fresh (they are the new, small side); the corpus side
+    is a plain columnar scan of (clip_id, i, key)."""
     sfp = audio_fingerprints(snippets, qid_col, fp_fn=fingerprint_any)
-    ck = _pair_keys(cfp, "clip_id", "i")
     sk = _pair_keys(sfp, "qid", "j")
     n_keys = sfp.select(
         F.col("id").alias("qid"),
         F.greatest(F.size("frames") - 1, F.lit(0)).alias("n_keys"),
     )
     hits = (
-        ck.join(F.broadcast(sk), "key")
+        index.join(F.broadcast(sk), "key")
         .withColumn("offset", F.col("i") - F.col("j"))
         .groupBy("qid", "clip_id", "offset")
         .agg(F.count(F.lit(1)).alias("n_matched"))

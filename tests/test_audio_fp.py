@@ -378,3 +378,24 @@ def test_synth_snippets_rejects_full_seed_range():
     with _pytest.raises(ValueError):
         # n_corpus equal to the oracle seed count leaves no negatives
         A.synth_snippets(None, None, A.ORACLE_FP_SEEDS)
+
+
+def test_snippet_search_stored_index_matches_fresh(spark, tmp_path):
+    """Probing a parquet-persisted snippet_index returns the identical
+    result set as the fresh end-to-end search — the corpus is never
+    re-decoded on the probe path."""
+    n_corpus, n_q = 36, 16
+    corpus = A.synth_corpus(spark, spark.range(n_corpus).toDF("clip_id"))
+    snippets = A.synth_snippets(
+        spark, spark.range(n_q).toDF("qid"), n_corpus
+    )
+    path = str(tmp_path / "snippet_index")
+    A.snippet_index(corpus).write.parquet(path)
+    fresh = {tuple(r) for r in A.snippet_search(corpus, snippets).collect()}
+    stored = {
+        tuple(r)
+        for r in A.snippet_search_index(
+            spark.read.parquet(path), snippets
+        ).collect()
+    }
+    assert fresh and stored == fresh
