@@ -434,6 +434,20 @@ def q_stable_sample(spark: SparkSession, sf: str) -> DataFrame:
     return train_split(sampled, "doc_id", 0.8).select("doc_id", "lang", "split")
 
 
+def q_quota_sample(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-group quota cap (≤ 10 documents per (lang, source)) with a
+    deterministic hash-ordered draw — the training-mix primitive for
+    unknown/skewed group sizes (sampling.group_quota_sample)."""
+    from pyanomalydetector2_spark.operators.sampling import (
+        group_quota_sample,
+    )
+
+    docs = load_table(spark, sf, "documents").select(
+        "doc_id", "lang", "source"
+    )
+    return group_quota_sample(docs, "doc_id", ["lang", "source"], cap=10)
+
+
 def q_doc_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
     """Winnowing-style fingerprint: 3 smallest 3-gram shingle hashes."""
     docs = load_table(spark, sf, "documents")
@@ -2134,6 +2148,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_embed_near_dup": q_text_embed_near_dup,
         "lang_id": q_lang_id,
         "stable_sample": q_stable_sample,
+        "quota_sample": q_quota_sample,
         "doc_fingerprint": q_doc_fingerprint,
         "local_peak": q_local_peak,
         "minmax_normalize": q_minmax_normalize,
@@ -2690,6 +2705,24 @@ def oracle_sql() -> dict[str, str]:
                                       WHEN 'fr' THEN 250000
                                       WHEN 'de' THEN 1000000
                                       ELSE 0 END
+        """,
+        "quota_sample": f"""
+            WITH b AS (
+              SELECT doc_id, lang, source,
+                     ({_H60.format(x="'quota:' || doc_id::VARCHAR")})
+                       % 1000000 AS bucket
+              FROM documents
+            ),
+            r AS (
+              SELECT doc_id, lang, source,
+                     row_number() OVER (PARTITION BY lang, source
+                                        ORDER BY bucket, doc_id)
+                       AS quota_rank
+              FROM b
+            )
+            SELECT doc_id, lang, source,
+                   CAST(quota_rank AS BIGINT) AS quota_rank
+            FROM r WHERE quota_rank <= 10
         """,
         "doc_fingerprint": f"""
             WITH {_SHINGLE_CTES},

@@ -69,3 +69,34 @@ def train_split(
             F.lit("train"),
         ).otherwise(F.lit("val")),
     )
+
+
+def group_quota_sample(
+    df: DataFrame,
+    key_col: str,
+    group_cols: list[str],
+    cap: int,
+    salt: str = "quota",
+) -> DataFrame:
+    """At most ``cap`` rows per group, chosen deterministically — the
+    training-mix primitive ("≤ K documents per source/domain/language")
+    that fraction-based stratified sampling cannot express when group
+    sizes are unknown or wildly skewed.
+
+    Rows rank within their group by (sample_bucket, key): the bucket makes
+    the pick a stable uniform draw (same rows survive every run, engine,
+    and plan — same property as hash_sample), the key breaks bucket ties
+    totally. Adds ``quota_rank`` (1-based) so callers can audit the draw.
+
+    Scale: one hash-partitioned window per group — the same single-shuffle
+    shape as W5 top-N-per-group; a pathologically hot group costs one
+    partition's sort of (bucket, key) pairs, not a global sort. Oracle:
+    row_number() OVER (PARTITION BY group ORDER BY bucket, key)."""
+    from pyspark.sql import Window
+
+    b = sample_bucket(F.col(key_col), salt)
+    w = Window.partitionBy(*group_cols).orderBy(b.asc(), F.col(key_col).asc())
+    return (
+        df.withColumn("quota_rank", F.row_number().over(w))
+        .filter(F.col("quota_rank") <= cap)
+    )

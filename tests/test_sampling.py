@@ -51,3 +51,35 @@ def test_train_split_disjoint_exhaustive(spark, ids):
     sampled = train_split(hash_sample(ids, "key", 0.3), "key", 0.8)
     for r in sampled.collect():
         assert full[r["key"]] == r["split"]
+
+
+def test_group_quota_cap_and_stability(spark, ids):
+    """Every group emits exactly min(cap, group size) rows; the surviving
+    key set is identical under a different input partitioning (plan
+    stability); ranks are 1..n dense per group; and the draw is a subset
+    of the same draw with a larger cap (monotone in cap)."""
+    from pyanomalydetector2_spark.operators.sampling import (
+        group_quota_sample,
+    )
+
+    out = group_quota_sample(ids, "key", ["stratum"], cap=50)
+    rows = out.collect()
+    by_g: dict = {}
+    for r in rows:
+        by_g.setdefault(r["stratum"], []).append(r["quota_rank"])
+    assert set(by_g) == {"big", "small"}
+    for g, ranks in by_g.items():
+        assert sorted(ranks) == list(range(1, 51))
+
+    keys = {r["key"] for r in rows}
+    reshuffled = group_quota_sample(
+        ids.repartition(7, "key"), "key", ["stratum"], cap=50
+    )
+    assert {r["key"] for r in reshuffled.collect()} == keys
+
+    bigger = group_quota_sample(ids, "key", ["stratum"], cap=80)
+    assert keys <= {r["key"] for r in bigger.collect()}
+
+    # a group smaller than the cap survives whole
+    tiny = ids.filter("key < 5")
+    assert group_quota_sample(tiny, "key", ["stratum"], cap=50).count() == 5
