@@ -142,3 +142,24 @@ def test_kll_quantiles_shuffle_budget(spark):
     a = _audit(spark, "kll_quantiles")
     assert a["shuffles"] <= 3, f"kll shuffle blowup: {a['shuffles']}"
     assert a["cartesian"] == 0
+
+
+def test_snippet_search_broadcasts_queries(spark):
+    """snippet_search's scale contract: the corpus' exploded pair keys
+    must meet the query keys in a BROADCAST join (the corpus side never
+    shuffles before the match), the only hash exchanges are the
+    offset-groupBy aggregation chains, and no global sort or cartesian
+    appears. exact_substring_dup: bounded shuffles, no global sort."""
+    a = _audit(spark, "audio_snippet_search")
+    assert a["broadcasts"] >= 2, "query keys / n_keys not broadcast"
+    assert a["cartesian"] == 0 and a["bnlj"] == 0
+    assert a["sorts_global"] == 0
+    # budget 3: ONE offset-groupBy aggregation exchange on the corpus
+    # path + the snippet-synth rebalance appearing once per broadcast
+    # subtree (sk and n_keys) — both on the tiny query side. Anything
+    # more means the corpus' exploded keys started shuffling.
+    assert a["shuffles"] <= 3, f"snippet match shuffle blowup: {a['shuffles']}"
+
+    b = _audit(spark, "exact_substring_dup")
+    assert b["sorts_global"] == 0 and b["cartesian"] == 0
+    assert b["shuffles"] <= 5, f"exact_substring_dup shuffles: {b['shuffles']}"
