@@ -1274,6 +1274,23 @@ def q_audio_quality(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_audio_trim(spark: SparkSession, sf: str) -> DataFrame:
+    """Silence trim points (librosa-style relative top_db threshold) over
+    a corpus with PLANTED dead air: clip q carries (q·3 mod 17) leading
+    and (q·5 mod 13) trailing zero frames around real synth content.
+    Spark decodes the actual WAV bytes and scans frame RMS; the DuckDB
+    oracle is the closed-form plant arithmetic — a trim scan that
+    misplaces a single frame hash-mismatches."""
+    from pyanomalydetector2_spark.operators.audio_fp import (
+        audio_trim,
+        synth_padded_corpus,
+    )
+
+    docs = load_table(spark, sf, "documents").select("doc_id")
+    out = audio_trim(synth_padded_corpus(spark, docs))
+    return out.withColumnRenamed("id", "clip_id")
+
+
 def q_audio_container_consistency(spark: SparkSession, sf: str) -> DataFrame:
     """Declared-vs-container cross-field integrity: dur_ms and sr_hz as a
     producer WROTE them vs what the payload's own container header says
@@ -2191,6 +2208,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_dup_clusters": q_audio_dup_clusters,
         "audio_keep_best": q_audio_keep_best,
         "audio_snippet_search": q_audio_snippet_search,
+        "audio_trim": q_audio_trim,
         "suite_stream": q_suite_stream,
         "suite_stream_verdicts": q_suite_stream_verdicts,
         "snapshot_diff": q_snapshot_diff,
@@ -3317,6 +3335,33 @@ def oracle_sql() -> dict[str, str]:
         SELECT f.seed AS clip_id, f.frame_idx, f.hash
         FROM read_parquet('{fp_path}') f
         JOIN documents d ON f.seed = d.doc_id
+    """
+    # audio trim: the pad plant is closed-form id arithmetic; 64.0 =
+    # 1000/SR_HZ · TRIM_FRAME ms per frame, 32 content frames
+    from pyanomalydetector2_spark.operators.audio_fp import (
+        N_SAMPLES,
+        PAD_LEAD_MOD,
+        PAD_TRAIL_MOD,
+        TRIM_FRAME,
+    )
+
+    n_content = N_SAMPLES // TRIM_FRAME
+    out["audio_trim"] = f"""
+        WITH p AS (
+          SELECT doc_id AS clip_id,
+                 (doc_id * 3) % {PAD_LEAD_MOD} AS lead,
+                 (doc_id * 5) % {PAD_TRAIL_MOD} AS trail
+          FROM documents
+        )
+        SELECT clip_id,
+               CAST(lead + {n_content} + trail AS BIGINT) AS n_frames,
+               CAST(lead AS BIGINT) AS lead_frames,
+               CAST(trail AS BIGINT) AS trail_frames,
+               round(lead * 64.0, 6) AS lead_ms,
+               round(trail * 64.0, 6) AS trail_ms,
+               round({n_content}.0 / (lead + {n_content} + trail), 6)
+                 AS active_ratio
+        FROM p
     """
     # snippet search: both sides' pair keys rebuilt from the frames table
     # (snippet hashes ARE rows off..off+7 of their source seed — the

@@ -677,6 +677,145 @@ def synth_corpus(spark: SparkSession, ids_df: DataFrame) -> DataFrame:
     return ids.mapInPandas(gen, schema=CORPUS_SCHEMA)
 
 
+# -- silence trim points (curation) ------------------------------------------
+
+TRIM_FRAME = 512  # non-overlapping trim analysis blocks
+
+
+def trim_metrics(
+    pcm: np.ndarray, top_db: float = 40.0, frame: int = TRIM_FRAME
+) -> tuple | None:
+    """Leading/trailing low-energy trim points of one clip — the
+    librosa-style relative-threshold trim (librosa.effects.trim): a frame
+    is active iff its RMS exceeds peak_frame_rms · 10^(−top_db/20), so
+    the verdict is gain-invariant (a mastering-level change moves signal
+    and threshold together).
+
+    Returns (n_frames, lead_frames, trail_frames) over non-overlapping
+    ``frame``-sample blocks; an all-quiet clip reports (n, n, 0). None if
+    shorter than one frame."""
+    if pcm is None or len(pcm) < frame:
+        return None
+    n = len(pcm) // frame
+    fr = np.asarray(pcm[: n * frame], dtype=np.float64).reshape(n, frame)
+    rms = np.sqrt(np.mean(fr * fr, axis=1))
+    thr = float(rms.max()) * (10.0 ** (-top_db / 20.0))
+    act = np.nonzero(rms > thr)[0]
+    if len(act) == 0:
+        return (n, n, 0)
+    return (n, int(act[0]), int(n - 1 - act[-1]))
+
+
+TRIM_SCHEMA = "id long, n_frames int, lead_frames int, trail_frames int"
+
+
+def audio_trim(
+    df: DataFrame,
+    id_col: str = "clip_id",
+    payload_col: str = "bytes",
+    codec_col: str = "codec",
+    top_db: float = 40.0,
+) -> DataFrame:
+    """Per-clip silence trim points — decode + frame-RMS scan fused in one
+    Arrow pass (the same never-shuffle-bytes shape as audio_quality), plus
+    derived ms and active-span columns. The curation decision a speech
+    corpus runs before token-budget packing: how much leading/trailing
+    dead air each clip carries."""
+    cols = df.select(
+        F.col(id_col).alias("id"),
+        F.col(payload_col).alias("payload"),
+        F.col(codec_col).alias("codec"),
+    )
+
+    def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out: dict = {k: [] for k in ("id", "n_frames", "lead_frames",
+                                         "trail_frames")}
+            for i, payload, codec in zip(
+                pdf["id"], pdf["payload"], pdf["codec"]
+            ):
+                t = trim_metrics(decode_full(payload, codec), top_db=top_db)
+                if t is not None:
+                    out["id"].append(i)
+                    out["n_frames"].append(t[0])
+                    out["lead_frames"].append(t[1])
+                    out["trail_frames"].append(t[2])
+            yield pd.DataFrame(
+                {
+                    "id": pd.array(out["id"], dtype="int64"),
+                    "n_frames": pd.array(out["n_frames"], dtype="int32"),
+                    "lead_frames": pd.array(
+                        out["lead_frames"], dtype="int32"
+                    ),
+                    "trail_frames": pd.array(
+                        out["trail_frames"], dtype="int32"
+                    ),
+                }
+            )
+
+    base = cols.mapInPandas(gen, schema=TRIM_SCHEMA)
+    active = F.col("n_frames") - F.col("lead_frames") - F.col("trail_frames")
+    ms = 1000.0 / SR_HZ * TRIM_FRAME
+    return base.select(
+        "id",
+        "n_frames",
+        "lead_frames",
+        "trail_frames",
+        F.round(F.col("lead_frames") * ms, 6).alias("lead_ms"),
+        F.round(F.col("trail_frames") * ms, 6).alias("trail_ms"),
+        F.round(F.try_divide(active, F.col("n_frames")), 6).alias(
+            "active_ratio"
+        ),
+    )
+
+
+PAD_LEAD_MOD = 17  # lead pad frames = (id·3) mod 17
+PAD_TRAIL_MOD = 13  # trail pad frames = (id·5) mod 13
+
+
+def synth_padded_corpus(spark: SparkSession, ids_df: DataFrame) -> DataFrame:
+    """Clips with PLANTED dead air: clip q = (q·3 mod 17) zero frames +
+    the seed-q synth content (N_SAMPLES) + (q·5 mod 13) zero frames,
+    losslessly WAV-encoded. The pads are frame-aligned and exactly zero,
+    so `audio_trim` must recover lead/trail in closed form — the DuckDB
+    oracle is pure id arithmetic while Spark measures real decoded
+    bytes."""
+    from pyanomalydetector2_spark.operators.audio import encode_wav
+
+    ids = ids_df.select(F.col(ids_df.columns[0]).cast("long").alias("clip_id"))
+    par = ids_df.sparkSession.sparkContext.defaultParallelism
+
+    def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            cid = pdf["clip_id"].to_numpy(dtype=np.int64)
+            for start in range(0, len(cid), 64):
+                cc = cid[start : start + 64]
+                pcm = synth_near_dup_pcm(cc)
+                payloads = []
+                for i in range(len(cc)):
+                    q = int(cc[i])
+                    lead = (q * 3) % PAD_LEAD_MOD * TRIM_FRAME
+                    trail = (q * 5) % PAD_TRAIL_MOD * TRIM_FRAME
+                    q16 = np.zeros(
+                        lead + N_SAMPLES + trail, dtype=np.int16
+                    )
+                    q16[lead : lead + N_SAMPLES] = np.clip(
+                        np.round(pcm[i]), -32768, 32767
+                    ).astype(np.int16)
+                    payloads.append(encode_wav(q16, SR_HZ))
+                yield pd.DataFrame(
+                    {
+                        "clip_id": cc,
+                        "bytes": payloads,
+                        "codec": ["wav"] * len(cc),
+                    }
+                )
+
+    return ids.repartition(par, "clip_id").mapInPandas(
+        gen, schema=CORPUS_SCHEMA
+    )
+
+
 # -- snippet search (query-by-audio) ----------------------------------------
 
 SNIPPET_FRAMES = 9  # 5120 samples (0.64 s @ 8 kHz): 9 frames → 8 hashes

@@ -399,3 +399,41 @@ def test_snippet_search_stored_index_matches_fresh(spark, tmp_path):
         ).collect()
     }
     assert fresh and stored == fresh
+
+
+def test_trim_metrics_edges_and_gain_invariance():
+    """Known plants: exact pad recovery, all-quiet clip → (n, n, 0),
+    sub-frame clip → None, uniform gain does not move the trim points
+    (relative threshold)."""
+    pcm = A.synth_near_dup_pcm(np.array([3]))[0]
+    lead, trail = 4 * A.TRIM_FRAME, 2 * A.TRIM_FRAME
+    padded = np.concatenate(
+        [np.zeros(lead), pcm, np.zeros(trail)]
+    )
+    n = len(padded) // A.TRIM_FRAME
+    assert A.trim_metrics(padded) == (n, 4, 2)
+    assert A.trim_metrics(padded * 0.25) == (n, 4, 2)
+    assert A.trim_metrics(np.zeros(8 * A.TRIM_FRAME)) == (8, 8, 0)
+    assert A.trim_metrics(np.zeros(A.TRIM_FRAME - 1)) is None
+    # unpadded synth content: every frame is active (the margin the
+    # planted-pad contract rides on)
+    assert A.trim_metrics(pcm) == (A.N_SAMPLES // A.TRIM_FRAME, 0, 0)
+
+
+def test_audio_trim_recovers_planted_pads(spark):
+    """The fused Spark pass over real WAV bytes recovers every planted
+    (lead, trail) pad exactly, across 120 seeds."""
+    n = 120
+    clips = A.synth_padded_corpus(spark, spark.range(n).toDF("clip_id"))
+    rows = {r["id"]: r for r in A.audio_trim(clips).collect()}
+    assert len(rows) == n
+    content = A.N_SAMPLES // A.TRIM_FRAME
+    for q in range(n):
+        lead, trail = (q * 3) % A.PAD_LEAD_MOD, (q * 5) % A.PAD_TRAIL_MOD
+        r = rows[q]
+        assert (r["n_frames"], r["lead_frames"], r["trail_frames"]) == (
+            lead + content + trail, lead, trail), q
+        assert r["lead_ms"] == lead * 64.0
+        assert r["active_ratio"] == round(
+            content / (lead + content + trail), 6
+        )
