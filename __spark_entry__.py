@@ -1542,6 +1542,62 @@ def q_audio_keep_best(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+_MISM_BIG = "mislabeled conflicting transcript planted for this member"
+_MISM_SMALL = "ok"
+
+
+def q_audio_dup_transcript_mismatch(spark: SparkSession, sf: str) -> DataFrame:
+    """Label-consistency over audio duplicates (the cross-modal completion
+    of the dedup funnel): pairs whose AUDIO matches (spectral near-dup,
+    the real decode path) but whose transcripts conflict — a defect no
+    single-modality check can see (crossmodal.dup_transcript_mismatch).
+
+    Transcript plant, replayed by both engines: every member of content
+    group g = clip_id div 3 carries doc 3g's text (members of a group ARE
+    the same recording, so agreeing labels are the ground truth), except
+    - g % 7 == 3, member clip_id % 3 == 2: its OWN text + a 57-char tail
+      (dist ≫ 5 ⇒ the pairs against members 0/1 flag mismatch);
+    - g % 11 == 5, member clip_id % 3 == 1: base text + ' ok' (dist = 3
+      ≤ max_dist ⇒ dist > 0 yet NOT flagged — the threshold's negative
+      control). The member indices differ, so both plants can coexist in
+      a group that satisfies both strides."""
+    from pyanomalydetector2_spark.operators.audio_fp import (
+        ORACLE_FP_SEEDS,
+        audio_near_dup,
+    )
+    from pyanomalydetector2_spark.operators.crossmodal import (
+        dup_transcript_mismatch,
+    )
+
+    pairs = audio_near_dup(
+        _audio_corpus(spark, sf), threshold=0.85, max_bucket_size=None
+    )
+    docs = load_table(spark, sf, "documents").select("doc_id", "text")
+    base = docs.select(
+        F.col("doc_id").alias("gdoc"), F.col("text").alias("gtext")
+    )
+    g = F.expr("doc_id div 3")
+    tr = (
+        docs.filter(F.col("doc_id") < ORACLE_FP_SEEDS)
+        .withColumn("gdoc", g * 3)
+        .join(base, "gdoc")
+        .select(
+            F.col("doc_id").alias("id"),
+            F.when(
+                (g % 7 == 3) & (F.col("doc_id") % 3 == 2),
+                F.concat(F.col("text"), F.lit(" " + _MISM_BIG)),
+            )
+            .when(
+                (g % 11 == 5) & (F.col("doc_id") % 3 == 1),
+                F.concat(F.col("gtext"), F.lit(" " + _MISM_SMALL)),
+            )
+            .otherwise(F.col("gtext"))
+            .alias("transcript"),
+        )
+    )
+    return dup_transcript_mismatch(pairs, tr, max_dist=5)
+
+
 def q_drift_categorical(spark: SparkSession, sf: str) -> DataFrame:
     """Categorical drift (VERDICT r03 next-round #5): frequency-PSI + linf
     (max share deviation — the order-free KS analog) of each source's
@@ -2207,6 +2263,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_ingest_stream": q_audio_ingest_stream,
         "audio_dup_clusters": q_audio_dup_clusters,
         "audio_keep_best": q_audio_keep_best,
+        "audio_dup_transcript_mismatch": q_audio_dup_transcript_mismatch,
         "audio_snippet_search": q_audio_snippet_search,
         "audio_trim": q_audio_trim,
         "suite_stream": q_suite_stream,
@@ -3503,6 +3560,37 @@ def oracle_sql() -> dict[str, str]:
         SELECT clip_id, cluster_id, round(rms_db, 6) AS score,
                (rn = 1) AS keep
         FROM ranked
+    """
+
+    # label-consistency over audio duplicates: the oracle rebuilds the
+    # SAME near-dup pair set from the precomputed fingerprint table, then
+    # replays the transcript plant CASE and DuckDB's levenshtein (unit-cost
+    # DP, identical to Spark's on this ASCII corpus); rel_ppm is an exact
+    # floored integer ratio so no float-rounding convention is needed
+    out["audio_dup_transcript_mismatch"] = f"""
+        WITH {audio_nd_ctes}, tr AS (
+          SELECT d.doc_id AS id,
+                 CASE WHEN (d.doc_id // 3) % 7 = 3 AND d.doc_id % 3 = 2
+                      THEN d.text || ' {_MISM_BIG}'
+                      WHEN (d.doc_id // 3) % 11 = 5 AND d.doc_id % 3 = 1
+                      THEN d0.text || ' {_MISM_SMALL}'
+                      ELSE d0.text END AS transcript
+          FROM documents d
+          JOIN documents d0 ON d0.doc_id = 3 * (d.doc_id // 3)
+        )
+        SELECT p.id_a, p.id_b, p.sim,
+               length(ta.transcript)::INT AS len_a,
+               length(tb.transcript)::INT AS len_b,
+               levenshtein(ta.transcript, tb.transcript)::INT AS dist,
+               floor(1000000.0 * levenshtein(ta.transcript, tb.transcript)
+                     / greatest(length(ta.transcript),
+                                length(tb.transcript), 1))::BIGINT
+                 AS rel_ppm,
+               levenshtein(ta.transcript, tb.transcript) > 5
+                 AS transcript_mismatch
+        FROM apairs p
+        JOIN tr ta ON ta.id = p.id_a
+        JOIN tr tb ON tb.id = p.id_b
     """
 
     # declared-vs-container consistency: the oracle replays only the

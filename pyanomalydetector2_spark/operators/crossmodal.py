@@ -117,3 +117,94 @@ def transcript_audio_consistency(
         rate_out.alias("rate_outlier"),
         (~(silent_wt | speech_et | rate_out)).alias("consistent"),
     )
+
+
+def dup_transcript_mismatch(
+    pairs_df: DataFrame,
+    transcripts_df: DataFrame,
+    id_col: str = "id",
+    transcript_col: str = "transcript",
+    max_dist: int = 5,
+    bounded: bool = False,
+) -> DataFrame:
+    """Label-consistency check over audio-duplicate pairs: the SAME
+    recording carrying two materially different transcripts is a labeling
+    defect no single-modality check can see — the audio checks say both
+    clips are fine, the text checks say both transcripts are fine, and the
+    near-dup pass says they are one recording. A speech corpus keeps at
+    most one of those labels; this check finds the conflicts.
+
+    ``pairs_df``: confirmed audio near-dup pairs (id_a, id_b, sim) — the
+    output of ``audio_fp.audio_near_dup`` (or the incremental / streaming
+    probe, which shares the schema). ``transcripts_df``: (id, transcript).
+    NULL transcripts compare as '' — a missing label conflicts with a
+    present one, same bucket as ``transcript_audio_consistency``'s
+    token-count rule.
+
+    Output: (id_a, id_b, sim, len_a, len_b, dist, rel_ppm,
+    transcript_mismatch) where ``dist`` is the Levenshtein distance
+    between the raw transcripts, ``rel_ppm`` =
+    floor(1e6 · dist / max(len_a, len_b, 1)) — an exact BIGINT ratio, so
+    a SQL replay needs no float-rounding convention — and
+    ``transcript_mismatch`` = dist > max_dist.
+
+    Scale shape: the transcript frame reaches the pair frame through two
+    id-equi hash joins, both candidate-bounded (pairs ≪ corpus — the same
+    argument as ``dedup.edit_near_dup``); the distance kernel is Spark's
+    JVM ``levenshtein``. With ``bounded=True`` the thresholded
+    ``levenshtein(a, b, max_dist)`` kernel runs instead — early-abandon
+    DP, O(max_dist·min_len) per pair — and ``dist`` reports -1 for
+    over-threshold pairs (the flag is identical; pytest pins it). Use
+    bounded on production drains where transcripts are long and only the
+    verdict matters; exact when the distance itself is the deliverable.
+
+    Reference analog: none (the reference is single-modality); this is
+    the cross-modal completion of its duplicate-handling funnel
+    (detector.py's per-item verdicts → per-pair verdicts)."""
+    t = F.coalesce(F.col(transcript_col), F.lit(""))
+    texts = transcripts_df.select(
+        F.col(id_col).alias("__id"),
+        t.alias("__t"),
+        F.length(t).alias("__len"),
+    )
+    j = (
+        pairs_df.select("id_a", "id_b", "sim")
+        .join(
+            texts.select(
+                F.col("__id").alias("id_a"),
+                F.col("__t").alias("__t_a"),
+                F.col("__len").alias("len_a"),
+            ),
+            "id_a",
+        )
+        .join(
+            texts.select(
+                F.col("__id").alias("id_b"),
+                F.col("__t").alias("__t_b"),
+                F.col("__len").alias("len_b"),
+            ),
+            "id_b",
+        )
+    )
+    if bounded:
+        dist = F.levenshtein(F.col("__t_a"), F.col("__t_b"), max_dist)
+        mism = dist == -1
+    else:
+        dist = F.levenshtein(F.col("__t_a"), F.col("__t_b"))
+        mism = dist > max_dist
+    longest = F.greatest(F.col("len_a"), F.col("len_b"), F.lit(1))
+    rel = F.when(
+        dist >= 0,
+        F.floor(dist.cast("long") * F.lit(1_000_000) / longest).cast("long"),
+    )  # long math before the multiply (int32 would overflow past dist≈2147);
+    # NULL for a bounded kernel's -1 sentinel — there is no distance
+    return j.select(
+        "id_a",
+        "id_b",
+        "sim",
+        "len_a",
+        "len_b",
+        dist.cast("int").alias("dist"),
+        rel.alias("rel_ppm"),
+        mism.alias("transcript_mismatch"),
+    )

@@ -129,3 +129,63 @@ def test_token_count_sql_matches_ws_tokens(spark):
     assert got["b"] == (2, 2)   # tab separates
     assert got["g"] == (0, 0)   # whitespace-only counts zero
     assert got["i"] == (3, 3)   # CRLF + double space
+
+
+def _mismatch_fixture(spark):
+    from pyanomalydetector2_spark.operators.crossmodal import (
+        dup_transcript_mismatch,
+    )
+
+    pairs = spark.createDataFrame(
+        [(1, 2, 0.99), (1, 3, 0.97), (4, 5, 0.95), (6, 7, 0.93)],
+        "id_a long, id_b long, sim double",
+    )
+    texts = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps"),
+            (2, "the quick brown fox jumps"),          # identical: dist 0
+            (3, "the quick brown fox jumps ok"),       # +3 chars ≤ max_dist
+            (4, "completely different transcript body here"),
+            (5, "the quick brown fox jumps"),          # conflict: flag
+            (6, None),                                 # NULL vs present
+            (7, "a transcript someone did write"),
+        ],
+        "id long, transcript string",
+    )
+    return dup_transcript_mismatch, pairs, texts
+
+
+def test_dup_transcript_mismatch_flags(spark):
+    op, pairs, texts = _mismatch_fixture(spark)
+    got = {(r.id_a, r.id_b): r for r in op(pairs, texts, max_dist=5).collect()}
+    assert not got[(1, 2)].transcript_mismatch and got[(1, 2)].dist == 0
+    assert not got[(1, 3)].transcript_mismatch and got[(1, 3)].dist == 3
+    assert got[(4, 5)].transcript_mismatch          # real conflict
+    assert got[(6, 7)].transcript_mismatch          # NULL label vs present
+    # NULL compares as '': dist = len of the present side, rel_ppm = 1e6
+    assert got[(6, 7)].dist == 30 and got[(6, 7)].rel_ppm == 1_000_000
+    assert got[(1, 3)].rel_ppm == 3 * 1_000_000 // 28
+    # sim rides through untouched
+    assert got[(1, 2)].sim == 0.99
+
+
+def test_dup_transcript_mismatch_bounded_kernel_same_flags(spark):
+    """bounded=True (early-abandon thresholded levenshtein) must produce
+    the IDENTICAL mismatch verdict set; dist degrades to the -1 sentinel
+    (rel_ppm NULL) only on flagged pairs."""
+    op, pairs, texts = _mismatch_fixture(spark)
+    exact = {
+        (r.id_a, r.id_b): r for r in op(pairs, texts, max_dist=5).collect()
+    }
+    bounded = {
+        (r.id_a, r.id_b): r
+        for r in op(pairs, texts, max_dist=5, bounded=True).collect()
+    }
+    assert set(exact) == set(bounded)
+    for k, e in exact.items():
+        b = bounded[k]
+        assert b.transcript_mismatch == e.transcript_mismatch, k
+        if e.transcript_mismatch:
+            assert b.dist == -1 and b.rel_ppm is None, k
+        else:
+            assert (b.dist, b.rel_ppm) == (e.dist, e.rel_ppm), k
