@@ -1943,6 +1943,40 @@ def q_fd_violations(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+_SUGGEST_COLS = {  # column → is-numeric (drives range/non_negative vs domain)
+    "p_partkey": True,
+    "p_name": False,
+    "p_brand": False,
+    "p_type": False,
+    "p_size": True,
+    "p_retailprice": True,
+}
+_SUGGEST_MAX_DOMAIN = 30
+
+
+def q_suggest_constraints(spark: SparkSession, sf: str) -> DataFrame:
+    """Constraint suggestion (constraints/suggest.py — the Deequ
+    ConstraintSuggestionRunner idea): profile ``part`` once and emit the
+    checks the snapshot satisfies — not_null / unique / range /
+    non_negative / domain — every decision made by EXACT aggregates so
+    the DuckDB oracle replays the identical emission logic over the same
+    stats. The interesting rows move with sf: p_retailprice is unique at
+    sf0.001 (200 rows, 200 distinct) but not at sf0.01+ (1000-value
+    cycle), and p_brand's 25-value domain qualifies under max_domain=30
+    while p_name's 64 values do not — both engines must agree per sf.
+    suite_from_suggestions round-trips these rows into a runnable Suite
+    (pytest-pinned green on the profiled snapshot, violations on a
+    perturbed one)."""
+    from pyanomalydetector2_spark.constraints.suggest import (
+        suggest_constraints,
+    )
+
+    part = load_table(spark, sf, "part")
+    return suggest_constraints(
+        part, list(_SUGGEST_COLS), max_domain=_SUGGEST_MAX_DOMAIN
+    )
+
+
 # one day in microseconds: the attribution window for the as-of contract
 _ASOF_TOL_US = 86_400_000_000
 # six hours in microseconds: the sessionization gap (median inter-event gap
@@ -2271,6 +2305,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snapshot_diff": q_snapshot_diff,
         "metrics_anomaly": q_metrics_anomaly,
         "fd_violations": q_fd_violations,
+        "suggest_constraints": q_suggest_constraints,
         "asof_join": q_asof_join,
         "sessionize": q_sessionize,
         "edit_near_dup": q_edit_near_dup,
@@ -4106,6 +4141,53 @@ def oracle_sql() -> dict[str, str]:
                min(k) AS exemplar_key
         FROM pairs GROUP BY 1 HAVING count(*) > 1
     """
+
+    # constraint suggestion: one stats CTE computes the SAME exact
+    # aggregates the Spark operator decides on (counts, nulls, exact
+    # distinct, numeric min/max as double), then one UNION ALL branch per
+    # (column, kind) gated by the identical emission predicate; domain
+    # value sets via ordered string_agg = sort_array(collect_set) on the
+    # Spark side (binary collation on this ASCII corpus)
+    _sg_stats = ", ".join(
+        f"count({c}) AS cnt_{c}, count(*) - count({c}) AS null_{c}, "
+        f"count(DISTINCT {c}) AS d_{c}"
+        + (
+            f", min({c})::DOUBLE AS min_{c}, max({c})::DOUBLE AS max_{c}"
+            if numeric
+            else ""
+        )
+        for c, numeric in _SUGGEST_COLS.items()
+    )
+    _sg_parts = []
+    for c, numeric in _SUGGEST_COLS.items():
+        _sg_parts.append(
+            f"SELECT '{c}' AS \"column\", 'not_null' AS kind, "
+            f"NULL::DOUBLE AS lo, NULL::DOUBLE AS hi, "
+            f"NULL::VARCHAR AS domain FROM s WHERE null_{c} = 0"
+        )
+        _sg_parts.append(
+            f"SELECT '{c}', 'unique', NULL, NULL, NULL FROM s "
+            f"WHERE null_{c} = 0 AND d_{c} = n AND n > 0"
+        )
+        if numeric:
+            _sg_parts.append(
+                f"SELECT '{c}', 'range', min_{c}, max_{c}, NULL "
+                f"FROM s WHERE cnt_{c} > 0"
+            )
+            _sg_parts.append(
+                f"SELECT '{c}', 'non_negative', min_{c}, NULL, NULL "
+                f"FROM s WHERE cnt_{c} > 0 AND min_{c} >= 0"
+            )
+        else:
+            _sg_parts.append(
+                f"SELECT '{c}', 'domain', NULL, NULL, "
+                f"(SELECT string_agg(DISTINCT {c}, '|' ORDER BY {c}) "
+                f"FROM part) FROM s WHERE d_{c} <= {_SUGGEST_MAX_DOMAIN}"
+            )
+    out["suggest_constraints"] = (
+        f"WITH s AS (SELECT count(*) AS n, {_sg_stats} FROM part) "
+        + " UNION ALL ".join(_sg_parts)
+    )
     # as-of join: DuckDB's NATIVE ASOF LEFT JOIN is the oracle for the
     # union+running-last encoding (operators/asof.py). Tolerance applies to
     # the nearest match only (no fallback) on both sides; lag stays integer
