@@ -406,6 +406,37 @@ def q_text_quality(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+_VOCAB_K = 20
+_OOV_VOCAB_K = 12
+
+
+def q_vocab_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """Corpus vocabulary head: top-k (20 here; the corpus vocabulary is ~31 types, so the boundary cut and its tiebreak are real) tokens by global count with a
+    deterministic (count desc, token asc) tiebreak — the statistic
+    tokenizer/vocab design reads off a corpus. One explode + one groupBy
+    (map-side combine absorbs the Zipf head) + TakeOrderedAndProject (no
+    global sort shuffle; CI plan gate pins it)."""
+    from pyanomalydetector2_spark.operators.text import vocab_topk
+
+    docs = load_table(spark, sf, "documents")
+    return vocab_topk(docs, _VOCAB_K).select(
+        "token", F.col("cnt").cast("long").alias("cnt"),
+        F.col("docs").cast("long").alias("docs"),
+    )
+
+
+def q_oov_rate(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-document out-of-vocabulary rate vs a self-derived reference
+    vocabulary (the corpus' own top-12 tokens — ~19 types stay OOV, so every document carries a real nonzero rate) — the tokenizer-coverage
+    check of a training pipeline. Broadcast vocab join; oov_ppm is an
+    exact floored integer ratio (no float-rounding convention)."""
+    from pyanomalydetector2_spark.operators.text import oov_rate, vocab_topk
+
+    docs = load_table(spark, sf, "documents")
+    vocab = vocab_topk(docs, _OOV_VOCAB_K).select("token")
+    return oov_rate(docs, vocab)
+
+
 def q_lang_id(spark: SparkSession, sf: str) -> DataFrame:
     """Stopword-marker language-ID heuristic with stable-argmax prediction."""
     docs = load_table(spark, sf, "documents")
@@ -2251,6 +2282,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": q_simhash,
         "embedding_topk": q_embedding_topk,
         "text_quality": q_text_quality,
+        "vocab_topk": q_vocab_topk,
+        "oov_rate": q_oov_rate,
         "text_embed": q_text_embed,
         "text_embed_near_dup": q_text_embed_near_dup,
         "lang_id": q_lang_id,
@@ -2327,6 +2360,14 @@ _STD_CLOSED = (
 )
 
 _H60 = "('0x' || substr(md5({x}), 1, 15))::BIGINT"
+
+_TOKS_CTE = """toks AS (
+              SELECT doc_id,
+                     list_filter(regexp_split_to_array(lower(trim(text)),
+                                                       '\\s+'),
+                                 x -> x <> '') AS t
+              FROM documents
+            )"""
 
 _SHINGLE_CTES = """
             toks AS (
@@ -2778,6 +2819,42 @@ def oracle_sql() -> dict[str, str]:
               FROM vecs a, vecs b
               WHERE a.doc_id < b.doc_id
             ) WHERE cosine >= 0.9
+        """,
+        # vocab head + OOV coverage: the shared toks CTE replays ws_tokens;
+        # docs = per-token distinct doc count (Spark's per-(doc, token)
+        # pre-distinct stage); the top-k boundary is deterministic on both
+        # engines via the (cnt DESC, token ASC) tiebreak
+        "vocab_topk": f"""
+            WITH {_TOKS_CTE},
+            tok AS (SELECT doc_id, unnest(t) AS token FROM toks)
+            SELECT token, count(*)::BIGINT AS cnt,
+                   count(DISTINCT doc_id)::BIGINT AS docs
+            FROM tok GROUP BY 1
+            ORDER BY cnt DESC, token LIMIT {_VOCAB_K}
+        """,
+        "oov_rate": f"""
+            WITH {_TOKS_CTE},
+            tok AS (SELECT doc_id, unnest(t) AS token FROM toks),
+            v AS (
+              SELECT token FROM (
+                SELECT token, count(*) AS cnt FROM tok GROUP BY 1
+                ORDER BY cnt DESC, token LIMIT {_OOV_VOCAB_K}
+              )
+            ),
+            per AS (
+              SELECT t.doc_id AS id, count(*) AS n_tokens,
+                     sum(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END)
+                       AS n_oov
+              FROM tok t LEFT JOIN v ON v.token = t.token
+              GROUP BY 1
+            )
+            SELECT d.doc_id AS id,
+                   coalesce(p.n_tokens, 0)::BIGINT AS n_tokens,
+                   coalesce(p.n_oov, 0)::BIGINT AS n_oov,
+                   CASE WHEN coalesce(p.n_tokens, 0) = 0 THEN NULL
+                        ELSE floor(1000000.0 * p.n_oov
+                                   / p.n_tokens)::BIGINT END AS oov_ppm
+            FROM documents d LEFT JOIN per p ON p.id = d.doc_id
         """,
         "lang_id": f"""
             WITH m AS (

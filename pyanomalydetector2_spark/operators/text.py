@@ -354,3 +354,93 @@ def repetition_metrics(
             "dup_ngram_char_frac"
         ),
     )
+
+
+def vocab_counts(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Global token-frequency table: (token, cnt, docs) — corpus count and
+    document frequency per whitespace token (the shared ``ws_tokens``
+    normalization). ONE explode + ONE groupBy; map-side combine absorbs
+    the Zipf head (the hot tokens' partial counts collapse per partition
+    before the shuffle), so the shuffle carries ~|vocab| rows, not
+    ~|corpus tokens|. Document frequency rides the same aggregation via a
+    per-(doc, token) pre-distinct — a second map-side-combinable stage,
+    no extra scan.
+
+    The vocabulary table feeds tokenizer/vocab design and the OOV-rate
+    check below; at 10^12 rows it is the only global text statistic a
+    training pipeline needs that ``token_metrics`` (per-row) cannot give.
+    """
+    tok = df.select(
+        F.col(id_col).alias("__doc"),
+        F.explode(ws_tokens(F.col(text_col))).alias("token"),
+    )
+    per_doc = tok.groupBy("__doc", "token").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    return per_doc.groupBy("token").agg(
+        F.sum("n").alias("cnt"), F.count(F.lit(1)).alias("docs")
+    )
+
+
+def vocab_topk(df: DataFrame, k: int, text_col: str = "text") -> DataFrame:
+    """Top-k corpus tokens by count (ties → token ascending, so the set is
+    deterministic and SQL-replayable). orderBy + limit compiles to
+    TakeOrderedAndProject — per-partition heaps + a k-row driver merge,
+    NOT a global sort shuffle (the plan-contract tests' global-sort ban
+    does not apply; |vocab| full sort never happens)."""
+    return (
+        vocab_counts(df, text_col)
+        .orderBy(F.desc("cnt"), F.asc("token"))
+        .limit(k)
+    )
+
+
+def oov_rate(
+    df: DataFrame,
+    vocab: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document out-of-vocabulary rate against a reference vocabulary
+    (token column ``token``): (id, n_tokens, n_oov, oov_ppm) where
+    oov_ppm = floor(1e6·n_oov/n_tokens) — exact integer ratio, no float
+    rounding convention. The canonical tokenizer-coverage check: a corpus
+    slice whose OOV rate drifts up is changing language/domain faster
+    than the tokenizer.
+
+    Scale shape: explode → LEFT join on token → count rollup. Reference
+    vocabularies are 10^4–10^6 rows vs a 10^12 corpus — the join side is
+    broadcast (and Zipf makes the probe side's hot keys harmless: a
+    broadcast join has no key co-location to skew). NULL/empty docs emit
+    n_tokens = 0 with NULL oov_ppm (no evidence, not a verdict)."""
+    tok = df.select(
+        F.col(id_col).alias("id"),
+        F.explode_outer(ws_tokens(F.col(text_col))).alias("token"),
+    )
+    v = F.broadcast(vocab.select(F.col("token"), F.lit(1).alias("__in_v")))
+    j = tok.join(v, "token", "left")
+    return j.groupBy("id").agg(
+        F.count("token").alias("n_tokens"),
+        F.sum(
+            F.when(F.col("token").isNotNull() & F.col("__in_v").isNull(), 1)
+            .otherwise(0)
+        )
+        .cast("long")
+        .alias("n_oov"),
+        F.floor(
+            F.try_divide(
+                F.sum(
+                    F.when(
+                        F.col("token").isNotNull() & F.col("__in_v").isNull(),
+                        1,
+                    ).otherwise(0)
+                ).cast("long")
+                * F.lit(1_000_000),
+                F.count("token"),
+            )
+        )
+        .cast("long")
+        .alias("oov_ppm"),
+    )

@@ -163,3 +163,19 @@ def test_snippet_search_broadcasts_queries(spark):
     b = _audit(spark, "exact_substring_dup")
     assert b["sorts_global"] == 0 and b["cartesian"] == 0
     assert b["shuffles"] <= 5, f"exact_substring_dup shuffles: {b['shuffles']}"
+
+
+def test_vocab_topk_no_global_sort(spark):
+    """Top-k compiles to TakeOrderedAndProject (per-partition heaps + a
+    k-row driver merge) — never a rangepartitioning sort shuffle of the
+    vocabulary."""
+    a = _audit(spark, "vocab_topk")
+    assert a["sorts_global"] == 0, "vocab top-k planned a global sort"
+
+
+def test_oov_rate_broadcasts_vocab(spark):
+    """The reference vocabulary joins broadcast (10^4-row vocab vs a
+    10^12-token probe side — a shuffled join would move the corpus)."""
+    a = _audit(spark, "oov_rate")
+    assert a["broadcasts"] >= 1, "vocab join lost its broadcast"
+    assert a["sorts_global"] == 0
