@@ -207,6 +207,33 @@ def fingerprint_any(pcm: np.ndarray) -> np.ndarray | None:
     return (bits << np.arange(BITS)[None, :]).sum(axis=1).astype(np.int32)
 
 
+EMBED_DIMS = 2 * N_BANDS  # per-band log-energy mean + std over time
+
+
+def embed_metrics(pcm: np.ndarray) -> np.ndarray | None:
+    """Deterministic spectral embedding of a clip: per-band log-energy
+    mean and std over the fingerprint's own frame grid — (32,) float64.
+    The audio analog of ``text.text_embed``: it lets the whole ANN /
+    cosine near-dup stack run on corpora that arrive WITHOUT vectors.
+
+    Gain-robust by construction: a gain g scales every band energy by g²,
+    which in the log domain is a constant additive shift — subtracting
+    the clip's global log-energy mean removes it (exactly in the
+    e ≫ 1 regime; int16-scale window energies are ~1e8, so the +1
+    log floor is noise-level). The std block is shift-invariant already.
+    Unlike the fingerprint (sign bits, for banded candidate generation)
+    the embedding keeps magnitudes, so cosine ranks HOW similar two
+    clips are — the two are complementary, not redundant."""
+    if pcm is None or len(pcm) < WIN + HOP:
+        return None
+    frames = np.lib.stride_tricks.sliding_window_view(pcm, WIN)[::HOP] * _HANN
+    spec = np.abs(np.fft.rfft(frames, axis=1)) ** 2
+    e = np.add.reduceat(spec, _BAND_EDGES[:-1], axis=1)
+    le = np.log(e + 1.0)
+    le = le - le.mean()
+    return np.concatenate([le.mean(axis=0), le.std(axis=0)])
+
+
 def quality_metrics(pcm: np.ndarray) -> tuple | None:
     """Deterministic per-clip audio quality metrics over decoded PCM
     (int16 scale) — the audio analog of text.token_metrics for a
@@ -329,6 +356,46 @@ def audio_fingerprints(
             )
 
     return cols.mapInPandas(gen, schema=FP_SCHEMA)
+
+
+EMBED_SCHEMA = "id long, embedding array<double>"
+
+
+def audio_embed(
+    df: DataFrame,
+    id_col: str = "clip_id",
+    payload_col: str = "bytes",
+    codec_col: str = "codec",
+) -> DataFrame:
+    """(id, embedding) spectral embeddings for every decodable clip —
+    decode + embed fused in ONE Arrow-batched pass (the
+    ``audio_fingerprints`` shape: ``bytes`` never crosses a shuffle).
+    Undecodable/short clips are dropped; the suite's decode check owns
+    them. Feed the result to ``similarity``'s cosine / IVF / PQ stack."""
+    cols = df.select(
+        F.col(id_col).alias("id"),
+        F.col(payload_col).alias("payload"),
+        F.col(codec_col).alias("codec"),
+    )
+
+    def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, vecs = [], []
+            for i, payload, codec in zip(
+                pdf["id"], pdf["payload"], pdf["codec"]
+            ):
+                v = embed_metrics(decode_full(payload, codec))
+                if v is not None:
+                    ids.append(i)
+                    vecs.append(v.tolist())
+            yield pd.DataFrame(
+                {
+                    "id": pd.array(ids, dtype="int64"),
+                    "embedding": pd.Series(vecs, dtype="object"),
+                }
+            )
+
+    return cols.mapInPandas(gen, schema=EMBED_SCHEMA)
 
 
 INGEST_GATE_SCHEMA = (
@@ -1064,6 +1131,36 @@ def ensure_oracle_silent_quality(out_dir: str = ORACLE_FP_DIR) -> str:
     ).astype({"n_samples": np.int64})
     tmp = path + ".tmp"
     qdf.to_parquet(tmp, index=False)
+    os.replace(tmp, path)
+    return path
+
+
+def ensure_oracle_embed(
+    n_seeds: int = ORACLE_FP_SEEDS, out_dir: str = ORACLE_FP_DIR
+) -> str:
+    """(seed, embedding) spectral-embedding oracle table, computed by the
+    SAME synth→encode→decode→embed_metrics code the Spark executors run
+    and cached as parquet for the DuckDB replay (the
+    ensure_oracle_quality convention — pure function of the seed)."""
+    path = os.path.join(out_dir, "embed.parquet")
+    if os.path.exists(path):
+        return path
+    os.makedirs(out_dir, exist_ok=True)
+    seeds = np.arange(n_seeds, dtype=np.int64)
+    bases, variants = seeds // 3, seeds % 3
+    rows: list[tuple[int, list[float]]] = []
+    for start in range(0, n_seeds, 128):
+        sl = slice(start, min(start + 128, n_seeds))
+        pcm = synth_near_dup_pcm(bases[sl])
+        for j, s in enumerate(seeds[sl]):
+            payload, codec = encode_variant(pcm[j], int(variants[sl][j]))
+            v = embed_metrics(decode_full(payload, codec))
+            rows.append((int(s), v.tolist()))
+    pdf = pd.DataFrame(rows, columns=["seed", "embedding"]).astype(
+        {"seed": np.int64}
+    )
+    tmp = path + ".tmp"
+    pdf.to_parquet(tmp, index=False)
     os.replace(tmp, path)
     return path
 

@@ -437,3 +437,56 @@ def test_audio_trim_recovers_planted_pads(spark):
         assert r["active_ratio"] == round(
             content / (lead + content + trail), 6
         )
+
+
+def test_embed_gain_invariance_and_variant_collision():
+    """The spectral embedding is gain-robust (log-domain mean subtraction)
+    and re-encode variants of one recording stay within cosine 0.995 —
+    the candidate-generation contract the audio_embed_near_dup query
+    rides; cross-content pairs are NOT claimed separable (see the query
+    docstring: fingerprint Hamming is the confirm stage)."""
+    bases = np.arange(12, dtype=np.int64)
+    pcm = A.synth_near_dup_pcm(bases)
+
+    def cos(u, v):
+        return float(
+            np.dot(u, v) / (np.linalg.norm(u) * np.linalg.norm(v))
+        )
+
+    # pure gain: near-perfect cosine (the +1 log floor is noise-level)
+    for g in (0.5, 0.85, 1.15, 2.0):
+        c = cos(A.embed_metrics(pcm[0]), A.embed_metrics(pcm[0] * g))
+        assert c > 0.99999, (g, c)
+
+    # the full encode→decode variant triples collide at the query threshold
+    for b in bases:
+        vecs = []
+        for v in range(3):
+            payload, codec = A.encode_variant(pcm[b], v)
+            vecs.append(A.embed_metrics(A.decode_full(payload, codec)))
+        for i in range(3):
+            for j in range(i + 1, 3):
+                assert cos(vecs[i], vecs[j]) >= 0.995, (b, i, j)
+
+    assert A.embed_metrics(None) is None
+    assert A.embed_metrics(np.zeros(A.WIN)) is None  # below two frames
+
+
+def test_audio_embed_operator_matches_kernel(spark):
+    """The fused Spark pass equals the per-clip kernel on real encoded
+    bytes and drops undecodable rows."""
+    n = 30
+    clips = A.synth_corpus(spark, spark.range(n).toDF("clip_id"))
+    bad = spark.createDataFrame(
+        [(999, b"not audio", "flac")], "clip_id long, bytes binary, codec string"
+    )
+    got = {
+        r["id"]: np.array(r["embedding"])
+        for r in A.audio_embed(clips.unionByName(bad)).collect()
+    }
+    assert set(got) == set(range(n))  # undecodable row dropped
+    pcm = A.synth_near_dup_pcm(np.arange(n, dtype=np.int64) // 3)
+    for s in (0, 7, 29):
+        payload, codec = A.encode_variant(pcm[s], s % 3)
+        want = A.embed_metrics(A.decode_full(payload, codec))
+        assert np.array_equal(got[s], want), s
