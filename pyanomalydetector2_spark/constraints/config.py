@@ -186,3 +186,63 @@ def load_suite(
     if "suite" not in conf:
         raise ValueError(f"{path} has no 'suite:' section")
     return suite_from_dict(conf["suite"])
+
+
+def suite_to_dict(suite: Suite) -> dict:
+    """The exact inverse of ``suite_from_dict`` — every check kind, using
+    the loader's canonical key names, so
+    ``suite_from_dict(suite_to_dict(s)) == s`` (frozen dataclasses compare
+    by value; pytest-pinned). This is what lets ``run_suite --suggest``
+    persist a suggested suite as a YAML file a later run loads unchanged —
+    the Deequ suggestion loop closed operationally, and the same mirror
+    convention as the shipped clips-suite YAML."""
+    import dataclasses
+
+    def rows(checks, field_map: dict[str, str], drop_defaults: dict):
+        out = []
+        for c in checks:
+            d = dataclasses.asdict(c)
+            d["id"] = d.pop("constraint_id")
+            for src, dst in field_map.items():
+                d[dst] = d.pop(src)
+            for k, default in drop_defaults.items():
+                if d.get(k) == default:
+                    d.pop(k, None)
+            for k, v in list(d.items()):
+                if isinstance(v, tuple):
+                    d[k] = list(v)
+            out.append(d)
+        return out
+
+    spec = {
+        "row_checks": rows(
+            suite.row_checks,
+            {},
+            {"requires_audio": False, "requires_container": False},
+        ),
+        "stat_checks": rows(suite.stat_checks, {}, {}),
+        "unique_checks": rows(suite.unique_checks, {}, {}),
+        "ref_checks": rows(suite.ref_checks, {"dim_name": "dim"}, {}),
+        "drift_checks": rows(
+            suite.drift_checks,
+            {},
+            {
+                "nbins": 20,
+                "psi_max": 0.2,
+                "ks_max": 0.15,
+                "equi_depth": False,
+                "distributed": False,
+                "categorical": False,
+            },
+        ),
+        "ann_checks": rows(suite.ann_checks, {}, {}),
+        "fd_checks": rows(suite.fd_checks, {}, {}),
+        "reconcile_checks": rows(suite.reconcile_checks, {}, {}),
+    }
+    return {k: v for k, v in spec.items() if v}
+
+
+def save_suite(suite: Suite, path: str) -> None:
+    """Write ``{suite: ...}`` YAML loadable by ``load_suite``."""
+    with open(path, "w") as f:
+        yaml.safe_dump({"suite": suite_to_dict(suite)}, f, sort_keys=False)

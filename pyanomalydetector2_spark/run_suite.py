@@ -109,6 +109,24 @@ def main(argv: list[str] | None = None) -> dict:
         "rescanning the baseline (operators/kll.py)",
     )
     ap.add_argument("--json-out", default=None, help="also append summary JSON to this file")
+    ap.add_argument(
+        "--suggest-out",
+        default=None,
+        help="profile the current snapshot, write the SUGGESTED suite as "
+        "YAML to this path (loadable via --suite), and exit without "
+        "validating — the Deequ suggestion bootstrap",
+    )
+    ap.add_argument(
+        "--suggest-columns",
+        default="clip_id,codec,sr_hz,dur_ms,transcript",
+        help="comma-separated columns to profile for --suggest-out",
+    )
+    ap.add_argument(
+        "--suggest-max-domain",
+        type=int,
+        default=20,
+        help="max distinct values for a suggested IN-domain check",
+    )
     args = ap.parse_args(argv)
 
     # local parquet inputs are tiny vs the 128m cluster default split size;
@@ -158,6 +176,34 @@ def main(argv: list[str] | None = None) -> dict:
                 base.repartition(F.col("bucket")), partition_by=["bucket"]
             )
             cur, base = cur_t.read(spark), base_t.read(spark)
+
+    if args.suggest_out:
+        from pyanomalydetector2_spark.constraints.config import save_suite
+        from pyanomalydetector2_spark.constraints.suggest import (
+            suggest_constraints,
+            suite_from_suggestions,
+        )
+
+        cols = [c for c in args.suggest_columns.split(",") if c]
+        t0 = time.time()
+        sugg = suggest_constraints(
+            cur,
+            cols,
+            max_domain=args.suggest_max_domain,
+            distinct_mode="prefilter",  # the scale path; emission identical
+        )
+        suite = suite_from_suggestions(sugg)
+        save_suite(suite, args.suggest_out)
+        summary = {
+            "metric": "suggested_constraints",
+            "value": len(suite.all_ids()),
+            "unit": "checks",
+            "columns": cols,
+            "out": args.suggest_out,
+            "wall_sec": round(time.time() - t0, 3),
+        }
+        print(json.dumps(summary))
+        return summary
 
     dims = {"dim_codec": dim_codec(spark), "dim_sr": dim_sr(spark)}
     ledger = CheckpointLedger(os.path.join(args.warehouse, "ledger")) if args.resume else None

@@ -123,3 +123,82 @@ def test_domain_values_sql_quote_safe(spark):
     ].predicate
     n = df.filter(F.expr(pred)).count()
     assert n == df.count()
+
+
+def test_suite_yaml_round_trip_every_kind(tmp_path):
+    """suite_from_dict(suite_to_dict(s)) == s for EVERY check kind —
+    the serializer run_suite --suggest-out persists suites with (frozen
+    dataclasses compare by value, so equality is total)."""
+    from pyanomalydetector2_spark.constraints.config import (
+        load_suite,
+        save_suite,
+        suite_from_dict,
+        suite_to_dict,
+    )
+    from pyanomalydetector2_spark.constraints.dsl import (
+        AnnCheck,
+        DriftCheck,
+        FdCheck,
+        ReconcileCheck,
+        RefCheck,
+        RowCheck,
+        StatCheck,
+        Suite,
+        UniqueCheck,
+    )
+
+    s = Suite(
+        row_checks=(
+            RowCheck("r1", "a > 0", "cast(a AS STRING)", "positive"),
+            RowCheck("r2", "b IS NOT NULL", "NULL", "b", requires_audio=True),
+        ),
+        stat_checks=(StatCheck("s1", "a", "min", ">=", 0.0),),
+        unique_checks=(UniqueCheck("u1", "clip_id"),),
+        ref_checks=(RefCheck("f1", "codec", "dim_codec"),),
+        drift_checks=(
+            DriftCheck("d1", "dur_ms", 0.0, 5000.0, nbins=10),
+            DriftCheck("d2", "codec", 0.0, 0.0, categorical=True),
+        ),
+        ann_checks=(AnnCheck("a1", 64, k=5),),
+        fd_checks=(FdCheck("fd1", ("brand",), "mfgr"),),
+        reconcile_checks=(
+            ReconcileCheck("rc1", ("codec", "sr_hz"), max_added_rate=0.5),
+        ),
+    )
+    assert suite_from_dict(suite_to_dict(s)) == s
+    p = str(tmp_path / "suite.yml")
+    save_suite(s, p)
+    assert load_suite(p) == s
+
+
+def test_suggest_cli_writes_loadable_green_suite(spark, tmp_path):
+    """The --suggest-out CLI path end-to-end in-process: suggest on the
+    planted clips table (prefilter mode, the CLI default), persist YAML,
+    load it back, and the loaded suite is green on the same snapshot."""
+    from pyanomalydetector2_spark.constraints.config import (
+        load_suite,
+        save_suite,
+    )
+    from pyanomalydetector2_spark.constraints.suggest import (
+        suggest_constraints,
+        suite_from_suggestions,
+    )
+    from pyanomalydetector2_spark.datagen.clips import clips_table
+
+    cur = clips_table(spark, 3000, planted=True, n_buckets=8)
+    sugg = suggest_constraints(
+        cur,
+        ["clip_id", "codec", "sr_hz", "dur_ms"],
+        distinct_mode="prefilter",
+    )
+    suite = suite_from_suggestions(sugg)
+    # the datagen plants duplicate clip_ids: uniqueness must NOT be
+    # suggested on the very table that violates it
+    assert "clip_id_unique" not in set(suite.all_ids())
+    p = str(tmp_path / "suggested.yml")
+    save_suite(suite, p)
+    loaded = load_suite(p)
+    assert loaded == suite
+    res = run_suite(cur, cur, {}, loaded, "sugg_cli", key_col="clip_id")
+    assert res.violations.count() == 0
+    assert res.verdicts.filter(~F.col("passed")).count() == 0
