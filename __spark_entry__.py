@@ -1669,6 +1669,41 @@ def q_audio_embed_near_dup(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+_AQD_LO, _AQD_HI, _AQD_NBINS = -20.0, -5.0, 20
+
+
+def q_audio_quality_drift(spark: SparkSession, sf: str) -> DataFrame:
+    """Distribution drift on a DECODED audio feature (the north star's
+    PSI/KS drift aimed at the signal itself, not declared metadata):
+    per-bucket PSI + binned KS of rms_db for the μ-law/gain-1.15 slice
+    (clip_id % 3 == 2) vs the WAV/gain-0.85 baseline slice (% 3 == 1) —
+    a real ~2.6 dB level shift the histograms must expose. Spark decodes
+    both slices in one fused Arrow pass (filter pushed to the corpus
+    parquet scan first — variant-0 clips are never decoded) and runs the
+    fully-distributed drift_scores_df; the oracle replays binning + the
+    window-ordered PSI accumulation over the same-code-precomputed
+    quality table."""
+    from pyanomalydetector2_spark.operators.audio_fp import audio_quality
+    from pyanomalydetector2_spark.operators.drift import drift_scores_df
+
+    corpus = _audio_corpus(spark, sf).filter(F.col("clip_id") % 3 != 0)
+    q = audio_quality(corpus)
+    cur = q.filter(F.col("id") % 3 == 2).withColumn(
+        "bucket", (F.col("id") % 8).cast("int")
+    )
+    base = q.filter(F.col("id") % 3 == 1)
+    d = drift_scores_df(
+        cur, base, "rms_db", _AQD_LO, _AQD_HI, _AQD_NBINS, "bucket"
+    )
+    return d.select(
+        "bucket",
+        _r("psi").alias("psi"),
+        _r("ks").alias("ks"),
+        F.col("cur_n").cast("long").alias("cur_n"),
+        F.col("base_n").cast("long").alias("base_n"),
+    )
+
+
 def q_drift_categorical(spark: SparkSession, sf: str) -> DataFrame:
     """Categorical drift (VERDICT r03 next-round #5): frequency-PSI + linf
     (max share deviation — the order-free KS analog) of each source's
@@ -2373,6 +2408,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_dup_transcript_mismatch": q_audio_dup_transcript_mismatch,
         "audio_embed": q_audio_embed,
         "audio_embed_near_dup": q_audio_embed_near_dup,
+        "audio_quality_drift": q_audio_quality_drift,
         "audio_snippet_search": q_audio_snippet_search,
         "audio_trim": q_audio_trim,
         "suite_stream": q_suite_stream,
@@ -3560,6 +3596,61 @@ def oracle_sql() -> dict[str, str]:
                    AS cosine
           FROM e a, e b WHERE a.id < b.id
         ) WHERE cosine >= 0.995
+    """
+
+    # decoded-feature drift: the drift_psi oracle pattern (grid + window-
+    # ordered PSI accumulation) aimed at rms_db from the same-code
+    # quality table — current = μ-law/gain-1.15 slice per bucket,
+    # baseline = WAV/gain-0.85 slice global
+    _aqd_bin = (
+        f"CASE WHEN rms_db < {_AQD_LO} THEN 0 "
+        f"WHEN rms_db >= {_AQD_HI} THEN {_AQD_NBINS + 1} "
+        f"ELSE CAST(floor((rms_db - {_AQD_LO}) "
+        f"/ {(_AQD_HI - _AQD_LO) / _AQD_NBINS}) AS INT) + 1 END"
+    )
+    out["audio_quality_drift"] = f"""
+        WITH cur AS (
+          SELECT (q.seed % 8)::INT AS bucket, {_aqd_bin} AS bin
+          FROM read_parquet('{q_path}') q
+          JOIN documents d ON q.seed = d.doc_id
+          WHERE q.seed % 3 = 2
+            AND rms_db IS NOT NULL AND NOT isnan(rms_db)
+        ), base AS (
+          SELECT {_aqd_bin} AS bin
+          FROM read_parquet('{q_path}') q
+          JOIN documents d ON q.seed = d.doc_id
+          WHERE q.seed % 3 = 1
+            AND rms_db IS NOT NULL AND NOT isnan(rms_db)
+        ),
+        cur_cnt AS (SELECT bucket, bin, count(*) AS cn FROM cur GROUP BY 1, 2),
+        base_cnt AS (SELECT bin, count(*) AS bn FROM base GROUP BY 1),
+        cur_tot AS (SELECT bucket, sum(cn) AS cur_n FROM cur_cnt GROUP BY 1),
+        base_tot AS (SELECT sum(bn) AS base_n FROM base_cnt),
+        grid AS (
+          SELECT bucket, cur_n, i AS bin
+          FROM cur_tot, UNNEST(range(0, {_AQD_NBINS + 2})) AS t(i)
+        ),
+        terms AS (
+          SELECT g.bucket, g.bin, g.cur_n, bt.base_n,
+                 coalesce(c.cn, 0)::DOUBLE / g.cur_n + 1e-6 AS p,
+                 coalesce(b.bn, 0)::DOUBLE / bt.base_n + 1e-6 AS q
+          FROM grid g
+          LEFT JOIN cur_cnt c ON c.bucket = g.bucket AND c.bin = g.bin
+          LEFT JOIN base_cnt b ON b.bin = g.bin
+          CROSS JOIN base_tot bt
+        ),
+        cum AS (
+          SELECT bucket, cur_n, base_n,
+                 sum((p - q) * ln(p / q)) OVER w AS cum_psi,
+                 sum(p) OVER w - sum(q) OVER w AS cdf_diff
+          FROM terms
+          WINDOW w AS (PARTITION BY bucket ORDER BY bin
+                       ROWS UNBOUNDED PRECEDING)
+        )
+        SELECT bucket, round(max(cum_psi), 6) AS psi,
+               round(max(abs(cdf_diff)), 6) AS ks,
+               max(cur_n)::BIGINT AS cur_n, max(base_n)::BIGINT AS base_n
+        FROM cum GROUP BY 1
     """
     out["audio_quality"] = f"""
         SELECT q.seed AS clip_id, q.n_samples,
