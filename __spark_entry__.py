@@ -1066,6 +1066,33 @@ def q_drift_psi(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+_FRESH_AS_OF = "2024-01-31 00:00:00"
+_FRESH_MAX_LAG_S = 1800.0
+
+
+def q_freshness(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-partition freshness (stats.freshness — the Deequ/GE staple):
+    exact integer-microsecond lag of each event_type's newest row vs a
+    fixed as-of, verdict at 30 min. The sf0.01 maxes spread 23:23–23:57
+    on 2024-01-30, so the threshold genuinely splits fresh from stale
+    partitions. One map-side-combinable max/count aggregation — the
+    cheapest whole-table check in the family. max_ts stays an operator
+    output but is projected out here: lag_us encodes it exactly without
+    a cross-engine timestamp-formatting convention."""
+    from pyanomalydetector2_spark.operators.stats import freshness
+
+    ev = load_table(spark, sf, "events")
+    out = freshness(
+        ev, "ts", _FRESH_AS_OF, ["event_type"], max_lag_s=_FRESH_MAX_LAG_S
+    )
+    return out.select(
+        "event_type",
+        F.col("n_rows").cast("long").alias("n_rows"),
+        "lag_us",
+        "fresh",
+    )
+
+
 def q_uniqueness_violations(spark: SparkSession, sf: str) -> DataFrame:
     """North-rule uniqueness check, exact stage: violation ROWS for an
     expected-unique key (clip_id analog = 40-char text prefix) via
@@ -2391,6 +2418,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "column_quantiles": q_column_quantiles,
         "kll_quantiles": q_kll_quantiles,
         "drift_psi": q_drift_psi,
+        "freshness": q_freshness,
         "uniqueness_violations": q_uniqueness_violations,
         "ri_violations": q_ri_violations,
         "near_dup_incremental": q_near_dup_incremental,
@@ -3419,6 +3447,16 @@ def oracle_sql() -> dict[str, str]:
                    round(max(abs(cdf_diff)), 6) AS ks,
                    max(cur_n)::BIGINT AS cur_n, max(base_n)::BIGINT AS base_n
             FROM cum GROUP BY 1
+        """,
+        "freshness": f"""
+            SELECT event_type, n_rows, lag_us,
+                   (lag_us <= {int(_FRESH_MAX_LAG_S * 1_000_000)}) AS fresh
+            FROM (
+              SELECT event_type, count(*)::BIGINT AS n_rows,
+                     datediff('microsecond', max(ts),
+                              TIMESTAMP '{_FRESH_AS_OF}')::BIGINT AS lag_us
+              FROM events GROUP BY 1
+            )
         """,
         "uniqueness_violations": """
             WITH k AS (

@@ -235,3 +235,47 @@ def column_profile(
     )
     front = list(group_cols) + ["column"]
     return out.select(*front, *[c for c in out.columns if c not in front])
+
+
+def freshness(
+    df: DataFrame,
+    ts_col: str,
+    as_of: str,
+    group_cols: Sequence[str] = (),
+    max_lag_s: float | None = None,
+) -> DataFrame:
+    """Per-group data freshness — the Deequ/Great-Expectations staple the
+    suite's value checks cannot express: how stale is each partition's
+    newest row at ``as_of`` (an ISO timestamp literal, naive/UTC like the
+    session)?
+
+    Returns (group…, n_rows, max_ts, lag_us, fresh?) — ``lag_us`` is the
+    exact integer microsecond gap (timestampdiff against the literal; no
+    float seconds, so a SQL replay needs no rounding convention) and
+    ``fresh`` is emitted only when ``max_lag_s`` is given. Groups whose
+    timestamps are all NULL get NULL max_ts/lag_us and fail closed
+    (fresh = false): no evidence of freshness is not freshness.
+
+    Scale shape: one map-side-combinable max/count aggregation — the
+    cheapest whole-table check in the suite family; at 10^12 rows the
+    scan is the cost and the result is |groups| rows."""
+    g = df.groupBy(*[F.col(c) for c in group_cols]) if group_cols else df.groupBy()
+    out = g.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.max(F.col(ts_col)).alias("max_ts"),
+    ).withColumn(
+        "lag_us",
+        F.expr(
+            f"timestampdiff(MICROSECOND, max_ts, "
+            f"to_timestamp_ntz('{as_of}'))"
+        ).cast("long"),
+    )
+    if max_lag_s is not None:
+        out = out.withColumn(
+            "fresh",
+            F.coalesce(
+                F.col("lag_us") <= F.lit(int(max_lag_s * 1_000_000)),
+                F.lit(False),
+            ),
+        )
+    return out

@@ -95,3 +95,35 @@ def test_column_profile(spark):
     assert prof.loc[("a", "x"), "std"] == pytest.approx(exp_std)
     q = prof.loc[("a", "x"), "quantiles"]
     assert len(q) == 3 and q[0] <= q[1] <= q[2]
+
+
+def test_freshness_lag_and_fail_closed_nulls(spark):
+    from pyanomalydetector2_spark.operators.stats import freshness
+
+    df = spark.createDataFrame(
+        [
+            ("a", "2024-01-30 23:59:59.500000"),
+            ("a", "2024-01-30 22:00:00"),
+            ("b", "2024-01-30 12:00:00"),
+            ("c", None),
+            ("c", None),
+        ],
+        "g string, ts_s string",
+    ).selectExpr("g", "to_timestamp_ntz(ts_s) AS ts")
+    got = {
+        r["g"]: r
+        for r in freshness(
+            df, "ts", "2024-01-31 00:00:00", ["g"], max_lag_s=3600
+        ).collect()
+    }
+    assert got["a"].lag_us == 500_000 and got["a"].fresh  # 0.5 s
+    assert got["b"].lag_us == 12 * 3600 * 1_000_000 and not got["b"].fresh
+    # all-NULL group: no evidence of freshness is not freshness
+    assert got["c"].max_ts is None and got["c"].lag_us is None
+    assert got["c"].fresh is False
+    assert got["c"].n_rows == 2
+
+    # ungrouped: one global row, no 'fresh' column without a threshold
+    glob = freshness(df, "ts", "2024-01-31 00:00:00").collect()
+    assert len(glob) == 1 and glob[0].lag_us == 500_000
+    assert "fresh" not in glob[0].asDict()
