@@ -89,7 +89,11 @@ def suggest_constraints(
     ``distinct_mode``: "exact" always runs the exact-distinct aggregation
     over every column; "prefilter" consults the profile's HLL first and
     sends only plausibly-unique / plausibly-small-domain columns to the
-    exact pass (the 10^12-row mode)."""
+    exact pass (the 10^12-row mode).
+
+    A domain whose values contain the '|' join separator cannot round-trip
+    through the domain string — that suggestion is dropped (pytest-pinned)
+    rather than silently corrupted into a wrong IN-list."""
     if distinct_mode not in ("exact", "prefilter"):
         raise ValueError(f"unknown distinct_mode {distinct_mode!r}")
     spark = df.sparkSession
@@ -142,15 +146,26 @@ def suggest_constraints(
     ]
     domains: dict[str, str] = {}
     if domain_cols:
+        # the raw value array rides next to the join so a value containing
+        # the '|' separator (which suite_from_suggestions splits on) can be
+        # detected and the unrepresentable suggestion DROPPED rather than
+        # silently corrupted into a wrong IN-list
         row = df.agg(
             *[
-                F.array_join(
-                    F.sort_array(F.collect_set(F.col(c))), "|"
+                F.struct(
+                    F.array_join(
+                        F.sort_array(F.collect_set(F.col(c))), "|"
+                    ).alias("joined"),
+                    F.sort_array(F.collect_set(F.col(c))).alias("vals"),
                 ).alias(c)
                 for c in domain_cols
             ]
         ).collect()[0]
-        domains = {c: row[c] for c in domain_cols}
+        domains = {
+            c: row[c]["joined"]
+            for c in domain_cols
+            if not any("|" in v for v in row[c]["vals"])
+        }
 
     out: list[tuple] = []
     for c in columns:

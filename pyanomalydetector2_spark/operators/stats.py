@@ -260,15 +260,22 @@ def freshness(
     cheapest whole-table check in the suite family; at 10^12 rows the
     scan is the cost and the result is |groups| rows."""
     g = df.groupBy(*[F.col(c) for c in group_cols]) if group_cols else df.groupBy()
-    out = g.agg(
-        F.count(F.lit(1)).alias("n_rows"),
-        F.max(F.col(ts_col)).alias("max_ts"),
-    ).withColumn(
-        "lag_us",
-        F.expr(
-            f"timestampdiff(MICROSECOND, max_ts, "
-            f"to_timestamp_ntz('{as_of}'))"
-        ).cast("long"),
+    out = (
+        g.agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.max(F.col(ts_col)).alias("max_ts"),
+        )
+        # as_of enters as a typed literal COLUMN, never spliced into SQL
+        # text (a quote in the string must fail the timestamp cast, not
+        # escape the expression)
+        .withColumn("__as_of", F.to_timestamp_ntz(F.lit(as_of)))
+        .withColumn(
+            "lag_us",
+            F.expr("timestampdiff(MICROSECOND, max_ts, __as_of)").cast(
+                "long"
+            ),
+        )
+        .drop("__as_of")
     )
     if max_lag_s is not None:
         out = out.withColumn(

@@ -202,3 +202,17 @@ def test_suggest_cli_writes_loadable_green_suite(spark, tmp_path):
     res = run_suite(cur, cur, {}, loaded, "sugg_cli", key_col="clip_id")
     assert res.violations.count() == 0
     assert res.verdicts.filter(~F.col("passed")).count() == 0
+
+
+def test_domain_with_separator_value_is_dropped_not_corrupted(spark):
+    """A value containing the '|' join separator cannot round-trip through
+    the domain string — the suggestion must be DROPPED, not silently
+    corrupted into a wrong IN-list."""
+    df = spark.createDataFrame(
+        [(i, "a|b" if i % 2 else "c") for i in range(10)],
+        "clip_id long, weird string",
+    )
+    sugg = suggest_constraints(df, ["weird"], max_domain=5)
+    kinds = _kinds(sugg)
+    assert ("weird", "not_null") in kinds
+    assert ("weird", "domain") not in kinds
