@@ -1696,6 +1696,30 @@ def q_audio_embed_near_dup(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+_VDRIFT_K = 10
+
+
+def q_vocab_drift(spark: SparkSession, sf: str) -> DataFrame:
+    """Vocabulary-shift monitor (text.vocab_drift): frequency-PSI + linf
+    of each source's TOKEN distribution vs the whole-corpus baseline,
+    with the category set CAPPED by construction — the baseline's top-10
+    tokens keep identity, the tail folds into '<other>' — so the drift
+    grid stays ≤ k+1 categories at any corpus size. Explode → broadcast
+    vocab join → the shared window-pinned categorical drift machinery
+    (exactly-additive counts, streamable like codec drift)."""
+    from pyanomalydetector2_spark.operators.text import vocab_drift
+
+    docs = load_table(spark, sf, "documents")
+    out = vocab_drift(docs, docs, vocab_k=_VDRIFT_K)
+    return out.select(
+        "source",
+        _r("psi").alias("psi"),
+        _r("linf").alias("linf"),
+        F.col("cur_n").cast("long").alias("cur_n"),
+        F.col("base_n").cast("long").alias("base_n"),
+    )
+
+
 _AQD_LO, _AQD_HI, _AQD_NBINS = -20.0, -5.0, 20
 
 
@@ -2426,6 +2450,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_near_dup": q_audio_near_dup,
         "audio_near_dup_incremental": q_audio_near_dup_incremental,
         "drift_categorical": q_drift_categorical,
+        "vocab_drift": q_vocab_drift,
         "ann_recall_audit": q_ann_recall_audit,
         "audio_quality": q_audio_quality,
         "audio_container_consistency": q_audio_container_consistency,
@@ -4017,6 +4042,65 @@ def oracle_sql() -> dict[str, str]:
         ), base_cnt AS MATERIALIZED (
           SELECT lang AS cat, count(*)::BIGINT AS base_cat_n
           FROM documents WHERE lang IS NOT NULL GROUP BY 1
+        ), cur_tot AS (
+          SELECT g, sum(cur_cat_n)::BIGINT AS cur_n FROM cur_cnt GROUP BY g
+        ), base_tot AS (
+          SELECT sum(base_cat_n)::BIGINT AS base_n FROM base_cnt
+        ), cats AS (
+          SELECT DISTINCT cat FROM (
+            SELECT cat FROM base_cnt UNION ALL SELECT cat FROM cur_cnt
+          )
+        ), t AS (
+          SELECT ct.g, c.cat, ct.cur_n, bt.base_n,
+                 COALESCE(cc.cur_cat_n, 0)::DOUBLE / ct.cur_n + 1e-06 AS p,
+                 COALESCE(bc.base_cat_n, 0)::DOUBLE / bt.base_n + 1e-06 AS q
+          FROM cur_tot ct
+          CROSS JOIN cats c
+          CROSS JOIN base_tot bt
+          LEFT JOIN cur_cnt cc ON cc.g = ct.g AND cc.cat = c.cat
+          LEFT JOIN base_cnt bc ON bc.cat = c.cat
+        ), s AS (
+          SELECT g, cur_n, base_n,
+                 SUM((p - q) * ln(p / q)) OVER (
+                   PARTITION BY g ORDER BY cat
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                 ) AS cum_psi,
+                 ABS(p - q) AS dev
+          FROM t
+        )
+        SELECT g AS source, round(max(cum_psi), 6) AS psi,
+               round(max(dev), 6) AS linf,
+               max(cur_n)::BIGINT AS cur_n, max(base_n)::BIGINT AS base_n
+        FROM s GROUP BY g
+    """
+
+    # vocabulary drift: the drift_categorical tail pattern with category =
+    # baseline-top-k token identity, tail folded to '<other>' (the same
+    # capped mapping the Spark operator builds via a broadcast vocab join)
+    out["vocab_drift"] = f"""
+        WITH {_TOKS_CTE},
+        tok AS (
+          SELECT t.doc_id, d.source, unnest(t.t) AS token
+          FROM toks t JOIN documents d USING (doc_id)
+        ),
+        vocab AS (
+          SELECT token FROM (
+            SELECT token, count(*) AS c FROM tok GROUP BY 1
+            ORDER BY c DESC, token LIMIT {_VDRIFT_K}
+          )
+        ),
+        cat_rows AS (
+          SELECT t.source,
+                 CASE WHEN v.token IS NOT NULL THEN t.token
+                      ELSE '<other>' END AS cat
+          FROM tok t LEFT JOIN vocab v USING (token)
+        ),
+        cur_cnt AS MATERIALIZED (
+          SELECT source AS g, cat, count(*)::BIGINT AS cur_cat_n
+          FROM cat_rows GROUP BY 1, 2
+        ), base_cnt AS MATERIALIZED (
+          SELECT cat, count(*)::BIGINT AS base_cat_n
+          FROM cat_rows GROUP BY 1
         ), cur_tot AS (
           SELECT g, sum(cur_cat_n)::BIGINT AS cur_n FROM cur_cnt GROUP BY g
         ), base_tot AS (

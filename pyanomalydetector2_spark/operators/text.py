@@ -444,3 +444,52 @@ def oov_rate(
         .cast("long")
         .alias("oov_ppm"),
     )
+
+
+OTHER_TOKEN = "<other>"
+
+
+def vocab_drift(
+    current: DataFrame,
+    baseline: DataFrame,
+    text_col: str = "text",
+    group_col: str | None = "source",
+    vocab_k: int = 20,
+) -> DataFrame:
+    """Vocabulary-shift monitor: categorical drift (frequency-PSI + linf)
+    of the TOKEN distribution per current-side group vs the baseline
+    corpus — the text analog of codec drift, and the cheap early-warning
+    for a source whose language/domain is moving (before OOV-rate or
+    lang-id trips).
+
+    Scale honesty is the design point: raw token space is unbounded, so
+    the category set is CAPPED by construction — the baseline's top
+    ``vocab_k`` tokens (``vocab_topk``, deterministic tiebreak) keep
+    their identity and every tail token maps to ``OTHER_TOKEN``. The
+    drift grid is then ≤ vocab_k+1 categories regardless of corpus size,
+    and the whole pipeline is explode → broadcast vocab join → the shared
+    ``drift_scores_categorical_df`` machinery (window-pinned PSI order,
+    exactly-additive counts — streamable like every categorical drift)."""
+    vocab = vocab_topk(baseline, vocab_k, text_col).select(
+        "token", F.lit(1).alias("__v")
+    )
+
+    def cats(df: DataFrame, with_group: bool) -> DataFrame:
+        cols = [F.col(group_col)] if (with_group and group_col) else []
+        tok = df.select(
+            *cols, F.explode(ws_tokens(F.col(text_col))).alias("token")
+        )
+        return tok.join(F.broadcast(vocab), "token", "left").select(
+            *cols,
+            F.when(F.col("__v").isNotNull(), F.col("token"))
+            .otherwise(F.lit(OTHER_TOKEN))
+            .alias("cat"),
+        )
+
+    from pyanomalydetector2_spark.operators.drift import (
+        drift_scores_categorical_df,
+    )
+
+    return drift_scores_categorical_df(
+        cats(current, True), cats(baseline, False), "cat", group_col=group_col
+    )

@@ -61,3 +61,33 @@ def test_oov_rate_exact_ppm_and_empty_docs(spark):
     for empty in (3, 4):          # no tokens: no evidence, NULL rate
         assert (got[empty].n_tokens, got[empty].n_oov) == (0, 0)
         assert got[empty].oov_ppm is None
+
+
+def test_vocab_drift_flags_shifted_source(spark):
+    """A source speaking a disjoint vocabulary drifts hard; a source
+    sampling the corpus distribution stays near zero; the grid is capped
+    at vocab_k + '<other>' by construction."""
+    from pyanomalydetector2_spark.operators.text import vocab_drift
+
+    base_rows = [(i, "steady", "alpha beta gamma delta") for i in range(50)]
+    shifted = [(100 + i, "shifted", "zeta eta theta iota") for i in range(50)]
+    df = spark.createDataFrame(
+        base_rows + shifted, "doc_id long, source string, text string"
+    )
+    out = {
+        r["source"]: r
+        for r in vocab_drift(df, df, vocab_k=4, group_col="source").collect()
+    }
+    # baseline = both sources mixed; each source sees half the corpus
+    # mass on its own tokens, so BOTH drift — but symmetric plants give
+    # near-equal psi, and each is far from zero
+    assert out["steady"].psi > 0.5 and out["shifted"].psi > 0.5
+    assert abs(out["steady"].cur_n - out["shifted"].cur_n) == 0
+
+    # a source identical to the corpus: psi ≈ 0
+    uni = spark.createDataFrame(
+        [(i, "only", "alpha beta") for i in range(30)],
+        "doc_id long, source string, text string",
+    )
+    out2 = vocab_drift(uni, uni, vocab_k=4, group_col="source").collect()
+    assert len(out2) == 1 and abs(out2[0]["psi"]) < 1e-9
