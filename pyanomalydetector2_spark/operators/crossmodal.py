@@ -137,9 +137,10 @@ def dup_transcript_mismatch(
     ``pairs_df``: confirmed audio near-dup pairs (id_a, id_b, sim) — the
     output of ``audio_fp.audio_near_dup`` (or the incremental / streaming
     probe, which shares the schema). ``transcripts_df``: (id, transcript).
-    NULL transcripts compare as '' — a missing label conflicts with a
-    present one, same bucket as ``transcript_audio_consistency``'s
-    token-count rule.
+    NULL transcripts — and ids with no transcript row at all (LEFT
+    joins, so an absent label can never silently drop the pair) —
+    compare as '': a missing label conflicts with a present one, same
+    bucket as ``transcript_audio_consistency``'s token-count rule.
 
     Output: (id_a, id_b, sim, len_a, len_b, dist, rel_ppm,
     transcript_mismatch) where ``dist`` is the Levenshtein distance
@@ -176,6 +177,7 @@ def dup_transcript_mismatch(
                 F.col("__len").alias("len_a"),
             ),
             "id_a",
+            "left",
         )
         .join(
             texts.select(
@@ -184,6 +186,16 @@ def dup_transcript_mismatch(
                 F.col("__len").alias("len_b"),
             ),
             "id_b",
+            "left",
+        )
+        .select(
+            "id_a",
+            "id_b",
+            "sim",
+            F.coalesce(F.col("__t_a"), F.lit("")).alias("__t_a"),
+            F.coalesce(F.col("__t_b"), F.lit("")).alias("__t_b"),
+            F.coalesce(F.col("len_a"), F.lit(0)).alias("len_a"),
+            F.coalesce(F.col("len_b"), F.lit(0)).alias("len_b"),
         )
     )
     if bounded:

@@ -419,7 +419,11 @@ def oov_rate(
         F.col(id_col).alias("id"),
         F.explode_outer(ws_tokens(F.col(text_col))).alias("token"),
     )
-    v = F.broadcast(vocab.select(F.col("token"), F.lit(1).alias("__in_v")))
+    # distinct BEFORE the join: a duplicate vocabulary row would otherwise
+    # multiply every matching token row and inflate n_tokens
+    v = F.broadcast(
+        vocab.select("token").distinct().withColumn("__in_v", F.lit(1))
+    )
     j = tok.join(v, "token", "left")
     return j.groupBy("id").agg(
         F.count("token").alias("n_tokens"),

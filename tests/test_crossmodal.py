@@ -189,3 +189,27 @@ def test_dup_transcript_mismatch_bounded_kernel_same_flags(spark):
             assert b.dist == -1 and b.rel_ppm is None, k
         else:
             assert (b.dist, b.rel_ppm) == (e.dist, e.rel_ppm), k
+
+
+def test_dup_transcript_mismatch_missing_row_is_missing_label(spark):
+    """A pair member with NO transcript row (not just NULL) must surface
+    as a conflict against a present label — never silently drop the
+    pair — and two absent labels agree (dist 0)."""
+    from pyanomalydetector2_spark.operators.crossmodal import (
+        dup_transcript_mismatch,
+    )
+
+    pairs = spark.createDataFrame(
+        [(1, 2, 0.99), (3, 4, 0.98)], "id_a long, id_b long, sim double"
+    )
+    texts = spark.createDataFrame(
+        [(1, "a label someone wrote")], "id long, transcript string"
+    )  # ids 2, 3, 4 have no row at all
+    got = {
+        (r.id_a, r.id_b): r
+        for r in dup_transcript_mismatch(pairs, texts, max_dist=5).collect()
+    }
+    assert set(got) == {(1, 2), (3, 4)}
+    assert got[(1, 2)].transcript_mismatch and got[(1, 2)].dist == 21
+    assert got[(1, 2)].len_b == 0
+    assert not got[(3, 4)].transcript_mismatch and got[(3, 4)].dist == 0

@@ -91,3 +91,12 @@ def test_vocab_drift_flags_shifted_source(spark):
     )
     out2 = vocab_drift(uni, uni, vocab_k=4, group_col="source").collect()
     assert len(out2) == 1 and abs(out2[0]["psi"]) < 1e-9
+
+
+def test_oov_rate_duplicate_vocab_rows_do_not_inflate(spark):
+    vocab_dup = spark.createDataFrame(
+        [("the",), ("the",), ("cat",)], "token string"
+    )
+    got = {r["id"]: r for r in oov_rate(_df(spark), vocab_dup).collect()}
+    assert got[0].n_tokens == 6  # not multiplied by the dup row
+    assert got[0].n_oov == 3     # sat, on, mat
