@@ -37,6 +37,10 @@ HEAVY = [
     "audio_near_dup_incremental",
     "audio_dup_clusters",
     "audio_keep_best",
+    "audio_dup_transcript_mismatch",
+    "audio_embed_near_dup",
+    "audio_quality_drift",
+    "vocab_drift",
 ]
 
 
@@ -47,7 +51,7 @@ def test_heavy_queries_no_global_sort_no_cartesian(spark, name):
     assert a["cartesian"] == 0, f"{name}: shuffle cartesian crept in"
     # broadcast nested-loop joins are allowed ONLY for the tiny-literal
     # grids that want them (drift_psi's static bin grid)
-    allowed_bnlj = {"drift_psi": 1}.get(name, 0)
+    allowed_bnlj = {"drift_psi": 1, "audio_quality_drift": 1}.get(name, 0)
     assert a["bnlj"] <= allowed_bnlj, f"{name}: unexpected nested-loop join"
 
 
