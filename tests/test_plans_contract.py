@@ -51,7 +51,13 @@ def test_heavy_queries_no_global_sort_no_cartesian(spark, name):
     assert a["cartesian"] == 0, f"{name}: shuffle cartesian crept in"
     # broadcast nested-loop joins are allowed ONLY for the tiny-literal
     # grids that want them (drift_psi's static bin grid)
-    allowed_bnlj = {"drift_psi": 1, "audio_quality_drift": 1}.get(name, 0)
+    # (vocab_drift's is the ≤ k+1-row broadcast category grid of the
+    # shared categorical-drift machinery)
+    allowed_bnlj = {
+        "drift_psi": 1,
+        "audio_quality_drift": 1,
+        "vocab_drift": 1,
+    }.get(name, 0)
     assert a["bnlj"] <= allowed_bnlj, f"{name}: unexpected nested-loop join"
 
 
