@@ -388,7 +388,10 @@ def q_text_embed_near_dup(spark: SparkSession, sf: str) -> DataFrame:
     emb = text_embed(docs, "doc_id", "text", dims=64, round6=False).select(
         F.col("id").alias("vec_id"), "embedding"
     )
-    return cosine_near_dup_pairs_blocked(emb, threshold=0.9, num_blocks=4)
+    # num_blocks=16: exact op (output invariant to K); 16 gives 136 block-
+    # pair groups — enough parallel kernel tasks to hide the matmul
+    # entirely behind the embed feed (K=4 had only 10 groups)
+    return cosine_near_dup_pairs_blocked(emb, threshold=0.9, num_blocks=16)
 
 
 def q_text_quality(spark: SparkSession, sf: str) -> DataFrame:
@@ -712,7 +715,8 @@ def q_embedding_near_dup(spark: SparkSession, sf: str) -> DataFrame:
     )
 
     emb = load_table(spark, sf, "embeddings")
-    return cosine_near_dup_pairs_blocked(emb, threshold=0.4, num_blocks=4)
+    # num_blocks=16: output invariant to K (exact op); see text_embed_near_dup
+    return cosine_near_dup_pairs_blocked(emb, threshold=0.4, num_blocks=16)
 
 
 def q_embedding_near_dup_lsh(spark: SparkSession, sf: str) -> DataFrame:
@@ -1692,7 +1696,7 @@ def q_audio_embed_near_dup(spark: SparkSession, sf: str) -> DataFrame:
 
     emb = audio_embed(_audio_corpus(spark, sf))
     return cosine_near_dup_pairs_blocked(
-        emb, threshold=0.995, id_col="id", vec_col="embedding", num_blocks=4
+        emb, threshold=0.995, id_col="id", vec_col="embedding", num_blocks=16
     )
 
 

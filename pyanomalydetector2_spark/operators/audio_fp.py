@@ -85,7 +85,11 @@ assert len(_BAND_EDGES) == N_BANDS + 1
 _HANN = np.hanning(WIN)
 
 
-def synth_near_dup_pcm(bases: np.ndarray) -> np.ndarray:
+def synth_near_dup_pcm(
+    bases: np.ndarray,
+    starts: np.ndarray | None = None,
+    length: int | None = None,
+) -> np.ndarray:
     """(n, N_SAMPLES) float PCM (int16 scale) for content-group ids.
 
     Non-stationary by construction — per-component linear chirps and
@@ -94,16 +98,34 @@ def synth_near_dup_pcm(bases: np.ndarray) -> np.ndarray:
     frame. A deterministic broadband noise floor dominates companding
     noise in bands with no tonal component, keeping those bits stable
     across codec variants of the same base.
+
+    ``starts``/``length``: per-row sample WINDOW — row i returns samples
+    [starts[i], starts[i]+length) of clip bases[i], bit-identical to
+    slicing the full clip (every op is elementwise in the sample axis and
+    the chirp/ramp/noise formulas are closed-form in the absolute sample
+    index; the ramp denominator stays the FULL clip duration). Windowed
+    synthesis is what keeps snippet generation O(snippet) instead of
+    O(clip) per row.
     """
     bases = np.asarray(bases, dtype=np.int64)
     n = len(bases)
-    t = np.arange(N_SAMPLES, dtype=np.float64) / SR_HZ
-    dur = t[-1]
+    if starts is None:
+        length = N_SAMPLES
+        idx = np.arange(N_SAMPLES, dtype=np.int64)[None, :]
+        t = (np.arange(N_SAMPLES, dtype=np.float64) / SR_HZ)[None, :]
+    else:
+        assert length is not None
+        idx = (
+            np.asarray(starts, dtype=np.int64)[:, None]
+            + np.arange(length, dtype=np.int64)[None, :]
+        )
+        t = idx.astype(np.float64) / SR_HZ
+    dur = float(N_SAMPLES - 1) / SR_HZ  # == t[-1] of the full grid
     # reused scratch buffers + in-place ops: this VM pays ~100 ms per
     # fresh-touched 40 MB allocation (datagen._scratch note), and a naive
     # broadcast expression allocates ~10 temporaries of (n × N_SAMPLES)
-    out = _scratch("afp_out", (n, N_SAMPLES))
-    work = _scratch("afp_work", (n, N_SAMPLES))
+    out = _scratch("afp_out", (n, length))
+    work = _scratch("afp_work", (n, length))
     out[:] = 0.0
     for k in range(N_COMPONENTS):
         f0 = 200.0 + 3300.0 * u01(bases, 60 + k)
@@ -112,20 +134,16 @@ def synth_near_dup_pcm(bases: np.ndarray) -> np.ndarray:
         a1 = 0.25 + 0.75 * u01(bases, 75 + k)
         # phase of a linear chirp: 2π (f0 t + drift t² / (2 dur)), built
         # in-place in `work`
-        np.multiply(
-            (drift / (2.0 * dur))[:, None], (t * t)[None, :], out=work
-        )
-        work += f0[:, None] * t[None, :]
+        np.multiply((drift / (2.0 * dur))[:, None], t * t, out=work)
+        work += f0[:, None] * t
         work *= 2.0 * np.pi
         np.sin(work, out=work)
         # linear amplitude ramp a0 → a1, folded in without a temporary
-        work *= (a1 - a0)[:, None] * (t / dur)[None, :] + a0[:, None]
+        work *= (a1 - a0)[:, None] * (t / dur) + a0[:, None]
         out += work
     out *= FP_AMP / N_COMPONENTS
     # per-sample deterministic noise floor (same for every variant of base)
-    nz = u01(
-        (bases[:, None] * N_SAMPLES + np.arange(N_SAMPLES)[None, :]).ravel(), 80
-    ).reshape(n, N_SAMPLES)
+    nz = u01((bases[:, None] * N_SAMPLES + idx).ravel(), 80).reshape(n, length)
     nz -= 0.5
     nz *= 2.0 * NOISE_AMP
     out += nz
@@ -999,17 +1017,31 @@ def synth_snippets(
     DuckDB oracle rebuilds each snippet's hashes as rows off(q)…off(q)+7
     of the precomputed frames table for seed src(q), while Spark decodes
     the actual snippet bytes — agreement proves the real decode→
-    fingerprint→align pipeline, not the plant."""
+    fingerprint→align pipeline, not the plant.
+
+    Generation avoids the per-snippet full-clip codec roundtrip the slice
+    arithmetic makes redundant: synthesis runs WINDOWED (only the slice's
+    samples, see synth_near_dup_pcm), and decode(encode(·)) collapses to
+    its closed form — identity for the two LOSSLESS variants (FLAC, WAV)
+    and the vectorized μ-law companding map for variant 2. Slice-of-
+    roundtrip equals roundtrip-of-slice because quantization and
+    companding are elementwise; byte-equality of the emitted WAV snippets
+    against the encode→decode→slice path is pytest-pinned."""
     if not 0 < n_corpus < ORACLE_FP_SEEDS:
         raise ValueError(
             f"n_corpus must be in (0, {ORACLE_FP_SEEDS}) so negative "
             f"snippets have out-of-corpus seeds; got {n_corpus}"
         )
     from pyanomalydetector2_spark.operators.audio import encode_wav
+    from pyanomalydetector2_spark.operators.g711 import (
+        decode_mulaw,
+        encode_mulaw,
+    )
 
     ids = ids_df.select(F.col(ids_df.columns[0]).cast("long").alias("qid"))
     par = ids_df.sparkSession.sparkContext.defaultParallelism
     n_offsets = N_FRAMES - SNIPPET_FRAMES + 1
+    gains = np.array(VARIANT_GAINS)
 
     def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -1022,17 +1054,17 @@ def synth_snippets(
                     n_corpus + (qq % (ORACLE_FP_SEEDS - n_corpus)),
                 )
                 off = (qq * 5) % n_offsets
-                pcm = synth_near_dup_pcm(src // 3)
-                payloads = []
-                for i in range(len(qq)):
-                    payload, codec = encode_variant(pcm[i], int(src[i] % 3))
-                    dec = decode_full(payload, codec)
-                    s0 = int(off[i]) * HOP
-                    sl = dec[s0 : s0 + SNIPPET_SAMPLES]
-                    q16 = np.clip(np.round(sl), -32768, 32767).astype(
-                        np.int16
-                    )
-                    payloads.append(encode_wav(q16, SR_HZ))
+                sl = synth_near_dup_pcm(
+                    src // 3, starts=off * HOP, length=SNIPPET_SAMPLES
+                )
+                variants = src % 3
+                q16 = np.clip(
+                    np.round(sl * gains[variants][:, None]), -32768, 32767
+                ).astype(np.int16)
+                mu = variants == 2
+                if mu.any():
+                    q16[mu] = decode_mulaw(encode_mulaw(q16[mu]))
+                payloads = [encode_wav(q16[i], SR_HZ) for i in range(len(qq))]
                 yield pd.DataFrame(
                     {
                         "qid": qq,

@@ -441,6 +441,93 @@ def cosine_near_dup_pairs_bf(
     )
 
 
+# reused matmul scratch (keyed by name): this VM serializes fresh-page
+# first-touch at ~45 MB/s, so a per-group `sims` allocation (e.g. a
+# 12.5k×12.5k block = 1.25 GB) costs ~25 s before any math runs. One
+# geometrically-grown flat buffer per worker process amortizes that to
+# zero across groups/batches (same convention as datagen.clips._scratch).
+_MM_SCRATCH: dict[str, np.ndarray] = {}
+
+# row-chunk height for the pre-filter matmul: 256×(N/K) keeps the live
+# sims slab ~25 MB at the largest shipped block size, far under worker
+# memory yet tall enough that dgemm runs at full throughput
+_MM_CHUNK = 256
+
+# pre-filter slack on the *cosine* scale: must cover (a) the 6-dp rounding
+# shift (5e-7) and (b) the last-ulp spread between the dgemm pre-filter
+# and the exact einsum recompute (~1e-13 for unit vectors). 1e-5 is ~10^7×
+# the float spread — candidates within the slack are recomputed exactly
+# and re-thresholded, so the margin only costs a handful of extra einsums
+_MM_MARGIN = 1e-5
+
+
+def _mm_scratch(name: str, rows: int, cols: int) -> np.ndarray:
+    need = rows * cols
+    buf = _MM_SCRATCH.get(name)
+    if buf is None or buf.size < need:
+        buf = np.empty(max(need, _MM_CHUNK * 4096), dtype=np.float64)
+        _MM_SCRATCH[name] = buf
+    return buf[:need].reshape(rows, cols)
+
+
+def _candidate_pairs(
+    ma: np.ndarray,
+    mb: np.ndarray,
+    pre_threshold: float,
+    triangular: bool = False,
+) -> tuple[np.ndarray, np.ndarray]:
+    """(rows_a, rows_b) index pairs of two L2-NORMALIZED matrices whose
+    dgemm cosine clears ``pre_threshold`` — a candidate PRE-FILTER only.
+    Callers recompute each candidate's cosine with their exact per-pair
+    algebra and re-apply the real threshold; ``pre_threshold`` must sit
+    ``_MM_MARGIN`` below it so no qualifying pair is lost to dgemm-vs-
+    einsum last-ulp spread or the 6-dp rounding shift.
+
+    The matmul runs in ``_MM_CHUNK``-row slabs into a reused scratch
+    buffer: no O(|a|·|b|) allocation ever happens (this VM first-touches
+    fresh pages at ~45 MB/s — a 1.25 GB sims block would cost ~25 s of
+    pure page supply), and ``np.round``/``triu_indices`` over the full
+    matrix are gone entirely.
+
+    ``triangular``: ``ma`` IS ``mb`` (self-join) — keep only row < col.
+    """
+    qi_parts, ci_parts = [], []
+    for s in range(0, len(ma), _MM_CHUNK):
+        chunk = ma[s : s + _MM_CHUNK]
+        buf = _mm_scratch("sims", len(chunk), len(mb))
+        np.dot(chunk, mb.T, out=buf)
+        qi, ci = np.nonzero(buf >= pre_threshold)
+        if triangular:
+            keep = (s + qi) < ci
+            qi, ci = qi[keep], ci[keep]
+        if len(qi):
+            qi_parts.append(qi + s)
+            ci_parts.append(ci)
+    if not qi_parts:
+        z = np.zeros(0, dtype=np.int64)
+        return z, z
+    return np.concatenate(qi_parts), np.concatenate(ci_parts)
+
+
+def _pairs_ge_threshold(
+    ma: np.ndarray,
+    mb: np.ndarray,
+    threshold: float,
+    triangular: bool = False,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """(rows_a, rows_b, cosine) index pairs of two L2-NORMALIZED matrices
+    with round(cosine, 6) ≥ threshold: ``_candidate_pairs`` pre-filter,
+    then the exact per-pair einsum recompute — the same row-local algebra
+    regardless of block shape, chunk height or BLAS kernel choice — and
+    the final ``round(·,6) ≥ threshold`` cut on that exact value."""
+    qi, ci = _candidate_pairs(ma, mb, threshold - _MM_MARGIN, triangular)
+    if not len(qi):
+        return qi, ci, np.zeros(0, dtype=np.float64)
+    cos = np.round(np.einsum("ij,ij->i", ma[qi], mb[ci]), 6)
+    keep = cos >= threshold
+    return qi[keep], ci[keep], cos[keep]
+
+
 def cosine_near_dup_pairs_blocked(
     df: DataFrame,
     threshold: float = 0.95,
@@ -500,25 +587,22 @@ def cosine_near_dup_pairs_blocked(
             if len(pdf) < 2:
                 return empty
             ids, m = matrix(pdf)
-            sims = np.round(m @ m.T, 6)
-            iu, ju = np.triu_indices(len(ids), k=1)
-            keep = sims[iu, ju] >= threshold
-            ia, ib = ids[iu[keep]], ids[ju[keep]]
+            qi, ci, cos = _pairs_ge_threshold(m, m, threshold, triangular=True)
+            ia, ib = ids[qi], ids[ci]
             return pd.DataFrame(
                 {"id_a": np.minimum(ia, ib), "id_b": np.maximum(ia, ib),
-                 "cosine": sims[iu, ju][keep]}
+                 "cosine": cos}
             )
         a_part, b_part = pdf[pdf["blk"] == pi], pdf[pdf["blk"] == pj]
         if a_part.empty or b_part.empty:
             return empty
         ids_a, ma = matrix(a_part)
         ids_b, mb = matrix(b_part)
-        sims = np.round(ma @ mb.T, 6)
-        qi, ci = np.where(sims >= threshold)
+        qi, ci, cos = _pairs_ge_threshold(ma, mb, threshold)
         ia, ib = ids_a[qi], ids_b[ci]
         return pd.DataFrame(
             {"id_a": np.minimum(ia, ib), "id_b": np.maximum(ia, ib),
-             "cosine": sims[qi, ci]}
+             "cosine": cos}
         )
 
     return rep.groupBy("pi", "pj").applyInPandas(
@@ -560,25 +644,64 @@ def cosine_near_dup_pairs(
     ``bands`` independent signatures recover the recall a single capped
     signature loses. Audit drops with ``embedding_lsh_bucket_stats``."""
     assert dims is not None, "pass the embedding dimensionality"
-    from pyanomalydetector2_spark.operators.dedup import pairs_from_banded
 
     sig = hyperplane_band_signatures_udf(dims, planes, bands)(F.col(vec_col))
+    # vectors RIDE WITH the banded rows (bands·N narrow rows, ~0.5 KB each)
+    # instead of being equi-joined back onto the candidate-pair set: at a
+    # low threshold the candidate set is O(N²/2^planes) pairs and the old
+    # two-sided vector join shuffled ~2 full vectors per CANDIDATE (tens of
+    # GB at sf1.0) before the Arrow re-rank saw a single row. Now each
+    # bucket re-ranks locally with one matmul pre-filter + per-pair einsum
+    # recompute, so only (id, v, band, key) rows are ever shuffled and only
+    # surviving (id_a, id_b, cosine) rows leave the kernel.
     banded = df.select(
-        F.col(id_col).alias("id"), F.posexplode(sig).alias("band", "key")
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        F.posexplode(sig).alias("band", "key"),
     )
-    pairs = pairs_from_banded(banded, max_bucket_size)
-    base = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
-    out = (
-        pairs.join(base.select(F.col("id").alias("id_a"), F.col("v").alias("va")),
-                   "id_a")
-        .join(base.select(F.col("id").alias("id_b"), F.col("v").alias("vb")),
-              "id_b")
-        .select(
-            "id_a",
-            "id_b",
-            F.round(pair_cosine_udf()(F.col("va"), F.col("vb")), 6).alias("cosine"),
+    if max_bucket_size is not None:
+        # same hot-bucket pre-count prune as pairs_from_banded: degenerate
+        # buckets are dropped BEFORE any kernel sees an O(b²) group
+        hot = (
+            banded.groupBy("band", "key")
+            .agg(F.count(F.lit(1)).alias("sz"))
+            .filter(F.col("sz") > max_bucket_size)
         )
-        .filter(F.col("cosine") >= threshold)
+        banded = banded.join(hot, ["band", "key"], "anti")
+
+    def bucket_rerank(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) < 2:
+            return pd.DataFrame(
+                {"id_a": pd.Series(dtype="int64"),
+                 "id_b": pd.Series(dtype="int64"),
+                 "cosine": pd.Series(dtype="float64")}
+            )
+        ids = pdf["id"].to_numpy(dtype=np.int64)
+        m = np.array(list(pdf["v"]), dtype=np.float64)
+        # UNNORMALIZED num/den algebra — bit-identical to pair_cosine_udf
+        # (num = einsum, den = ‖a‖·‖b‖, zero-norm → dropped like its NULL)
+        nrm = np.linalg.norm(m, axis=1)
+        safe = np.where(nrm == 0.0, 1.0, nrm)
+        qi, ci = _candidate_pairs(
+            m / safe[:, None], m / safe[:, None],
+            threshold - _MM_MARGIN, triangular=True,
+        )
+        nz = (nrm[qi] != 0.0) & (nrm[ci] != 0.0)
+        qi, ci = qi[nz], ci[nz]
+        num = np.einsum("ij,ij->i", m[qi], m[ci])
+        cos = np.round(num / (nrm[qi] * nrm[ci]), 6)
+        keep = cos >= threshold
+        qi, ci, cos = qi[keep], ci[keep], cos[keep]
+        ia, ib = ids[qi], ids[ci]
+        return pd.DataFrame(
+            {"id_a": np.minimum(ia, ib), "id_b": np.maximum(ia, ib),
+             "cosine": cos}
+        )
+
+    out = (
+        banded.groupBy("band", "key")
+        .applyInPandas(bucket_rerank, schema="id_a long, id_b long, cosine double")
+        .distinct()
     )
     if return_audit:
         stats = embedding_lsh_bucket_stats(

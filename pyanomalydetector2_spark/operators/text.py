@@ -38,6 +38,11 @@ def token_metrics(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Per-row token/char metrics + a quality score:
     n_tokens (whitespace), n_bpe_ish (regex sub-word pieces), avg token len,
     punct ratio, stopword ratio, alpha ratio, quality_score ∈ [0,1]."""
+    from pyanomalydetector2_spark.functions import rebalance_for_expansion
+
+    # the per-row regex/array scans are ~50× the scan cost: spread a tiny/
+    # single-split input across the slots (no-op when splits ≥ slots)
+    df = rebalance_for_expansion(df)
     t = F.col(text_col)
     toks = ws_tokens(t)
     n_tok = F.size(toks)
@@ -88,6 +93,11 @@ def lang_scores(text_col: str = "text") -> list[Column]:
 def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Heuristic language ID: argmax marker hit rate, 'und' when all zero.
     Deterministic tie-break by language code order."""
+    from pyanomalydetector2_spark.functions import rebalance_for_expansion
+
+    # per-row marker scans over every token × every language: same
+    # single-split parallelism guard as token_metrics
+    df = rebalance_for_expansion(df)
     scored = df.select("*", *lang_scores(text_col))
     langs = list(LANG_MARKERS)
     best = F.greatest(*[F.col(f"lang_{code}") for code in langs])
@@ -151,8 +161,14 @@ def text_embed(
     systematically disagree — the raw v/n doubles are bit-identical
     across engines (v and n derive from exact integer sums) and their
     dots have no decimal structure, so midpoint hits vanish."""
+    from pyanomalydetector2_spark.functions import rebalance_for_expansion
+
     toks = ws_tokens(F.col(text_col))
-    t = df.select(
+    # explode + two md5s per token dominate the scan by ~100×: spread a
+    # tiny/single-split input across the slots before the expansion
+    t = rebalance_for_expansion(
+        df.select(id_col, text_col), min_bytes=1_000_000
+    ).select(
         F.col(id_col).alias("id"), F.explode(toks).alias("tok")
     )
     h = h60(F.col("tok"))
@@ -372,7 +388,13 @@ def vocab_counts(
     check below; at 10^12 rows it is the only global text statistic a
     training pipeline needs that ``token_metrics`` (per-row) cannot give.
     """
-    tok = df.select(
+    from pyanomalydetector2_spark.functions import rebalance_for_expansion
+
+    # the ~50× token explode runs BEFORE any exchange: rebalance a tiny/
+    # single-split input so the explode+hash work uses every slot
+    tok = rebalance_for_expansion(
+        df.select(id_col, text_col), min_bytes=1_000_000
+    ).select(
         F.col(id_col).alias("__doc"),
         F.explode(ws_tokens(F.col(text_col))).alias("token"),
     )
@@ -415,7 +437,11 @@ def oov_rate(
     broadcast (and Zipf makes the probe side's hot keys harmless: a
     broadcast join has no key co-location to skew). NULL/empty docs emit
     n_tokens = 0 with NULL oov_ppm (no evidence, not a verdict)."""
-    tok = df.select(
+    from pyanomalydetector2_spark.functions import rebalance_for_expansion
+
+    tok = rebalance_for_expansion(
+        df.select(id_col, text_col), min_bytes=1_000_000
+    ).select(
         F.col(id_col).alias("id"),
         F.explode_outer(ws_tokens(F.col(text_col))).alias("token"),
     )
@@ -474,13 +500,20 @@ def vocab_drift(
     and the whole pipeline is explode → broadcast vocab join → the shared
     ``drift_scores_categorical_df`` machinery (window-pinned PSI order,
     exactly-additive counts — streamable like every categorical drift)."""
+    from pyanomalydetector2_spark.functions import rebalance_for_expansion
+
     vocab = vocab_topk(baseline, vocab_k, text_col).select(
         "token", F.lit(1).alias("__v")
     )
 
     def cats(df: DataFrame, with_group: bool) -> DataFrame:
         cols = [F.col(group_col)] if (with_group and group_col) else []
-        tok = df.select(
+        # the token explode + broadcast probe run BEFORE any exchange:
+        # spread a tiny/single-split input (same guard as vocab_counts)
+        proj = [group_col] if (with_group and group_col) else []
+        tok = rebalance_for_expansion(
+            df.select(*proj, text_col), min_bytes=1_000_000
+        ).select(
             *cols, F.explode(ws_tokens(F.col(text_col))).alias("token")
         )
         return tok.join(F.broadcast(vocab), "token", "left").select(

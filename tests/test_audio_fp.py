@@ -490,3 +490,54 @@ def test_audio_embed_operator_matches_kernel(spark):
         payload, codec = A.encode_variant(pcm[s], s % 3)
         want = A.embed_metrics(A.decode_full(payload, codec))
         assert np.array_equal(got[s], want), s
+
+
+def test_windowed_synth_matches_full_slice():
+    """synth_near_dup_pcm(starts, length) is bit-identical to slicing the
+    full clip: every op is elementwise in the absolute sample index and
+    the ramp denominator stays the full-clip duration."""
+    bases = np.array([0, 7, 123, 1666], dtype=np.int64)
+    full = A.synth_near_dup_pcm(bases).copy()
+    starts = np.array([0, 512, 5120, 11264], dtype=np.int64)
+    win = A.synth_near_dup_pcm(
+        bases, starts=starts, length=A.SNIPPET_SAMPLES
+    )
+    for i in range(len(bases)):
+        assert np.array_equal(
+            full[i, starts[i] : starts[i] + A.SNIPPET_SAMPLES], win[i]
+        ), i
+
+
+def test_synth_snippets_closed_form_matches_codec_roundtrip(spark):
+    """The generator's closed-form decode(encode(·)) collapse (identity
+    for FLAC/WAV, vectorized mu-law companding for variant 2) emits WAV
+    snippets BYTE-equal to the explicit full-clip encode -> real decode ->
+    slice path, for qids covering all three variants and both plant
+    parities."""
+    from pyanomalydetector2_spark.operators.audio import encode_wav
+
+    n_corpus = 30
+    qids = list(range(12))
+    rows = {
+        r["qid"]: bytes(r["bytes"])
+        for r in A.synth_snippets(
+            spark, spark.range(len(qids)).withColumnRenamed("id", "qid"),
+            n_corpus,
+        ).collect()
+    }
+    n_offsets = A.N_FRAMES - A.SNIPPET_FRAMES + 1
+    for qid in qids:
+        src = (
+            (qid * 7) % n_corpus
+            if qid % 2 == 0
+            else n_corpus + (qid % (A.ORACLE_FP_SEEDS - n_corpus))
+        )
+        off = (qid * 5) % n_offsets
+        pcm = A.synth_near_dup_pcm(np.array([src // 3]))[0].copy()
+        payload, codec = A.encode_variant(pcm, src % 3)
+        dec = A.decode_full(payload, codec)
+        s0 = off * A.HOP
+        q16 = np.clip(
+            np.round(dec[s0 : s0 + A.SNIPPET_SAMPLES]), -32768, 32767
+        ).astype(np.int16)
+        assert rows[qid] == encode_wav(q16, A.SR_HZ), (qid, src)
