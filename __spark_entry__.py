@@ -67,6 +67,7 @@ _Q3_CUT = "1998-03-15 00:00:00"
 
 # single source of truth: the oracle SQL is generated from the SAME
 # constants the Spark operators compute with (operators/text.py)
+from pyanomalydetector2_spark.functions import local_rows_df  # noqa: E402
 from pyanomalydetector2_spark.operators.text import (  # noqa: E402
     LANG_MARKERS as _LANGS,
     STOPWORDS as _STOPWORDS,
@@ -1428,7 +1429,8 @@ def q_transcript_audio_consistency(spark: SparkSession, sf: str) -> DataFrame:
     )
 
     payload = silent_wav_clip()
-    silent = spark.createDataFrame(
+    silent = local_rows_df(
+        spark,
         [(_SILENT_BASE + i, payload, "wav") for i in range(_N_SILENT)],
         "clip_id long, bytes binary, codec string",
     )

@@ -54,6 +54,7 @@ from pyanomalydetector2_spark.constraints.dsl import (
     UniqueCheck,
 )
 from pyanomalydetector2_spark.operators.stats import column_profile
+from pyanomalydetector2_spark.functions import local_rows_df
 
 SUGGESTION_SCHEMA = (
     "column string, kind string, lo double, hi double, domain string"
@@ -186,7 +187,7 @@ def suggest_constraints(
                 out.append((c, "non_negative", lo, None, None))
         if c in domains:
             out.append((c, "domain", None, None, domains[c]))
-    return spark.createDataFrame(out, SUGGESTION_SCHEMA)
+    return local_rows_df(spark, out, SUGGESTION_SCHEMA)
 
 
 def _sql_str(v: str) -> str:

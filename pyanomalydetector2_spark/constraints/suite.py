@@ -46,6 +46,7 @@ from pyanomalydetector2_spark.operators.reconcile import snapshot_diff
 from pyanomalydetector2_spark.operators.stats import column_profile
 from pyanomalydetector2_spark.operators.uniqueness import duplicate_rows
 from pyanomalydetector2_spark.streaming.checkpoint import CheckpointLedger
+from pyanomalydetector2_spark.functions import local_rows_df
 
 VIOLATION_SCHEMA = T.StructType(
     [
@@ -291,8 +292,9 @@ def percentile_stat_frame(
             for i, s in enumerate(stats)
         ],
     )
-    cols_df = vals.sparkSession.createDataFrame(
-        [(c,) for c in sorted({c.column for c in pct_checks})], "column string"
+    cols_df = local_rows_df(
+        vals.sparkSession,
+        [(c,) for c in sorted({c.column for c in pct_checks})], "column string",
     )
     grid = bucket_df.select(F.col("bucket").cast("int").alias("bucket")).crossJoin(
         F.broadcast(cols_df)
@@ -333,8 +335,8 @@ def violation_count_verdicts(
     zero-violation cells still emit a passing verdict — all
     DataFrame-side, no counts dict on the driver."""
     spark = violations.sparkSession
-    cid_df = spark.createDataFrame(
-        [(c,) for c in counted_ids], "constraint_id string"
+    cid_df = local_rows_df(
+        spark, [(c,) for c in counted_ids], "constraint_id string"
     )
     vcounts = violations.groupBy("bucket", "constraint_id").agg(
         F.count(F.lit(1)).alias("cnt")
@@ -585,8 +587,8 @@ def run_suite(
     verdict_frames: list[DataFrame] = []
     verdict_rows: list[tuple] = []
     stat_prof: DataFrame | None = None
-    bucket_df = spark.createDataFrame(
-        [(int(b),) for b in buckets], "bucket int"
+    bucket_df = local_rows_df(
+        spark, [(int(b),) for b in buckets], "bucket int"
     )
 
     # ---- row checks: one scan (with audio invariants), all predicates -----
@@ -952,7 +954,7 @@ def run_suite(
     # memory independent of bucket count, families execute one job at a
     # time (the small-driver-safe shape). Lazy leaves one union job whose
     # family scans overlap — the cluster shape. See the docstring knob.
-    verdicts = spark.createDataFrame(verdict_rows, VERDICT_SCHEMA)
+    verdicts = local_rows_df(spark, verdict_rows, VERDICT_SCHEMA)
     for vf in verdict_frames:
         verdicts = verdicts.unionByName(
             vf.localCheckpoint() if eager_verdicts else vf

@@ -63,6 +63,7 @@ from collections.abc import Iterator
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
+from pyanomalydetector2_spark.functions import local_rows_df
 
 CLIPS_SCHEMA = (
     "clip_id string, bytes binary, sr_hz int, dur_ms int, codec string, "
@@ -373,8 +374,8 @@ def clips_table(
 
 
 def dim_codec(spark: SparkSession, codecs: tuple[str, ...] = CODECS) -> DataFrame:
-    return spark.createDataFrame([(c,) for c in codecs], "codec string")
+    return local_rows_df(spark, [(c,) for c in codecs], "codec string")
 
 
 def dim_sr(spark: SparkSession) -> DataFrame:
-    return spark.createDataFrame([(s,) for s in SAMPLE_RATES], "sr_hz int")
+    return local_rows_df(spark, [(s,) for s in SAMPLE_RATES], "sr_hz int")

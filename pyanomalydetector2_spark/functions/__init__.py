@@ -47,6 +47,47 @@ def rebalance_for_expansion(
     return df
 
 
+def local_rows_df(spark, rows, schema):
+    """Tiny driver-local DataFrame via the Arrow path (pandas input).
+
+    ``createDataFrame(list_of_tuples)`` stores the rows as a PICKLED rdd,
+    so EVERY downstream action launches a Python worker just to unpickle
+    a handful of rows — measured ~2.5-4 s per action on this host (worker
+    spawn dominates), e.g. an 8-row parquet write cost 3.8 s. Routing the
+    same rows through a pandas frame (dtype=object, so large ints never
+    coerce to float64) makes the relation Arrow-backed JVM data: the same
+    write is ~0.15 s and no Python worker is ever involved.
+
+    ``schema`` is a DDL string or StructType; pandas columns are named
+    from it so the Arrow conversion binds by name. None stays NULL.
+    Falls back to the classic path if the Arrow conversion refuses the
+    types (e.g. exotic nested rows)."""
+    import pandas as pd
+    from pyspark.sql.types import StructType
+
+    st = (
+        schema
+        if isinstance(schema, StructType)
+        else spark.createDataFrame([], schema).schema
+    )
+    names = st.fieldNames()
+    rows = list(rows)
+    try:
+        # build each column as dtype=object DIRECTLY: from_records would
+        # auto-coerce a numeric column first (a long > 2^53 next to a
+        # None would round through float64) and NaN-ify the Nones
+        pdf = pd.DataFrame(
+            {
+                n: pd.Series([r[i] for r in rows], dtype=object)
+                for i, n in enumerate(names)
+            },
+            columns=names,
+        )
+        return spark.createDataFrame(pdf, st)
+    except Exception:
+        return spark.createDataFrame(rows, st)
+
+
 def safe_div(num: Column, den: Column, default: float = 0.0) -> Column:
     """num/den with 0-denominator → default (reference guards std>0,
     detector.py:202,306 — here the guard is an expression, not a filter)."""

@@ -39,6 +39,7 @@ from pyspark.sql import functions as F
 
 from pyanomalydetector2_spark.operators.dedup import h60, shingle_frame
 from pyanomalydetector2_spark.operators.sampling import _DENOM, sample_bucket
+from pyanomalydetector2_spark.functions import local_rows_df
 
 
 def decontaminate(
@@ -144,7 +145,8 @@ def contamination_rate(
     n_bad = flagged.select("id").distinct().count()
     n_all = docs.select(id_col).count()
     spark = docs.sparkSession
-    return spark.createDataFrame(
+    return local_rows_df(
+        spark,
         [(n_all, n_bad, (n_bad / n_all) if n_all else 0.0)],
         "n_docs long, n_contaminated long, rate double",
     )

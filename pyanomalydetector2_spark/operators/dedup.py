@@ -242,27 +242,53 @@ def jaccard_from_shingles(
     magnitude less shuffled data. Callers that hand in an
     already-candidate-only frame pass ``prune=False``."""
     if prune:
+        # the candidate plan is referenced 3× below (both union branches
+        # of the id prune + the pair join): checkpoint once so the
+        # upstream minhash/banding pipeline doesn't execute per reference
+        pairs = pairs.localCheckpoint()
         ids = (
             pairs.select(F.col("id_a").alias("id"))
             .union(pairs.select(F.col("id_b").alias("id")))
             .distinct()
         )
         sh = sh.join(ids, "id", "semi")
-    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
-    common = (
-        pairs.join(sh.withColumnRenamed("id", "id_a"), "id_a")
-        .join(
-            sh.select(
-                F.col("id").alias("id_b"), F.col("shingle").alias("shingle")
-            ),
-            ["id_b", "shingle"],
-        )
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("inter"))
+    # per-doc shingle SET + size in ONE aggregation, then two id-equi
+    # joins onto the pair frame and a codegen array_intersect per pair —
+    # replaces the old (id, shingle)-keyed string equi-join + count-rollup
+    # + two size joins (5 exchanges, with the wide string shuffle keyed on
+    # (id_b, shingle)). The set frame is |candidate docs| rows, which at
+    # low dup rates is small enough for AQE to broadcast both probes.
+    # |A ∩ B| over distinct-element arrays is the identical integer, so
+    # jaccard values are bit-identical; pairs sharing no shingle keep the
+    # old inner-join semantics via the inter ≥ 1 filter.
+    sets = sh.groupBy("id").agg(
+        F.collect_list("shingle").alias("ss"), F.count(F.lit(1)).alias("sz")
     )
+    inter = F.size(F.array_intersect("ss_a", "ss_b"))
     return (
-        common.join(sizes.select(F.col("id").alias("id_a"), F.col("sz").alias("sz_a")), "id_a")
-        .join(sizes.select(F.col("id").alias("id_b"), F.col("sz").alias("sz_b")), "id_b")
+        pairs.select("id_a", "id_b")
+        .join(
+            sets.select(
+                F.col("id").alias("id_a"), F.col("ss").alias("ss_a"),
+                F.col("sz").alias("sz_a"),
+            ),
+            "id_a",
+        )
+        .join(
+            sets.select(
+                F.col("id").alias("id_b"), F.col("ss").alias("ss_b"),
+                F.col("sz").alias("sz_b"),
+            ),
+            "id_b",
+        )
+        .select(
+            "id_a",
+            "id_b",
+            inter.alias("inter"),
+            F.col("sz_a"),
+            F.col("sz_b"),
+        )
+        .filter(F.col("inter") >= 1)
         .select(
             "id_a",
             "id_b",
@@ -320,10 +346,16 @@ def dup_clusters(
         return _star_components(pairs, max_iter, rounds_out)
     if algorithm != "propagate":
         raise ValueError(f"unknown algorithm: {algorithm!r}")
+    # cut the (possibly expensive) pair lineage BEFORE the self-union:
+    # union-ing the raw plan duplicates the whole upstream pipeline into
+    # both branches, so an uncached jaccard/decode feed would execute
+    # TWICE inside the first checkpoint (measured 2× the feed cost at
+    # sf1.0); checkpoint first and the union reads materialized rows
+    pairs = pairs.select("id_a", "id_b").localCheckpoint()
     edges = (
         pairs.select(F.col("id_a").alias("s"), F.col("id_b").alias("d"))
         .union(pairs.select(F.col("id_b").alias("s"), F.col("id_a").alias("d")))
-        .localCheckpoint()  # cut the (possibly expensive) pair lineage once
+        .localCheckpoint()
     )
     # round 1 fused into initialization: on the symmetric edge frame every
     # vertex appears as d, so label(v) = min(v, min neighbor) is ONE
@@ -390,6 +422,9 @@ def _star_components(
     runs O(log d) times, so the extra shuffle per round is noise, and a
     false positive would silently split a component.
     """
+    # checkpoint BEFORE the self-unions (see dup_clusters: a raw-plan
+    # union would run the upstream pair pipeline once per branch)
+    pairs = pairs.select("id_a", "id_b").localCheckpoint()
     verts = (
         pairs.select(F.col("id_a").alias("id"))
         .union(pairs.select(F.col("id_b").alias("id")))
@@ -768,11 +803,22 @@ def edit_near_dup(
     """
     sigs = minhash_signatures(df, id_col, text_col, k, n)
     pairs = lsh_candidate_pairs(sigs, bands, rows_per_band, max_bucket_size)
+    # checkpoint: the candidate plan feeds both id-prune branches and the
+    # pair join below (same multi-reference shape as jaccard_from_shingles)
+    pairs = pairs.localCheckpoint()
+    ids = (
+        pairs.select(F.col("id_a").alias("__id"))
+        .union(pairs.select(F.col("id_b").alias("__id")))
+        .distinct()
+    )
+    # candidate-bounded text side: prune the corpus to pair members BEFORE
+    # the two joins — the pruned frame is small enough to broadcast, so
+    # the full-corpus text column never shuffles
     texts = df.select(
         F.col(id_col).alias("__id"),
         F.col(text_col).alias("__txt"),
         F.length(text_col).alias("__len"),
-    )
+    ).join(ids, "__id", "semi")
     j = (
         pairs.join(
             texts.select(
@@ -850,6 +896,10 @@ def exact_substring_dup(
     occ = base.select(
         "id", F.posexplode(ngram_array(F.col("t"), k)).alias("pos", "g")
     ).select("id", "pos", h60(F.col("g")).alias("gh"))
+    # occ feeds BOTH the global gram count and the hit join: checkpoint the
+    # narrow (id, pos, gh) rows once so the tokenize+explode+md5 pass — the
+    # dominant map cost — doesn't execute per reference
+    occ = occ.localCheckpoint()
     dup_keys = (
         occ.groupBy("gh")
         .agg(F.count(F.lit(1)).alias("cnt"))

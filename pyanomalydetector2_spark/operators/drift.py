@@ -23,6 +23,7 @@ from dataclasses import dataclass
 import numpy as np
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyanomalydetector2_spark.functions import local_rows_df
 
 EPS = 1e-6
 # below this many deduped equi-depth edges the histogram can no longer
@@ -606,4 +607,4 @@ def drift_scores(
         # legacy shape; use drift_scores_multi/_df for arbitrary group types)
         if not (group_col and s["group"] is None)
     ]
-    return spark.createDataFrame(rows, schema)
+    return local_rows_df(spark, rows, schema)

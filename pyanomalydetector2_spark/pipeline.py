@@ -34,6 +34,7 @@ from pyanomalydetector2_spark.operators.stats import (
 )
 from pyanomalydetector2_spark.sources.catalog import SnapshotTable
 from pyanomalydetector2_spark.streaming.watermark import WatermarkLedger
+from pyanomalydetector2_spark.functions import local_rows_df
 
 STATS_COLS = ["itemid", "sum", "sqr_sum", "cnt", "mean", "std"]
 
@@ -289,7 +290,8 @@ class SeriesPipeline:
         charts = collect_charts(history.join(surv, "itemid", "left_semi"))
         labels = classify_charts(charts, sigma=sigma)
         if labels:
-            lab_df = spark.createDataFrame(
+            lab_df = local_rows_df(
+                spark,
                 [(int(k), int(v)) for k, v in labels.items()],
                 "itemid long, clusterid int",
             )

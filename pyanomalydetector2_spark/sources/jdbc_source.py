@@ -19,6 +19,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyanomalydetector2_spark.functions import local_rows_df
 
 
 def jdbc_table(
@@ -70,5 +71,5 @@ def scan_with_id_set(df: DataFrame, ids: list[int], key: str = "itemid") -> Data
     if len(ids) <= 1000:
         return df.filter(F.col(key).isin(ids))
     spark = df.sparkSession
-    id_df = spark.createDataFrame([(i,) for i in ids], f"{key} long")
+    id_df = local_rows_df(spark, [(i,) for i in ids], f"{key} long")
     return df.join(F.broadcast(id_df), key, "left_semi")

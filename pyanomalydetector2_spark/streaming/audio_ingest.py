@@ -67,6 +67,7 @@ CLIPS_SCHEMA = (
 # delta-dir state helpers now live in streaming/state.py (shared with the
 # streaming constraint suite); the underscore aliases keep this module's
 # call sites and the existing test imports unchanged
+from pyanomalydetector2_spark.functions import local_rows_df  # noqa: E402
 from pyanomalydetector2_spark.streaming.state import (  # noqa: E402
     batch_dirs as _batch_dirs,
     latest_gen as _latest_gen,
@@ -404,7 +405,7 @@ def ingest_summary(spark: SparkSession, state_dir: str) -> DataFrame:
     batches = _batch_dirs(f"{state_dir}/pairs")
     if not batches:
         return spark.createDataFrame([], SUMMARY_SCHEMA)
-    spine = spark.createDataFrame([(n,) for n, _ in batches], "batch int")
+    spine = local_rows_df(spark, [(n,) for n, _ in batches], "batch int")
     # schemas pinned (with the discovered batch partition column included)
     # so all-empty batch dirs cannot break schema inference
     pairs = (
@@ -440,11 +441,9 @@ def ingest_summary(spark: SparkSession, state_dir: str) -> DataFrame:
     )
     mrows = _metric_rows(state_dir)
     if mrows:
-        m = spark.createDataFrame(
-            [
-                tuple(r.get(f) for f in METRICS_FIELDS)
-                for r in mrows
-            ],
+        m = local_rows_df(
+            spark,
+            [tuple(r.get(f) for f in METRICS_FIELDS) for r in mrows],
             METRICS_SCHEMA,
         ).select(
             "batch", "n_clips", "secs_total", "secs_gate_fp",

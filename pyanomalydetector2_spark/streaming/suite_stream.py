@@ -116,6 +116,7 @@ from pyanomalydetector2_spark.operators.stats import (
     finalize_profile_partial,
     merge_profile_partials,
 )
+from pyanomalydetector2_spark.functions import local_rows_df
 from pyanomalydetector2_spark.streaming.state import batch_dirs, latest_gen
 
 _MERGEABLE_STATS = {
@@ -721,8 +722,12 @@ def process_suite_batch(
         for f in futs:
             f.result()
     rows = sum(r["n"] for r in brows)
-    spark.createDataFrame(
-        [(int(r[bucket_col]), int(r["n"])) for r in brows], _BUCKETS_SCHEMA
+    # Arrow-backed local frame: the classic list createDataFrame pickles
+    # the rows, so this 8-row write paid a ~4 s Python-worker launch per
+    # BATCH (functions.local_rows_df docstring has the measurement)
+    local_rows_df(
+        spark, [(int(r[bucket_col]), int(r["n"])) for r in brows],
+        _BUCKETS_SCHEMA,
     ).coalesce(1).write.mode("overwrite").parquet(
         f"{state_dir}/buckets/batch={batch_id}"
     )
@@ -826,7 +831,7 @@ def streaming_suite_result(
             spark.createDataFrame([], VIOLATION_SCHEMA),
             [], [], 0, 0.0,
         )
-    bucket_df = spark.createDataFrame([(b,) for b in buckets], "bucket int")
+    bucket_df = local_rows_df(spark, [(b,) for b in buckets], "bucket int")
 
     # ---- violations: stored row/ref deltas + uniqueness from merged ids --
     violations = _read_component(
@@ -842,6 +847,7 @@ def streaming_suite_result(
     if merged_ids is not None:
         merged_ids = merged_ids.cache()
     verdict_rows: list[tuple] = []
+    hll_frames: list[DataFrame] = []
     for c in suite.unique_checks:
         col_ids = merged_ids.filter(F.col("column") == c.column)
         # HLL screen recomputed over the stored key set — identical to the
@@ -850,19 +856,32 @@ def streaming_suite_result(
         # SAME string cast (constraints/suite.py hll_aggs), so both sides
         # feed HLL++ identical hash inputs at every cardinality. The
         # bucket-key column sums per-bucket estimates; others get a global
-        # sketch — same split as the batch runner.
+        # sketch — same split as the batch runner. Built LAZILY as a 1-row
+        # verdict frame (not a collected scalar): assembling the result
+        # no longer runs an eager HLL job per unique check — consumers
+        # that never force the verdicts frame never pay for the estimate.
         if c.column == key_col:
-            est = col_ids.groupBy("bucket").agg(
-                F.approx_count_distinct("key", 0.02).alias("ad")
-            ).agg(F.sum("ad")).first()[0]
+            est_df = (
+                col_ids.groupBy("bucket")
+                .agg(F.approx_count_distinct("key", 0.02).alias("ad"))
+                .agg(F.sum("ad").alias("est"))
+            )
         else:
-            est = col_ids.agg(
-                F.approx_count_distinct("key", 0.02).alias("ad")
-            ).first()["ad"]
-        verdict_rows.append(
-            (
-                run_id, -1, c.constraint_id, "hll_approx_distinct",
-                float(est or 0), float(row_count), True, 0,
+            est_df = col_ids.agg(
+                F.approx_count_distinct("key", 0.02).alias("est")
+            )
+        hll_frames.append(
+            est_df.select(
+                F.lit(run_id).alias("run_id"),
+                F.lit(-1).cast("int").alias("bucket"),
+                F.lit(c.constraint_id).alias("constraint_id"),
+                F.lit("hll_approx_distinct").alias("metric"),
+                F.coalesce(F.col("est").cast("double"), F.lit(0.0)).alias(
+                    "observed"
+                ),
+                F.lit(float(row_count)).alias("threshold"),
+                F.lit(True).alias("passed"),
+                F.lit(0).cast("long").alias("violation_cnt"),
             )
         )
         # exact violations: one row PER PARTICIPATING ROW of a duplicated
@@ -987,7 +1006,7 @@ def streaming_suite_result(
     violations = violations.cache()
     violations.count()
 
-    verdict_frames: list[DataFrame] = []
+    verdict_frames: list[DataFrame] = list(hll_frames)
     counted_ids = (
         [c.constraint_id for c in suite.row_checks]
         + [c.constraint_id for c in suite.unique_checks]
@@ -1175,7 +1194,7 @@ def streaming_suite_result(
                 drift_verdict_frames(frame, c, run_id, "bucket", "linf")
             )
 
-    verdicts = spark.createDataFrame(verdict_rows, VERDICT_SCHEMA)
+    verdicts = local_rows_df(spark, verdict_rows, VERDICT_SCHEMA)
     for vf in verdict_frames:
         verdicts = verdicts.unionByName(vf)
     verdicts = verdicts.cache()
