@@ -2361,7 +2361,13 @@ def q_pii_scrub(spark: SparkSession, sf: str) -> DataFrame:
         (d % 250).cast("string"), F.lit(" tel +1 555 01"),
         ((d % 90) + 10).cast("string"),
     )
-    base = docs.select("doc_id", planted.alias("ptext"))
+    from pyanomalydetector2_spark.functions import rebalance_for_expansion
+
+    # 6 JVM regex passes per row dominate the scan ~100×: spread the
+    # single-split documents input across the slots first (no-op at scale)
+    base = rebalance_for_expansion(
+        docs.select("doc_id", planted.alias("ptext")), min_bytes=1_000_000
+    )
     return pii_metrics(base, "ptext").select(
         "doc_id", "n_email", "n_ipv4", "n_phone",
         pii_redact(F.col("ptext")).alias("redacted"),

@@ -198,11 +198,21 @@ def dup_transcript_mismatch(
             F.coalesce(F.col("len_b"), F.lit(0)).alias("len_b"),
         )
     )
+    # equality shortcut on BOTH kernels: duplicate pairs overwhelmingly
+    # carry the SAME transcript (that is the ground truth the check rides
+    # on), and levenshtein(x, x) = 0 exactly — skipping the O(len²) DP for
+    # equal strings removes the dominant per-pair cost without changing a
+    # single distance
+    eq = F.col("__t_a") == F.col("__t_b")
     if bounded:
-        dist = F.levenshtein(F.col("__t_a"), F.col("__t_b"), max_dist)
+        dist = F.when(eq, F.lit(0)).otherwise(
+            F.levenshtein(F.col("__t_a"), F.col("__t_b"), max_dist)
+        )
         mism = dist == -1
     else:
-        dist = F.levenshtein(F.col("__t_a"), F.col("__t_b"))
+        dist = F.when(eq, F.lit(0)).otherwise(
+            F.levenshtein(F.col("__t_a"), F.col("__t_b"))
+        )
         mism = dist > max_dist
     longest = F.greatest(F.col("len_a"), F.col("len_b"), F.lit(1))
     rel = F.when(

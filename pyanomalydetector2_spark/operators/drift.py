@@ -423,8 +423,20 @@ def _drift_df_from_bins(
     )
     base = baseline.filter(_finite(column)).select(binc.alias("bin"))
 
-    cur_cnt = cur.groupBy(g, "bin").agg(F.count(F.lit(1)).alias("cur_bin_n"))
-    base_cnt = base.groupBy("bin").agg(F.count(F.lit(1)).alias("base_bin_n"))
+    # both count frames are multiply referenced (totals / validation +
+    # final join) and tiny post-aggregation (bins × groups rows):
+    # checkpoint once so a heavy upstream (e.g. audio_quality_drift's
+    # decode pass behind each side) executes once per side
+    cur_cnt = (
+        cur.groupBy(g, "bin")
+        .agg(F.count(F.lit(1)).alias("cur_bin_n"))
+        .localCheckpoint()
+    )
+    base_cnt = (
+        base.groupBy("bin")
+        .agg(F.count(F.lit(1)).alias("base_bin_n"))
+        .localCheckpoint()
+    )
     cur_tot = cur_cnt.groupBy(g).agg(F.sum("cur_bin_n").alias("cur_n"))
     base_row = base_cnt.agg(F.sum("base_bin_n").alias("base_n")).first()
     base_n = base_row["base_n"] if base_row else None
@@ -526,7 +538,17 @@ def drift_scores_categorical_from_counts(
     base = baseline.filter(F.col(column).isNotNull()).select(
         F.col(column).cast("string").alias("cat")
     )
-    base_cnt = base.groupBy("cat").agg(F.count(F.lit(1)).alias("base_cat_n"))
+    # both count frames are referenced 3× below (totals, category-grid
+    # union, final join) and are tiny post-aggregation (≤ categories ×
+    # groups rows): checkpoint once so a heavy upstream — e.g.
+    # vocab_drift's full-corpus token explode behind each side — executes
+    # once per side instead of three times
+    base_cnt = (
+        base.groupBy("cat")
+        .agg(F.count(F.lit(1)).alias("base_cat_n"))
+        .localCheckpoint()
+    )
+    cur_cnt = cur_cnt.localCheckpoint()
     # eager baseline validation — same contract as _drift_df_from_bins
     base_row = base_cnt.agg(F.sum("base_cat_n").alias("base_n")).first()
     base_n = base_row["base_n"] if base_row else None
