@@ -839,6 +839,11 @@ def audio_trim(
             )
 
     base = cols.mapInPandas(gen, schema=TRIM_SCHEMA)
+    return _trim_select(base)
+
+
+def _trim_select(base: DataFrame) -> DataFrame:
+    """Shared derived-columns tail of audio_trim / synth_padded_trim."""
     active = F.col("n_frames") - F.col("lead_frames") - F.col("trail_frames")
     ms = 1000.0 / SR_HZ * TRIM_FRAME
     return base.select(
@@ -858,7 +863,9 @@ PAD_LEAD_MOD = 17  # lead pad frames = (id·3) mod 17
 PAD_TRAIL_MOD = 13  # trail pad frames = (id·5) mod 13
 
 
-def synth_padded_corpus(spark: SparkSession, ids_df: DataFrame) -> DataFrame:
+def synth_padded_corpus(
+    spark: SparkSession, ids_df: DataFrame, partitions: int | None = None
+) -> DataFrame:
     """Clips with PLANTED dead air: clip q = (q·3 mod 17) zero frames +
     the seed-q synth content (N_SAMPLES) + (q·5 mod 13) zero frames,
     losslessly WAV-encoded. The pads are frame-aligned and exactly zero,
@@ -868,7 +875,11 @@ def synth_padded_corpus(spark: SparkSession, ids_df: DataFrame) -> DataFrame:
     from pyanomalydetector2_spark.operators.audio import encode_wav
 
     ids = ids_df.select(F.col(ids_df.columns[0]).cast("long").alias("clip_id"))
-    par = ids_df.sparkSession.sparkContext.defaultParallelism
+    # ``partitions``: callers materializing the corpus to parquet pass a
+    # count that keeps rows-per-file small — a ~34 KB binary payload ×
+    # thousands of rows in one columnar read batch otherwise exhausts the
+    # vectorized parquet reader's buffer (guide §5: bound per-task state)
+    par = partitions or ids_df.sparkSession.sparkContext.defaultParallelism
 
     def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -899,6 +910,66 @@ def synth_padded_corpus(spark: SparkSession, ids_df: DataFrame) -> DataFrame:
     return ids.repartition(par, "clip_id").mapInPandas(
         gen, schema=CORPUS_SCHEMA
     )
+
+
+def synth_padded_trim(
+    spark: SparkSession, ids_df: DataFrame, top_db: float = 40.0
+) -> DataFrame:
+    """``audio_trim(synth_padded_corpus(ids))`` fused into ONE Arrow pass
+    (optimization r06, guide §4): the composed shape ships every padded
+    WAV payload Python → JVM → Python (~34 KB × N clips across the Arrow
+    boundary twice) just to hand the bytes straight back to the trim
+    kernel. Here each clip is synthesized, WAV-encoded, decoded back and
+    RMS-scanned inside one task loop — the SAME ``encode_wav`` /
+    ``decode_full`` / ``trim_metrics`` calls on the same bytes, so the
+    output frame is row-identical to the composed pipeline (pytest-pinned)
+    and the payload never crosses a process boundary. Same fusion idiom as
+    the decode→fingerprint→quality→embed corpus pass."""
+    ids = ids_df.select(F.col(ids_df.columns[0]).cast("long").alias("clip_id"))
+    par = ids_df.sparkSession.sparkContext.defaultParallelism
+
+    def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from pyanomalydetector2_spark.operators.audio import encode_wav
+
+        for pdf in it:
+            cid = pdf["clip_id"].to_numpy(dtype=np.int64)
+            out: dict = {k: [] for k in ("id", "n_frames", "lead_frames",
+                                         "trail_frames")}
+            for start in range(0, len(cid), 64):
+                cc = cid[start : start + 64]
+                pcm = synth_near_dup_pcm(cc)
+                for i in range(len(cc)):
+                    q = int(cc[i])
+                    lead = (q * 3) % PAD_LEAD_MOD * TRIM_FRAME
+                    trail = (q * 5) % PAD_TRAIL_MOD * TRIM_FRAME
+                    q16 = np.zeros(lead + N_SAMPLES + trail, dtype=np.int16)
+                    q16[lead : lead + N_SAMPLES] = np.clip(
+                        np.round(pcm[i]), -32768, 32767
+                    ).astype(np.int16)
+                    t = trim_metrics(
+                        decode_full(encode_wav(q16, SR_HZ), "wav"),
+                        top_db=top_db,
+                    )
+                    if t is not None:
+                        out["id"].append(q)
+                        out["n_frames"].append(t[0])
+                        out["lead_frames"].append(t[1])
+                        out["trail_frames"].append(t[2])
+            yield pd.DataFrame(
+                {
+                    "id": pd.array(out["id"], dtype="int64"),
+                    "n_frames": pd.array(out["n_frames"], dtype="int32"),
+                    "lead_frames": pd.array(out["lead_frames"], dtype="int32"),
+                    "trail_frames": pd.array(
+                        out["trail_frames"], dtype="int32"
+                    ),
+                }
+            )
+
+    base = ids.repartition(par, "clip_id").mapInPandas(
+        gen, schema=TRIM_SCHEMA
+    )
+    return _trim_select(base)
 
 
 # -- snippet search (query-by-audio) ----------------------------------------

@@ -527,27 +527,37 @@ def drift_scores_categorical_from_counts(
     baseline: DataFrame,
     column: str,
     group_col: str | None = None,
+    baseline_is_counts: bool = False,
 ) -> DataFrame:
     """Frequency-PSI + linf from a pre-aggregated current-counts frame
     (``categorical_counts`` shape) vs the baseline rows. The arithmetic
     from counts onward is shared with ``drift_scores_categorical_df``, so
-    merged streaming counts score identically to the one-shot pass."""
+    merged streaming counts score identically to the one-shot pass.
+
+    ``baseline_is_counts``: the baseline frame is ALREADY aggregated to
+    (cat, base_cat_n) — e.g. derived from a shared token-count frame by
+    an exact integer re-aggregation (vocab_drift) — and is consumed as-is
+    instead of being counted from rows. Count-sums and row-counts grouped
+    the same way are the identical integers, so scores are unchanged."""
     from pyspark.sql import Window
 
     g = group_col or "_g"
-    base = baseline.filter(F.col(column).isNotNull()).select(
-        F.col(column).cast("string").alias("cat")
-    )
-    # both count frames are referenced 3× below (totals, category-grid
-    # union, final join) and are tiny post-aggregation (≤ categories ×
-    # groups rows): checkpoint once so a heavy upstream — e.g.
-    # vocab_drift's full-corpus token explode behind each side — executes
-    # once per side instead of three times
-    base_cnt = (
-        base.groupBy("cat")
-        .agg(F.count(F.lit(1)).alias("base_cat_n"))
-        .localCheckpoint()
-    )
+    if baseline_is_counts:
+        base_cnt = baseline.select("cat", "base_cat_n").localCheckpoint()
+    else:
+        base = baseline.filter(F.col(column).isNotNull()).select(
+            F.col(column).cast("string").alias("cat")
+        )
+        # both count frames are referenced 3× below (totals, category-grid
+        # union, final join) and are tiny post-aggregation (≤ categories ×
+        # groups rows): checkpoint once so a heavy upstream — e.g.
+        # vocab_drift's full-corpus token explode behind each side —
+        # executes once per side instead of three times
+        base_cnt = (
+            base.groupBy("cat")
+            .agg(F.count(F.lit(1)).alias("base_cat_n"))
+            .localCheckpoint()
+        )
     cur_cnt = cur_cnt.localCheckpoint()
     # eager baseline validation — same contract as _drift_df_from_bins
     base_row = base_cnt.agg(F.sum("base_cat_n").alias("base_n")).first()

@@ -406,17 +406,39 @@ def vocab_counts(
     )
 
 
-def vocab_topk(df: DataFrame, k: int, text_col: str = "text") -> DataFrame:
+def vocab_topk(
+    df: DataFrame, k: int, text_col: str = "text", with_docs: bool = True
+) -> DataFrame:
     """Top-k corpus tokens by count (ties → token ascending, so the set is
     deterministic and SQL-replayable). orderBy + limit compiles to
     TakeOrderedAndProject — per-partition heaps + a k-row driver merge,
     NOT a global sort shuffle (the plan-contract tests' global-sort ban
-    does not apply; |vocab| full sort never happens)."""
-    return (
-        vocab_counts(df, text_col)
-        .orderBy(F.desc("cnt"), F.asc("token"))
-        .limit(k)
-    )
+    does not apply; |vocab| full sort never happens).
+
+    ``with_docs=False`` drops the document-frequency column and with it
+    the per-(doc, token) pre-aggregation stage (one shuffle of the
+    doc×distinct-token grid) AND the id-column dependency: callers that
+    only need the token set / counts — the oov_rate vocabulary, the
+    vocab_drift category cap — get ONE explode + ONE token groupBy.
+    ``cnt`` is the same integer either way (sum of per-doc counts ==
+    direct count of exploded tokens), so the selected k-set and its order
+    are identical."""
+    if with_docs:
+        counts = vocab_counts(df, text_col)
+    else:
+        from pyanomalydetector2_spark.functions import (
+            rebalance_for_expansion,
+        )
+
+        counts = (
+            rebalance_for_expansion(
+                df.select(text_col), min_bytes=1_000_000
+            )
+            .select(F.explode(ws_tokens(F.col(text_col))).alias("token"))
+            .groupBy("token")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+    return counts.orderBy(F.desc("cnt"), F.asc("token")).limit(k)
 
 
 def oov_rate(
@@ -494,39 +516,78 @@ def vocab_drift(
 
     Scale honesty is the design point: raw token space is unbounded, so
     the category set is CAPPED by construction — the baseline's top
-    ``vocab_k`` tokens (``vocab_topk``, deterministic tiebreak) keep
+    ``vocab_k`` tokens (deterministic (cnt desc, token asc) tiebreak) keep
     their identity and every tail token maps to ``OTHER_TOKEN``. The
-    drift grid is then ≤ vocab_k+1 categories regardless of corpus size,
-    and the whole pipeline is explode → broadcast vocab join → the shared
-    ``drift_scores_categorical_df`` machinery (window-pinned PSI order,
-    exactly-additive counts — streamable like every categorical drift)."""
-    from pyanomalydetector2_spark.functions import rebalance_for_expansion
+    drift grid is then ≤ vocab_k+1 categories regardless of corpus size.
 
-    vocab = vocab_topk(baseline, vocab_k, text_col).select(
-        "token", F.lit(1).alias("__v")
+    Execution shape (optimization r06): the corpus is exploded ONCE per
+    side into a (group, token, n) count frame (map-side combine absorbs
+    the Zipf head, so the shuffle carries ~|groups|×|vocab| narrow rows);
+    the top-k vocabulary, the per-group category counts AND the baseline
+    category counts are all exact integer re-aggregations of that frame —
+    the previous shape re-exploded the full corpus three times (top-k,
+    current cats, baseline cats). When ``current is baseline`` (the
+    self-drift monitoring call), the baseline side is derived by summing
+    the current side's counts over groups — zero extra scans. Count-sums
+    and row-counts grouped the same way are identical integers, so psi /
+    linf / cur_n / base_n are bit-identical to the previous shape (the
+    downstream window-pinned PSI machinery is unchanged)."""
+    from pyanomalydetector2_spark.functions import rebalance_for_expansion
+    from pyanomalydetector2_spark.operators.drift import (
+        drift_scores_categorical_from_counts,
     )
 
-    def cats(df: DataFrame, with_group: bool) -> DataFrame:
-        cols = [F.col(group_col)] if (with_group and group_col) else []
-        # the token explode + broadcast probe run BEFORE any exchange:
-        # spread a tiny/single-split input (same guard as vocab_counts)
+    g = group_col or "_g"
+
+    def tok_counts(df: DataFrame, with_group: bool) -> DataFrame:
+        gexpr = (
+            F.col(group_col) if (with_group and group_col) else F.lit(0)
+        ).alias(g)
         proj = [group_col] if (with_group and group_col) else []
+        # the token explode runs BEFORE any exchange: spread a tiny/
+        # single-split input (same guard as vocab_counts)
         tok = rebalance_for_expansion(
             df.select(*proj, text_col), min_bytes=1_000_000
-        ).select(
-            *cols, F.explode(ws_tokens(F.col(text_col))).alias("token")
-        )
-        return tok.join(F.broadcast(vocab), "token", "left").select(
-            *cols,
-            F.when(F.col("__v").isNotNull(), F.col("token"))
-            .otherwise(F.lit(OTHER_TOKEN))
-            .alias("cat"),
+        ).select(gexpr, F.explode(ws_tokens(F.col(text_col))).alias("token"))
+        return tok.groupBy(g, "token").agg(F.count(F.lit(1)).alias("n"))
+
+    # checkpoint: the count frame feeds the vocabulary head, the current
+    # cats and (for self-drift) the baseline cats — tiny post-aggregation
+    cur_tok = tok_counts(current, True).localCheckpoint()
+    if current is baseline:
+        base_tok = cur_tok.groupBy("token").agg(F.sum("n").alias("n"))
+    else:
+        base_tok = (
+            tok_counts(baseline, False)
+            .groupBy("token")
+            .agg(F.sum("n").alias("n"))
+            .localCheckpoint()
         )
 
-    from pyanomalydetector2_spark.operators.drift import (
-        drift_scores_categorical_df,
+    vocab = F.broadcast(
+        base_tok.orderBy(F.desc("n"), F.asc("token"))
+        .limit(vocab_k)
+        .select("token")
+        .withColumn("__v", F.lit(1))
     )
-
-    return drift_scores_categorical_df(
-        cats(current, True), cats(baseline, False), "cat", group_col=group_col
+    cat = (
+        F.when(F.col("__v").isNotNull(), F.col("token"))
+        .otherwise(F.lit(OTHER_TOKEN))
+        .alias("cat")
+    )
+    cur_cnt = (
+        cur_tok.join(vocab, "token", "left")
+        .select(F.col(g), cat, "n")
+        .groupBy(g, "cat")
+        .agg(F.sum("n").alias("cur_cat_n"))
+    )
+    base_cnt = (
+        base_tok.join(vocab, "token", "left")
+        .select(cat, "n")
+        .groupBy("cat")
+        .agg(F.sum("n").alias("base_cat_n"))
+    )
+    return drift_scores_categorical_from_counts(
+        cur_cnt, base_cnt, "cat", group_col=group_col,
+        baseline_is_counts=True,
     )

@@ -439,6 +439,23 @@ def test_audio_trim_recovers_planted_pads(spark):
         )
 
 
+def test_synth_padded_trim_matches_composed_pipeline(spark):
+    """The fused synth→encode→decode→trim pass (synth_padded_trim) is
+    row-identical to audio_trim(synth_padded_corpus(...)) — the r06
+    optimization only removes the Python↔JVM payload roundtrip, not any
+    of the encode/decode/scan work."""
+    n = 120
+    ids = spark.range(n).toDF("clip_id")
+    composed = sorted(
+        tuple(r)
+        for r in A.audio_trim(A.synth_padded_corpus(spark, ids)).collect()
+    )
+    fused = sorted(
+        tuple(r) for r in A.synth_padded_trim(spark, ids).collect()
+    )
+    assert fused == composed
+
+
 def test_embed_gain_invariance_and_variant_collision():
     """The spectral embedding is gain-robust (log-domain mean subtraction)
     and re-encode variants of one recording stay within cosine 0.995 —
