@@ -1954,7 +1954,10 @@ def _ss_key(sf: str) -> str:
     return f"{p}:{st.st_mtime_ns}:{st.st_size}"
 
 
-def _ss_drain(spark: SparkSession, sf: str, reuse: bool = False):
+def _ss_drain(
+    spark: SparkSession, sf: str, reuse: bool = False,
+    with_verdicts: bool = True,
+):
     """Write the derived frame as 3 files and drain it through the
     streaming validator, then assemble the merged-state result.
     ``reuse=False`` (the drain query) uses fresh mkdtemp state per
@@ -1985,7 +1988,8 @@ def _ss_drain(spark: SparkSession, sf: str, reuse: bool = False):
         )
         _SS_STATE_CACHE[key] = state
     return streaming_suite_result(
-        spark, state, suite, _ss_clips_frame(spark, sf, baseline=True), "ss"
+        spark, state, suite, _ss_clips_frame(spark, sf, baseline=True), "ss",
+        with_verdicts=with_verdicts,
     )
 
 
@@ -2002,7 +2006,10 @@ def q_suite_stream(spark: SparkSession, sf: str) -> DataFrame:
     evaluation of every predicate over the union, which is exactly what
     the DuckDB oracle replays. Fresh state per invocation: repeated runs
     measure the full drain."""
-    res = _ss_drain(spark, sf, reuse=False)
+    # with_verdicts=False: this query consumes only the violations frame,
+    # so the drift/stat verdict funnels (measured by suite_stream_verdicts
+    # over the same state) are skipped — violations are computed unchanged
+    res = _ss_drain(spark, sf, reuse=False, with_verdicts=False)
     return res.violations.select(
         "bucket", "clip_id", "constraint_id", "observed", "expected"
     )

@@ -288,6 +288,12 @@ def jaccard_from_shingles(
             F.col("sz_a"),
             F.col("sz_b"),
         )
+        # materialize BEFORE the inter filter: `inter` is referenced by
+        # the filter and (twice) by the jaccard arithmetic, and Catalyst
+        # inlines the array_intersect into every reference — each pair
+        # would intersect its shingle sets up to 3× (the JVM analog of
+        # guide §4.4). The scored frame is |pairs| narrow int rows.
+        .localCheckpoint()
         .filter(F.col("inter") >= 1)
         .select(
             "id_a",
@@ -806,6 +812,13 @@ def edit_near_dup(
     # checkpoint: the candidate plan feeds both id-prune branches and the
     # pair join below (same multi-reference shape as jaccard_from_shingles)
     pairs = pairs.localCheckpoint()
+    # the candidate frame is BYTE-tiny (two longs per row) so AQE
+    # coalesces it to ~one partition — but each row downstream pays an
+    # O(max_dist·len) DP, so the kernel would run on one core. Spread the
+    # rows across the slots before the broadcast joins (guide §2.5: cost
+    # is per-row work, not bytes); row values are unchanged.
+    par = df.sparkSession.sparkContext.defaultParallelism
+    kernel_input = pairs.repartition(par)
     ids = (
         pairs.select(F.col("id_a").alias("__id"))
         .union(pairs.select(F.col("id_b").alias("__id")))
@@ -813,14 +826,20 @@ def edit_near_dup(
     )
     # candidate-bounded text side: prune the corpus to pair members BEFORE
     # the two joins — the pruned frame is small enough to broadcast, so
-    # the full-corpus text column never shuffles
-    texts = df.select(
-        F.col(id_col).alias("__id"),
-        F.col(text_col).alias("__txt"),
-        F.length(text_col).alias("__len"),
-    ).join(ids, "__id", "semi")
+    # the full-corpus text column never shuffles. Checkpoint: both joins
+    # reference it, and each reference otherwise re-runs the corpus scan
+    # + semi probe (guide §7.2: duplicated subtrees)
+    texts = (
+        df.select(
+            F.col(id_col).alias("__id"),
+            F.col(text_col).alias("__txt"),
+            F.length(text_col).alias("__len"),
+        )
+        .join(ids, "__id", "semi")
+        .localCheckpoint()
+    )
     j = (
-        pairs.join(
+        kernel_input.join(
             texts.select(
                 F.col("__id").alias("id_a"),
                 F.col("__txt").alias("__txt_a"),
@@ -838,11 +857,24 @@ def edit_near_dup(
         )
         .filter(F.abs(F.col("len_a") - F.col("len_b")) <= max_dist)
     )
-    dist = F.levenshtein("__txt_a", "__txt_b", max_dist)
-    return (
-        j.withColumn("dist", dist)
-        .filter((F.col("dist") >= 0) & (F.col("dist") <= max_dist))
-        .select("id_a", "id_b", "len_a", "len_b", "dist")
+    # equality shortcut: near-dup candidates overwhelmingly carry the
+    # SAME text (exact duplicates), and levenshtein(x, x) = 0 exactly —
+    # skip the O(max_dist·len) DP for equal strings (same guard as the
+    # crossmodal mismatch kernel); distances are unchanged
+    dist = F.when(
+        F.col("__txt_a") == F.col("__txt_b"), F.lit(0)
+    ).otherwise(F.levenshtein("__txt_a", "__txt_b", max_dist))
+    # materialize the scored frame BEFORE the dist filter: `dist` is
+    # referenced by the filter AND the output projection, and Catalyst
+    # inlines the expression into both — every candidate pair would pay
+    # the O(max_dist·len) DP twice (the JVM analog of the guide §4.4
+    # duplicated-UDF plan). The pre-filter frame is |candidates| narrow
+    # rows, so the checkpoint is cheap and the kernel runs exactly once.
+    scored = j.select(
+        "id_a", "id_b", "len_a", "len_b", dist.alias("dist")
+    ).localCheckpoint()
+    return scored.filter(
+        (F.col("dist") >= 0) & (F.col("dist") <= max_dist)
     )
 
 
