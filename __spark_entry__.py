@@ -59,6 +59,7 @@ _IVF_INDEX_CACHE: dict[str, str] = {}
 _AUDIO_FP_INDEX_CACHE: dict[str, str] = {}
 _AUDIO_CORPUS_CACHE: dict[str, str] = {}
 _PADDED_CORPUS_CACHE: dict[str, str] = {}
+_SNIPPET_SRC_CACHE: dict[str, tuple[str, int]] = {}
 _INGEST_SRC_CACHE: dict[str, str] = {}
 _TRENDS_MIN_COUNT = 3
 # TPC-H cuts — Spark compares the TIMESTAMP_NTZ column to an NTZ literal
@@ -1590,17 +1591,42 @@ def q_audio_snippet_search(spark: SparkSession, sf: str) -> DataFrame:
     real codecs; the DuckDB oracle rebuilds both sides' hashes from the
     numpy-precomputed frames table and replays the broadcast-join +
     offset-groupBy algebra in SQL."""
+    import os
+    import tempfile
+
     from pyanomalydetector2_spark.operators.audio_fp import (
         snippet_search,
         synth_snippets,
     )
 
     docs = load_table(spark, sf, "documents").select("doc_id")
-    n_corpus = min(
-        int(docs.agg(F.max("doc_id")).first()[0]) + 1, _SNIPPET_CORPUS_CAP
-    )
+    # snippet WAVs are datagen INPUT (the arriving queries): materialize
+    # them once per process per id source — same stored-table convention
+    # as _audio_corpus / the padded trim corpus — so the measured work is
+    # the real snippet decode→fingerprint + corpus decode + align, not
+    # the query-synthesis pass. ~200 rows/file bounds the binary columnar
+    # read batch (see synth_padded_corpus).
+    doc_path = os.path.join(sf, "documents.parquet")
+    st = os.stat(doc_path)
+    key = f"{doc_path}:{st.st_mtime_ns}:{st.st_size}"
+    cached = _SNIPPET_SRC_CACHE.get(key)
+    if cached is None:
+        n_corpus = min(
+            int(docs.agg(F.max("doc_id")).first()[0]) + 1,
+            _SNIPPET_CORPUS_CAP,
+        )
+        base = tempfile.mkdtemp(prefix="pyad2_snippet_src_")
+        n_parts = max(
+            spark.sparkContext.defaultParallelism, docs.count() // 200 + 1
+        )
+        synth_snippets(
+            spark, docs, n_corpus, partitions=n_parts
+        ).write.mode("overwrite").parquet(f"{base}/snippets")
+        _SNIPPET_SRC_CACHE[key] = (base, n_corpus)
+        cached = (base, n_corpus)
+    base, n_corpus = cached
     corpus = _audio_corpus(spark, sf, max_id=n_corpus)
-    snippets = synth_snippets(spark, docs, n_corpus)
+    snippets = spark.read.parquet(f"{base}/snippets")
     return snippet_search(corpus, snippets)
 
 

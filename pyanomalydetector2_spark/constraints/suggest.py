@@ -98,6 +98,13 @@ def suggest_constraints(
     if distinct_mode not in ("exact", "prefilter"):
         raise ValueError(f"unknown distinct_mode {distinct_mode!r}")
     spark = df.sparkSession
+    # three sequential aggregation passes (profile, exact distinct,
+    # domain sets) each do their map-side work on the scan partitions: a
+    # tiny/single-split snapshot would run all three single-core. Spread
+    # it once; a real-scale table (splits ≥ slots) makes this a no-op.
+    from pyanomalydetector2_spark.functions import rebalance_for_expansion
+
+    df = rebalance_for_expansion(df, min_bytes=1_000_000)
     dtypes = dict(df.dtypes)
     fields = {f.name: f.dataType for f in df.schema.fields}
     missing = [c for c in columns if c not in dtypes]

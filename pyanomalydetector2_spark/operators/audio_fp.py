@@ -1072,7 +1072,10 @@ def snippet_search_index(
 
 
 def synth_snippets(
-    spark: SparkSession, ids_df: DataFrame, n_corpus: int
+    spark: SparkSession,
+    ids_df: DataFrame,
+    n_corpus: int,
+    partitions: int | None = None,
 ) -> DataFrame:
     """Deterministic snippet corpus keyed by a query-id column: snippet q
     is a HOP-aligned slice of the decoded PCM of clip seed
@@ -1110,7 +1113,9 @@ def synth_snippets(
     )
 
     ids = ids_df.select(F.col(ids_df.columns[0]).cast("long").alias("qid"))
-    par = ids_df.sparkSession.sparkContext.defaultParallelism
+    # ``partitions``: see synth_padded_corpus — callers materializing to
+    # parquet pass a count that keeps binary rows-per-file small
+    par = partitions or ids_df.sparkSession.sparkContext.defaultParallelism
     n_offsets = N_FRAMES - SNIPPET_FRAMES + 1
     gains = np.array(VARIANT_GAINS)
 

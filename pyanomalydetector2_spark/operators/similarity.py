@@ -91,10 +91,19 @@ def brute_force_topk(
     (query_id, match_id, cosine, rank). Excludes self-matches. Cosine is
     rounded to 6 dp BEFORE ranking so ranking is reproducible across
     engines; ties break on match_id."""
+    from pyanomalydetector2_spark.functions import rebalance_for_expansion
+
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
     )
-    c = corpus.select(F.col(id_col).alias("match_id"), F.col(vec_col).alias("cv"))
+    # the crossJoin expands every corpus row |queries|-fold into the
+    # per-pair cosine kernel: spread a tiny/single-split corpus scan
+    # first or the whole kernel runs on one core (same guard as the
+    # shingle explode; no-op whenever input splits ≥ slots)
+    c = rebalance_for_expansion(
+        corpus.select(F.col(id_col).alias("match_id"), F.col(vec_col).alias("cv")),
+        min_bytes=1_000_000,
+    )
     sims = (
         c.crossJoin(F.broadcast(q))
         .filter(F.col("query_id") != F.col("match_id"))
