@@ -62,6 +62,14 @@ def get_spark(
         # Arrow for all pandas <-> Spark transfer (pandas UDFs, toPandas).
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        # Bound Arrow batches by BYTES as well (Spark 4 knob): the audio
+        # family ships ~34 KB binary payloads into mapInPandas, where the
+        # 10k-row cap alone allows ~340 MB per batch — memory pressure +
+        # no JVM/Python pipelining. 16 MB chunks measured audio_trim at a
+        # stable ~2 s vs 4.7-11.3 s unbounded (sf1.0); narrow-row paths
+        # hit the row cap first and are unaffected. Size-based, so the
+        # bound is correct at any scale factor.
+        .config("spark.sql.execution.arrow.maxBytesPerBatch", "16m")
         .config("spark.sql.shuffle.partitions", str(n_shuffle))
         # Keep scan splits reasonable for local parquet; on a cluster this
         # is the knob that bounds per-task memory at 100 TB.
