@@ -322,6 +322,7 @@ def dup_clusters(
     max_iter: int = 25,
     algorithm: str = "propagate",
     rounds_out: list | None = None,
+    small_cut: int | None = 200_000,
 ) -> DataFrame:
     """Duplicate-cluster resolution: connected components over near-dup
     pairs — every doc in a component gets cluster_id = the component's
@@ -358,6 +359,55 @@ def dup_clusters(
     # TWICE inside the first checkpoint (measured 2× the feed cost at
     # sf1.0); checkpoint first and the union reads materialized rows
     pairs = pairs.select("id_a", "id_b").localCheckpoint()
+    # size-adaptive driver funnel (optimization r06): each propagation
+    # round is a join + groupBy + checkpoint + convergence probe — ~5
+    # fixed-cost jobs — while a SMALL pair set resolves in microseconds
+    # of union-find. Below ``small_cut`` pairs (a bounded collect: two
+    # ids per row, ≤ a few MB — the same funnel class as the sanctioned
+    # bucket-count collects), compute the identical min-label fixpoint on
+    # the driver and return it as an Arrow-backed local frame. At corpus
+    # scale the pre-count (a cached-partition scan of the checkpoint)
+    # routes to the distributed loop unchanged. Pass ``small_cut=None``
+    # to force the distributed path.
+    if small_cut is not None and pairs.count() <= small_cut:
+        from pyspark.sql.types import StructField, StructType
+
+        from pyanomalydetector2_spark.functions import local_rows_df
+
+        parent: dict = {}
+
+        def find(x):
+            r = x
+            while parent[r] != r:
+                r = parent[r]
+            while parent[x] != r:
+                parent[x], x = r, parent[x]
+            return r
+
+        for row in pairs.collect():
+            a, b = row[0], row[1]
+            if a not in parent:
+                parent[a] = a
+            if b not in parent:
+                parent[b] = b
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[rb] = ra
+        comp_min: dict = {}
+        for v in parent:
+            r = find(v)
+            if r not in comp_min or v < comp_min[r]:
+                comp_min[r] = v
+        if rounds_out is not None:
+            rounds_out.append(1)
+        dt = pairs.schema["id_a"].dataType
+        return local_rows_df(
+            pairs.sparkSession,
+            [(v, comp_min[find(v)]) for v in parent],
+            StructType(
+                [StructField("id", dt), StructField("cluster_id", dt)]
+            ),
+        )
     edges = (
         pairs.select(F.col("id_a").alias("s"), F.col("id_b").alias("d"))
         .union(pairs.select(F.col("id_b").alias("s"), F.col("id_a").alias("d")))

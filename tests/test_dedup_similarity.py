@@ -563,6 +563,30 @@ def test_pq_rejects_indivisible_subspaces(spark):
         ).collect()
 
 
+def test_dup_clusters_driver_funnel_equals_distributed(spark):
+    """The r06 size-gated driver union-find (small_cut) returns the SAME
+    min-label fixpoint as the distributed propagation loop
+    (small_cut=None), vertex for vertex, on planted shapes + a seeded
+    random graph including self-pairs."""
+    import numpy as np
+
+    from pyanomalydetector2_spark.operators.dedup import dup_clusters
+
+    rng = np.random.default_rng(11)
+    edges = [(int(a), int(b)) for a, b in rng.integers(0, 300, size=(200, 2))]
+    edges += [(500, 500), (1007, 1008), (1008, 1009), (1009, 1007)]
+    pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+    driver = {
+        r["id"]: r["cluster_id"] for r in dup_clusters(pairs).collect()
+    }
+    dist = {
+        r["id"]: r["cluster_id"]
+        for r in dup_clusters(pairs, small_cut=None).collect()
+    }
+    assert driver == dist and driver
+    assert driver[500] == 500 and driver[1008] == 1007
+
+
 def test_star_components_fixpoint_equals_propagation(spark):
     """VERDICT r04 #4: the large-star/small-star engine reaches the SAME
     deterministic fixpoint as min-label propagation on planted shapes and
