@@ -753,11 +753,14 @@ def near_dup_jaccard_incremental(
         .union(pairs.select(F.col("id_b").alias("id")))
         .distinct()
     )
-    sh = (
-        shingle_frame(docs, id_col, text_col, n)
-        .join(ids, "id", "semi")
-        .persist()
+    # prune the corpus to pair members BEFORE the ~50× shingle explode
+    # (this frame feeds only the confirm, never the signatures): the semi
+    # join cannot be pushed below a Generate, so exploding first would
+    # shingle the whole corpus to keep a candidate-sized subset
+    cand_docs = docs.join(
+        ids.withColumnRenamed("id", id_col), id_col, "semi"
     )
+    sh = shingle_frame(cand_docs, id_col, text_col, n).persist()
     j = jaccard_from_shingles(sh, pairs, prune=False)  # already candidate-only
     return j.filter(F.col("jaccard") >= threshold)
 
