@@ -563,20 +563,30 @@ def near_dup_jaccard(
     max_bucket_size: int | None = 10_000,
 ) -> DataFrame:
     """The composed near-dup pipeline — shingle → MinHash → LSH candidates →
-    exact Jaccard — with the shingle frame built ONCE and persisted for its
-    three consumers (signatures, side A, side B). Standalone operators scan
-    the documents three times; this is the single-scan production path
-    (VERDICT r01 "What's wrong #4"). The caller may unpersist via the
-    returned frame's lineage once materialized."""
-    sh = shingle_frame(df, id_col, text_col, n).persist()
-    sigs = minhash_from_shingles(sh, k)
-    # the jaccard confirm consumes the pair frame four times (its own join
-    # plus the candidate-id semi-join prune in three places) — checkpoint
-    # so the LSH sub-plan executes once, not per consumer
+    exact Jaccard. The signature pass explodes the corpus once; the exact
+    confirm re-shingles ONLY the candidate-pair members (corpus pruned by a
+    semi join BEFORE the ~50× explode — the r06 shape shared with
+    near_dup_jaccard_incremental). The previous shape persisted the FULL
+    corpus shingle frame for the confirm to later prune: at contract scale
+    that is cache-materialization overhead, and at 10^12 rows a
+    corpus-sized persist cannot fit memory at all, while the candidate set
+    is dup-rate-proportional."""
+    sigs = minhash_from_shingles(shingle_frame(df, id_col, text_col, n), k)
+    # the confirm consumes the pair frame three times (two id-prune union
+    # branches + the intersect join) — checkpoint so the LSH sub-plan
+    # executes once, not per consumer
     pairs = lsh_candidate_pairs(
         sigs, bands, rows_per_band, max_bucket_size
     ).localCheckpoint()
-    j = jaccard_from_shingles(sh, pairs)
+    ids = (
+        pairs.select(F.col("id_a").alias(id_col))
+        .union(pairs.select(F.col("id_b").alias(id_col)))
+        .distinct()
+    )
+    cand = df.join(ids, id_col, "semi")
+    j = jaccard_from_shingles(
+        shingle_frame(cand, id_col, text_col, n), pairs, prune=False
+    )
     return j.filter(F.col("jaccard") >= threshold)
 
 
