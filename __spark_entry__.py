@@ -61,6 +61,7 @@ _AUDIO_CORPUS_CACHE: dict[str, str] = {}
 _PADDED_CORPUS_CACHE: dict[str, str] = {}
 _SNIPPET_SRC_CACHE: dict[str, tuple[str, int]] = {}
 _INCR_INDEX_CACHE: dict[str, str] = {}
+_SS_SRC_CACHE: dict[str, str] = {}
 _INGEST_SRC_CACHE: dict[str, str] = {}
 _TRENDS_MIN_COUNT = 3
 # TPC-H cuts — Spark compares the TIMESTAMP_NTZ column to an NTZ literal
@@ -2027,11 +2028,19 @@ def _ss_drain(
     key = _ss_key(sf)
     state = _SS_STATE_CACHE.get(key) if reuse else None
     if state is None:
-        src = tempfile.mkdtemp(prefix="pyad2_ss_src_")
+        # the ARRIVAL directory is datagen — the producer's side of the
+        # fence (same convention as the audio ingest's _INGEST_SRC_CACHE):
+        # write it once per process per sf; every drain still starts from
+        # FRESH state + checkpoint dirs, so repeated runs measure the full
+        # drain over the same 3-file backlog
+        src = _SS_SRC_CACHE.get(key)
+        if src is None:
+            src = tempfile.mkdtemp(prefix="pyad2_ss_src_")
+            _ss_clips_frame(spark, sf, baseline=False).repartition(
+                3
+            ).write.mode("overwrite").parquet(src)
+            _SS_SRC_CACHE[key] = src
         state = tempfile.mkdtemp(prefix="pyad2_ss_state_")
-        _ss_clips_frame(spark, sf, baseline=False).repartition(3).write.mode(
-            "overwrite"
-        ).parquet(src)
         run_suite_stream(
             spark, src, state, suite, _ss_dims(spark), "ss", _SS_SCHEMA,
             max_files_per_trigger=1, shuffle_partitions=8,
