@@ -62,6 +62,20 @@ _PADDED_CORPUS_CACHE: dict[str, str] = {}
 _SNIPPET_SRC_CACHE: dict[str, tuple[str, int]] = {}
 _INCR_INDEX_CACHE: dict[str, str] = {}
 _SS_SRC_CACHE: dict[str, str] = {}
+
+
+def _cache_tmpdir(prefix: str) -> str:
+    """mkdtemp for a per-process materialized-input cache, removed at
+    normal interpreter exit — the padded-clip/snippet tiers are GBs per
+    process, so leaking them across a multi-process bench sweep would
+    exhaust a small /tmp."""
+    import atexit
+    import shutil
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix=prefix)
+    atexit.register(shutil.rmtree, d, ignore_errors=True)
+    return d
 _INGEST_SRC_CACHE: dict[str, str] = {}
 _TRENDS_MIN_COUNT = 3
 # TPC-H cuts — Spark compares the TIMESTAMP_NTZ column to an NTZ literal
@@ -342,7 +356,7 @@ def q_near_dup_incremental(spark: SparkSession, sf: str) -> DataFrame:
     key = f"{doc_path}:{st.st_mtime_ns}:{st.st_size}"
     base = _INCR_INDEX_CACHE.get(key)
     if base is None:
-        base = tempfile.mkdtemp(prefix="pyad2_incr_index_")
+        base = _cache_tmpdir("pyad2_incr_index_")
         old = docs.filter(F.col("doc_id") >= _INCR_CUT)
         minhash_signatures(old, "doc_id", "text", 8, 3).write.mode(
             "overwrite"
@@ -1394,7 +1408,7 @@ def q_audio_trim(spark: SparkSession, sf: str) -> DataFrame:
     base = _PADDED_CORPUS_CACHE.get(key)
     if base is None:
         docs = load_table(spark, sf, "documents").select("doc_id")
-        base = tempfile.mkdtemp(prefix="pyad2_padded_corpus_")
+        base = _cache_tmpdir("pyad2_padded_corpus_")
         # ~200 rows (≈7 MB of WAV payload) per file: bounds the columnar
         # read batch of the binary column (see synth_padded_corpus)
         n_parts = max(
@@ -1640,7 +1654,7 @@ def q_audio_snippet_search(spark: SparkSession, sf: str) -> DataFrame:
             int(docs.agg(F.max("doc_id")).first()[0]) + 1,
             _SNIPPET_CORPUS_CAP,
         )
-        base = tempfile.mkdtemp(prefix="pyad2_snippet_src_")
+        base = _cache_tmpdir("pyad2_snippet_src_")
         n_parts = max(
             spark.sparkContext.defaultParallelism, docs.count() // 200 + 1
         )
@@ -2035,7 +2049,7 @@ def _ss_drain(
         # drain over the same 3-file backlog
         src = _SS_SRC_CACHE.get(key)
         if src is None:
-            src = tempfile.mkdtemp(prefix="pyad2_ss_src_")
+            src = _cache_tmpdir("pyad2_ss_src_")
             _ss_clips_frame(spark, sf, baseline=False).repartition(
                 3
             ).write.mode("overwrite").parquet(src)
